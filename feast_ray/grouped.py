@@ -1,0 +1,185 @@
+"""Bucketed grouped execution — the engine's single-shuffle co-grouping core.
+
+Every per-entity operator in this engine (as-of join, lag/lead, rolling
+windows, sessionization, latest-per-entity) needs all rows of one entity
+(``conv_id`` / ``user_id``) co-located and sorted by event time.  Doing
+``groupby(key).map_groups(fn)`` directly would call a Python function once per
+entity — millions of tiny calls at scale.  Instead we shuffle ONCE by a hash
+*bucket* of the key and run a **vectorized multi-group kernel** over each
+bucket:
+
+    ds -> map_batches(add __bucket = hash(key) % B)          # cheap, streaming
+       -> groupby("__bucket").map_groups(wrapped_kernel)     # THE one shuffle
+            wrapped_kernel:  sort bucket by (key, *sort_keys)  # local O(n log n)
+                             starts = group boundary offsets   # vectorized
+                             kernel(sorted_table, starts)      # numpy over ALL
+                                                               # groups at once
+
+Scale notes (100 TB / 256-node design):
+- ``num_buckets`` bounds per-task memory: bucket bytes ~= total_bytes / B.
+  Pick B so a bucket fits a worker heap (e.g. 100 TB / 1 GiB => B ~= 100k).
+  Locally the default is modest.  The shuffle itself is Ray Data's sort-based
+  groupby on a small int column — the cheapest possible shuffle key.
+- Skewed entities: one hot conversation is still one group inside one bucket;
+  the kernels are O(n) vectorized so a hot group costs its row count, not a
+  Python loop.  ``feast_ray.stages.salt`` splits pathological entities whose
+  rows exceed a bucket budget (SURVEY §4.2).
+- All kernels are Arrow-in / Arrow-out, zero-copy where pyarrow allows.
+
+This replaces the reference's per-feature-view pandas merges (upstream
+``infra/offline_stores/dask.py::evaluate_historical_retrieval``) with one
+explicit, reusable partitioning (SURVEY §2.4 J1, §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+try:  # polars xxhash is the fast path for string-key hashing
+    import polars as pl
+
+    _HAS_POLARS = True
+except Exception:  # pragma: no cover
+    _HAS_POLARS = False
+
+BUCKET_COL = "__bucket"
+
+# Kernel signature: (sorted_table, group_starts) -> pa.Table
+# group_starts is an int64 numpy array of length n_groups + 1:
+# rows of group g are sorted_table[starts[g] : starts[g + 1]].
+GroupKernel = Callable[[pa.Table, np.ndarray], pa.Table]
+
+
+def hash_columns(tbl: pa.Table, keys: Sequence[str], seed: int = 0) -> np.ndarray:
+    """Deterministic per-row uint64 hash of one or more key columns.
+
+    Used only for partitioning (bucket assignment, exact-dedup routing) —
+    never exposed in results, so the exact hash function is an internal
+    detail.  Polars (xxhash64, vectorized) when available; pandas'
+    ``hash_array`` fallback.
+    """
+    if _HAS_POLARS:
+        df = pl.from_arrow(tbl.select(list(keys)))
+        h = df.hash_rows(seed=seed).to_numpy()
+        return h.astype(np.uint64, copy=False)
+    import pandas as pd
+
+    out = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = tbl[k].to_pandas().to_numpy()
+        out ^= pd.util.hash_array(col) + np.uint64(0x9E3779B97F4A7C15) + (out << np.uint64(6))
+    return out
+
+
+def add_bucket(
+    ds,
+    keys: Sequence[str],
+    num_buckets: int,
+    *,
+    bucket_col: str = BUCKET_COL,
+):
+    """Append an int32 hash-bucket column — the shuffle key for grouped ops."""
+
+    keys = list(keys)
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column(bucket_col, pa.array([], type=pa.int32()))
+        b = (hash_columns(tbl, keys) % np.uint64(num_buckets)).astype(np.int32)
+        return tbl.append_column(bucket_col, pa.array(b))
+
+    return ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sort_table(tbl: pa.Table, cols: Sequence[str]) -> pa.Table:
+    """Local sort (ascending, nulls last) — O(n log n) inside one bucket."""
+    if tbl.num_rows <= 1:
+        return tbl
+    idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in cols])
+    return tbl.take(idx)
+
+
+def group_starts(tbl: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Group boundary offsets of a table already sorted by ``keys``.
+
+    Returns int64 array [0, b1, b2, ..., n]; group g spans
+    ``[starts[g], starts[g+1])``.  Keys must be non-null.
+    """
+    n = tbl.num_rows
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        arr = tbl[k].combine_chunks() if isinstance(tbl[k], pa.ChunkedArray) else tbl[k]
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            codes = arr.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            change |= codes[1:] != codes[:-1]
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
+            change |= vals[1:] != vals[:-1]
+    bounds = np.flatnonzero(change) + 1
+    return np.concatenate(([0], bounds, [n])).astype(np.int64)
+
+
+def starts_to_group_index(starts: np.ndarray) -> np.ndarray:
+    """Per-row group ordinal (0-based) from boundary offsets."""
+    sizes = np.diff(starts)
+    return np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+
+
+def starts_to_row_gstart(starts: np.ndarray) -> np.ndarray:
+    """Per-row start offset of the row's own group."""
+    sizes = np.diff(starts)
+    return np.repeat(starts[:-1], sizes)
+
+
+def default_num_buckets(parallelism_hint: Optional[int] = None) -> int:
+    """Local default: a few buckets per CPU so the pool stays busy.
+
+    At cluster scale callers should size B from total input bytes / target
+    bucket bytes (see module docstring) — pass it explicitly.
+    """
+    import ray
+
+    if parallelism_hint is not None:
+        return max(1, parallelism_hint)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, 4 * cpus)
+
+
+def grouped_map(
+    ds,
+    keys: Sequence[str],
+    kernel: GroupKernel,
+    *,
+    sort_keys: Sequence[str] = (),
+    num_buckets: Optional[int] = None,
+    drop_bucket: bool = True,
+):
+    """Run a vectorized multi-group kernel over every entity group.
+
+    ``ds`` is hash-bucketed by ``keys`` (one shuffle), each bucket is locally
+    sorted by ``(*keys, *sort_keys)``, group boundaries are computed, and
+    ``kernel(sorted_table, starts)`` is invoked once per bucket — covering
+    every group in that bucket in one vectorized call.
+    """
+    keys = list(keys)
+    order = keys + [c for c in sort_keys if c not in keys]
+    b = num_buckets or default_num_buckets()
+    tagged = add_bucket(ds, keys, b)
+
+    def _run(bucket_tbl: pa.Table) -> pa.Table:
+        if drop_bucket and BUCKET_COL in bucket_tbl.column_names:
+            bucket_tbl = bucket_tbl.drop_columns([BUCKET_COL])
+        t = sort_table(bucket_tbl, order)
+        starts = group_starts(t, keys)
+        return kernel(t, starts)
+
+    return tagged.groupby(BUCKET_COL).map_groups(_run, batch_format="pyarrow")

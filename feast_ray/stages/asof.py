@@ -1,0 +1,324 @@
+"""Point-in-time (as-of) LEFT join, TTL-bounded — THE core operator (J1).
+
+Semantics (Feast ``get_historical_features``; upstream
+``sdk/python/feast/infra/offline_stores/dask.py::evaluate_historical_retrieval``
+and the ``ROW_NUMBER() OVER (... ORDER BY event_ts DESC, created_ts DESC) = 1``
+SQL template in ``infra/offline_stores/bigquery.py``):
+
+For each spine row ``(key, t)``, attach the feature row of the same key with
+the **largest event_ts <= t**, subject to **event_ts >= t - ttl** (closed
+lower bound; ``ttl=None`` = unbounded lookback).  Ties on event_ts are broken
+by the largest ``created_ts``.  A miss yields nulls — spine rows are never
+dropped and spine multiplicity/duplicates are preserved (LEFT join).  Zero
+temporal leakage: no attached feature row has event_ts > t.
+
+Two executions:
+
+- :func:`asof_join` — the scale path.  Both sides are tagged and unioned,
+  hash-bucketed by key (ONE shuffle via ``feast_ray.grouped``), locally
+  sorted by ``(key, t, side, created_ts)``, and resolved with a fully
+  vectorized last-feature-index scan:
+
+      last_feat[i] = running max over sorted rows of (row index if feature)
+
+  A spine row's candidate is ``last_feat[i]``; it is valid iff it belongs to
+  the same key group (checked via group ordinals — no reset of the running
+  max is needed) and passes the TTL bound.  No per-group Python loop, no
+  per-row work: O(n) numpy over the whole bucket.
+
+- :func:`asof_join_broadcast` — the small-side path (J4).  The feature table
+  is materialized once, ``ray.put`` into the object store, and every actor
+  of a ``map_batches`` pool resolves spine batches against it with
+  ``pandas.merge_asof(by=key, tolerance=ttl)`` — zero shuffle of the big
+  side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feast_ray.grouped import (
+    grouped_map,
+    starts_to_group_index,
+)
+
+_SIDE = "__side"  # 0 = feature row, 1 = spine row
+_T = "__t"  # event time, int64 microseconds
+_CTS = "__cts"  # created (tie-break) time, int64 microseconds
+
+
+def _ts_to_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = col.cast(pa.timestamp("us", tz=t.tz))
+    return col.cast(pa.int64())
+
+
+def _prepare_sides(
+    spine_schema: pa.Schema,
+    feature_cols: Sequence[str],
+    out_names: Sequence[str],
+    key: str,
+    spine_ts: str,
+    feat_ts: str,
+    created_ts: Optional[str],
+    feat_schema: pa.Schema,
+):
+    """Build the union schema and the two per-side map_batches fns."""
+    union_fields = list(spine_schema) + [
+        pa.field(o, feat_schema.field(c).type) for c, o in zip(feature_cols, out_names)
+    ]
+    union_fields += [
+        pa.field(_SIDE, pa.int8()),
+        pa.field(_T, pa.int64()),
+        pa.field(_CTS, pa.int64()),
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def prep_spine(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {name: tbl[name] for name in spine_schema.names}
+        for o in out_names:
+            cols[o] = pa.nulls(n, type=union_schema.field(o).type)
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        cols[_T] = _ts_to_us(tbl[spine_ts])
+        cols[_CTS] = pa.array(np.full(n, np.iinfo(np.int64).max))  # spine sorts after feats at equal t
+        return pa.table({f.name: cols[f.name].cast(f.type) for f in union_schema})
+
+    def prep_feat(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {}
+        for f in spine_schema:
+            if f.name == key:
+                cols[key] = tbl[key]
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        for c, o in zip(feature_cols, out_names):
+            cols[o] = tbl[c]
+        cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[_T] = _ts_to_us(tbl[feat_ts])
+        if created_ts is not None:
+            cols[_CTS] = pc.fill_null(_ts_to_us(tbl[created_ts]), 0)
+        else:
+            cols[_CTS] = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table({f.name: cols[f.name].cast(f.type) for f in union_schema})
+
+    return union_schema, prep_spine, prep_feat
+
+
+def asof_kernel_factory(
+    spine_names: list[str],
+    out_names: list[str],
+    ttl_us: Optional[int],
+    matched_ts_name: Optional[str],
+    matched_ts_type: Optional[pa.DataType],
+):
+    """Vectorized multi-group as-of resolution over a sorted union bucket."""
+
+    def kernel(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        side = tbl[_SIDE].combine_chunks().to_numpy(zero_copy_only=False)
+        t = tbl[_T].combine_chunks().to_numpy(zero_copy_only=False)
+        ar = np.arange(n, dtype=np.int64)
+        last_feat = np.maximum.accumulate(np.where(side == 0, ar, -1)) if n else ar
+        gidx = starts_to_group_index(starts)
+        spi = np.flatnonzero(side == 1)
+        j = last_feat[spi] if n else spi
+        safe_j = np.maximum(j, 0)
+        valid = (j >= 0) & (gidx[safe_j] == gidx[spi])
+        if ttl_us is not None:
+            valid &= t[safe_j] >= t[spi] - ttl_us
+        feat_idx = pa.array(safe_j, type=pa.int64(), mask=~valid)
+
+        out_cols: dict[str, pa.Array] = {}
+        spi_arr = pa.array(spi, type=pa.int64())
+        for name in spine_names:
+            out_cols[name] = pc.take(tbl[name].combine_chunks(), spi_arr)
+        for name in out_names:
+            out_cols[name] = pc.take(tbl[name].combine_chunks(), feat_idx)
+        if matched_ts_name is not None:
+            m = pc.take(tbl[_T].combine_chunks(), feat_idx)
+            out_cols[matched_ts_name] = m.cast(matched_ts_type)
+        return pa.table(out_cols)
+
+    return kernel
+
+
+def asof_join(
+    spine,
+    features,
+    *,
+    key: str,
+    spine_ts: str = "ts",
+    feat_ts: str = "ts",
+    created_ts: Optional[str] = None,
+    ttl_us: Optional[int] = None,
+    feature_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    matched_ts_name: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """TTL-bounded point-in-time LEFT join of ``spine`` against ``features``.
+
+    Returns a Dataset with every spine column plus one column per feature
+    (optionally prefixed ``{prefix}__{col}`` — Feast ``full_feature_names``,
+    M6) and optionally the matched feature event timestamp.
+    """
+    spine_schema = pa.schema(
+        [f for f in _dataset_schema(spine) if not f.name.startswith("__")]
+    )
+    feat_schema = _dataset_schema(features)
+    if feature_cols is None:
+        skip = {key, feat_ts}
+        if created_ts:
+            skip.add(created_ts)
+        feature_cols = [n for n in feat_schema.names if n not in skip]
+    feature_cols = list(feature_cols)
+    out_names = [f"{prefix}__{c}" if prefix else c for c in feature_cols]
+    clash = set(out_names) & set(spine_schema.names)
+    if clash:
+        raise ValueError(f"feature columns clash with spine columns: {clash}; use prefix=")
+
+    union_schema, prep_spine, prep_feat = _prepare_sides(
+        spine_schema, feature_cols, out_names, key, spine_ts, feat_ts, created_ts, feat_schema
+    )
+    left = spine.map_batches(prep_spine, batch_format="pyarrow", zero_copy_batch=True)
+    right = features.map_batches(prep_feat, batch_format="pyarrow", zero_copy_batch=True)
+    both = left.union(right)
+
+    mt_type = None
+    if matched_ts_name is not None:
+        mt_type = feat_schema.field(feat_ts).type
+        if not pa.types.is_timestamp(mt_type):
+            mt_type = pa.int64()
+        else:
+            mt_type = pa.timestamp("us", tz=mt_type.tz)
+    kernel = asof_kernel_factory(
+        list(spine_schema.names), out_names, ttl_us, matched_ts_name, mt_type
+    )
+    return grouped_map(
+        both,
+        [key],
+        kernel,
+        sort_keys=[_T, _SIDE, _CTS],
+        num_buckets=num_buckets,
+    )
+
+
+def _dataset_schema(ds) -> pa.Schema:
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        raise ValueError(
+            "dataset schema is unknown (empty dataset from a row-filter?); "
+            "materialize a schema first, e.g. filter via map_batches on pyarrow"
+        )
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+class BroadcastAsof:
+    """Actor-pool stage: resolve spine batches against a broadcast feature
+    table with ``pandas.merge_asof`` — no shuffle of the spine (J4).
+
+    The feature table ref is fetched and sorted ONCE per actor in
+    ``__init__`` (zero-copy read from the local object store); each
+    ``__call__`` handles one spine batch.
+    """
+
+    def __init__(
+        self,
+        feat_ref,
+        *,
+        key: str,
+        spine_ts: str,
+        feat_ts: str,
+        created_ts: Optional[str],
+        ttl_us: Optional[int],
+        feature_cols: Sequence[str],
+        out_names: Sequence[str],
+    ):
+        import ray
+
+        feat_tbl: pa.Table = ray.get(feat_ref) if not isinstance(feat_ref, pa.Table) else feat_ref
+        # merge_asof(by=key) needs the right frame globally sorted on the
+        # time key; equal (key, ts) rows must end with max created_ts so the
+        # scan's last-match-wins implements the tie-break.
+        sort_cols = [feat_ts] + ([created_ts] if created_ts else [])
+        idx = pc.sort_indices(feat_tbl, sort_keys=[(c, "ascending") for c in sort_cols])
+        feat_tbl = feat_tbl.take(idx)
+        cols = [key, feat_ts] + list(feature_cols)
+        self.right = feat_tbl.select(cols).rename_columns(
+            [key, "__fts"] + list(out_names)
+        ).to_pandas()
+        self.key = key
+        self.spine_ts = spine_ts
+        self.ttl_us = ttl_us
+        self.out_names = list(out_names)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        spine_names = batch.column_names
+        left = batch.to_pandas()
+        left["__row"] = np.arange(len(left))
+        left = left.sort_values([self.spine_ts], kind="stable")
+        tol = pd.Timedelta(microseconds=self.ttl_us) if self.ttl_us is not None else None
+        merged = pd.merge_asof(
+            left,
+            self.right,
+            left_on=self.spine_ts,
+            right_on="__fts",
+            by=self.key,
+            tolerance=tol,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        merged = merged.sort_values("__row").drop(columns=["__row", "__fts"])
+        out = pa.Table.from_pandas(merged, preserve_index=False)
+        return out.select(spine_names + self.out_names)
+
+
+def asof_join_broadcast(
+    spine,
+    feat_tbl: pa.Table,
+    *,
+    key: str,
+    spine_ts: str = "ts",
+    feat_ts: str = "ts",
+    created_ts: Optional[str] = None,
+    ttl_us: Optional[int] = None,
+    feature_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 65536,
+):
+    """As-of join where the feature side fits in the object store: broadcast
+    once with ``ray.put``, resolve per batch in an actor pool."""
+    import ray
+
+    if feature_cols is None:
+        skip = {key, feat_ts}
+        if created_ts:
+            skip.add(created_ts)
+        feature_cols = [n for n in feat_tbl.schema.names if n not in skip]
+    out_names = [f"{prefix}__{c}" if prefix else c for c in feature_cols]
+    ref = ray.put(feat_tbl)
+    return spine.map_batches(
+        BroadcastAsof,
+        fn_constructor_kwargs=dict(
+            feat_ref=ref,
+            key=key,
+            spine_ts=spine_ts,
+            feat_ts=feat_ts,
+            created_ts=created_ts,
+            ttl_us=ttl_us,
+            feature_cols=list(feature_cols),
+            out_names=out_names,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

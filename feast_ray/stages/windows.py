@@ -1,0 +1,334 @@
+"""Windowed per-entity feature kernels: lag/lead, rolling aggregates,
+sessionization — computed for ALL requested features in ONE shuffle.
+
+Semantics (pinned; see tests/test_windows.py):
+
+- Ordering: rows of an entity are processed sorted by ``order_cols`` (e.g.
+  ``(ts, turn_idx)`` or ``(ts, event_id)``) — the "stable turn ordering"
+  invariant (BASELINE.json:15).  Ties beyond the order columns must not exist
+  (callers include a unique tie-break column).
+- ``Lag(col, k)`` / ``Lead(col, k)``: value k rows before/after within the
+  entity; null at edges.  Equivalent SQL: ``LAG(col, k) OVER (PARTITION BY
+  key ORDER BY ...)``.
+- ``RollingRows(col, k, aggs)``: window = last k rows ending at the current
+  row (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``), clamped to the
+  entity start.  ``count`` counts non-null values (SQL ``COUNT(col)``),
+  ``mean`` is null when count==0, ``last`` is the most recent non-null value
+  in the window.
+- ``RollingTime(col, delta_us, aggs)``: window = rows with
+  ``ts in [t - delta, t]`` **including peers of t that sort after the
+  current row** — matching SQL ``RANGE BETWEEN delta PRECEDING AND CURRENT
+  ROW`` peer semantics.
+- ``Sessionize(gap_us)``: a new session starts when ``ts - prev_ts > gap``
+  (strictly greater — a gap exactly equal to the threshold stays in the
+  session); ``session_id`` is 0-based per entity.
+
+The reference declares these aggregations but delegates execution to a
+stream engine (upstream ``sdk/python/feast/aggregation.py::Aggregation``,
+``stream_feature_view.py::StreamFeatureView``); lag/lead and sessionization
+are required by BASELINE.json:6/14 (SURVEY §2.5 A1–A4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feast_ray.grouped import (
+    grouped_map,
+    starts_to_row_gstart,
+)
+
+# ---------------------------------------------------------------------------
+# Window specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Lag:
+    col: str
+    k: int = 1
+    name: Optional[str] = None
+
+    @property
+    def out(self) -> str:
+        return self.name or f"lag{self.k}_{self.col}"
+
+
+@dataclass(frozen=True)
+class Lead:
+    col: str
+    k: int = 1
+    name: Optional[str] = None
+
+    @property
+    def out(self) -> str:
+        return self.name or f"lead{self.k}_{self.col}"
+
+
+@dataclass(frozen=True)
+class RollingRows:
+    """Aggregates over the trailing k-row window (incl. current row)."""
+
+    col: str
+    k: int
+    aggs: tuple[str, ...] = ("count", "sum", "mean")
+    prefix: Optional[str] = None
+
+    def out(self, agg: str) -> str:
+        p = self.prefix or f"{self.col}_r{self.k}"
+        return f"{p}_{agg}"
+
+
+@dataclass(frozen=True)
+class RollingTime:
+    """Aggregates over the trailing time window [t - delta, t] (peers incl.)."""
+
+    col: str
+    delta_us: int
+    aggs: tuple[str, ...] = ("count", "sum", "mean")
+    prefix: Optional[str] = None
+
+    def out(self, agg: str) -> str:
+        p = self.prefix or f"{self.col}_t{self.delta_us}"
+        return f"{p}_{agg}"
+
+
+@dataclass(frozen=True)
+class Sessionize:
+    gap_us: int
+    name: str = "session_id"
+
+
+WindowSpec = object  # union of the above
+
+
+# ---------------------------------------------------------------------------
+# Pure kernels (numpy; unit-testable without Ray)
+# ---------------------------------------------------------------------------
+
+
+def _col_array(tbl: pa.Table, name: str) -> pa.Array:
+    col = tbl[name]
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _numeric_np(tbl: pa.Table, name: str) -> np.ndarray:
+    """Column as float64 numpy with NaN for nulls."""
+    arr = _col_array(tbl, name)
+    return arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _ts_np(tbl: pa.Table, name: str) -> np.ndarray:
+    arr = _col_array(tbl, name)
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def shift_indices(n: int, gstart: np.ndarray, gend: np.ndarray, k: int) -> pa.Array:
+    """Take-indices implementing lag (k>0) / lead (k<0) with group edges null."""
+    ar = np.arange(n, dtype=np.int64)
+    idx = ar - k
+    invalid = (idx < gstart) | (idx >= gend)
+    return pa.array(idx, type=pa.int64(), mask=invalid)
+
+
+def rolling_rows_bounds(n: int, gstart: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    ar = np.arange(n, dtype=np.int64)
+    wstart = np.maximum(ar - (k - 1), gstart)
+    wend = ar + 1
+    return wstart, wend
+
+
+def rolling_time_bounds(
+    ts: np.ndarray, starts: np.ndarray, delta_us: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row [wstart, wend) covering ts in [t - delta, t], peers included."""
+    n = len(ts)
+    wstart = np.empty(n, dtype=np.int64)
+    wend = np.empty(n, dtype=np.int64)
+    for g in range(len(starts) - 1):
+        lo, hi = starts[g], starts[g + 1]
+        seg = ts[lo:hi]
+        wstart[lo:hi] = lo + np.searchsorted(seg, seg - delta_us, side="left")
+        wend[lo:hi] = lo + np.searchsorted(seg, seg, side="right")
+    return wstart, wend
+
+
+def rolling_aggs(
+    v: np.ndarray,
+    wstart: np.ndarray,
+    wend: np.ndarray,
+    aggs: Sequence[str],
+    k_rows: Optional[int] = None,
+) -> dict[str, pa.Array]:
+    """Windowed count/sum/mean/std/last(min/max for row windows) via prefix sums."""
+    valid = ~np.isnan(v)
+    v0 = np.where(valid, v, 0.0)
+    cs = np.concatenate(([0.0], np.cumsum(v0)))
+    cc = np.concatenate(([0], np.cumsum(valid)))
+    c = cc[wend] - cc[wstart]
+    s = cs[wend] - cs[wstart]
+    out: dict[str, pa.Array] = {}
+    none = c == 0
+    for a in aggs:
+        if a == "count":
+            out[a] = pa.array(c.astype(np.int64))
+        elif a == "sum":
+            out[a] = pa.array(s, mask=none)
+        elif a == "mean":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                m = s / c
+            out[a] = pa.array(m, mask=none)
+        elif a == "std":  # sample stddev, SQL STDDEV_SAMP
+            ss = np.concatenate(([0.0], np.cumsum(np.where(valid, v * v, 0.0))))
+            q = ss[wend] - ss[wstart]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = np.maximum(q - s * s / np.maximum(c, 1), 0.0) / np.maximum(c - 1, 1)
+            out[a] = pa.array(np.sqrt(var), mask=c < 2)
+        elif a == "last":
+            ar = np.arange(len(v), dtype=np.int64)
+            lastvalid = np.maximum.accumulate(np.where(valid, ar, -1))
+            j = lastvalid[wend - 1]
+            miss = j < wstart
+            out[a] = pa.array(v[np.maximum(j, 0)], mask=miss)
+        elif a in ("min", "max"):
+            if k_rows is None:
+                raise NotImplementedError(
+                    "min/max over time windows not yet supported — use a rows window"
+                )
+            out[a] = _rolling_minmax_rows(v, valid, wstart, k_rows, a)
+        else:
+            raise ValueError(f"unknown rolling agg {a!r}")
+    return out
+
+
+def _rolling_minmax_rows(
+    v: np.ndarray, valid: np.ndarray, wstart: np.ndarray, k: int, which: str
+) -> pa.Array:
+    """Trailing-k min/max via a strided sliding window (vectorized, O(n*k))."""
+    n = len(v)
+    fill = np.inf if which == "min" else -np.inf
+    vv = np.where(valid, v, fill)
+    pad = np.concatenate((np.full(k - 1, fill), vv))
+    win = np.lib.stride_tricks.sliding_window_view(pad, k)
+    res = win.min(axis=1) if which == "min" else win.max(axis=1)
+    # clamp to group start: recompute rows whose window crosses the boundary
+    ar = np.arange(n, dtype=np.int64)
+    short = wstart > ar - (k - 1)
+    if short.any():
+        idxs = np.flatnonzero(short)
+        res = res.copy()
+        reduce_fn = np.min if which == "min" else np.max
+        for i in idxs:
+            seg = vv[wstart[i] : i + 1]
+            res[i] = reduce_fn(seg) if len(seg) else fill
+    miss = ~np.isfinite(res)
+    return pa.array(np.where(miss, 0.0, res), mask=miss)
+
+
+def sessionize_ids(ts: np.ndarray, starts: np.ndarray, gap_us: int) -> np.ndarray:
+    """0-based session id per entity; new session when ts - prev_ts > gap."""
+    n = len(ts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    gstart = starts_to_row_gstart(starts)
+    ar = np.arange(n, dtype=np.int64)
+    new = np.ones(n, dtype=np.int64)
+    intra = ar > gstart  # not first row of its entity
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = ts[1:] - ts[:-1]
+    new[1:] = np.where(intra[1:] & (gaps[1:] <= gap_us), 0, 1)
+    cum = np.cumsum(new)
+    return cum - cum[gstart]  # 0-based within entity
+
+
+# ---------------------------------------------------------------------------
+# Kernel assembly + Dataset wrapper
+# ---------------------------------------------------------------------------
+
+
+def make_window_kernel(specs: Sequence[WindowSpec], ts_col: str):
+    """Build a grouped-map kernel computing every spec in one pass."""
+
+    def kernel(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return _empty_with_spec_columns(tbl, specs)
+        gstart = starts_to_row_gstart(starts)
+        sizes = np.diff(starts)
+        gend = np.repeat(starts[1:], sizes)
+        ts = None
+        out = tbl
+        for spec in specs:
+            if isinstance(spec, Lag):
+                idx = shift_indices(n, gstart, gend, spec.k)
+                out = out.append_column(spec.out, pc.take(_col_array(tbl, spec.col), idx))
+            elif isinstance(spec, Lead):
+                idx = shift_indices(n, gstart, gend, -spec.k)
+                out = out.append_column(spec.out, pc.take(_col_array(tbl, spec.col), idx))
+            elif isinstance(spec, RollingRows):
+                v = _numeric_np(tbl, spec.col)
+                ws, we = rolling_rows_bounds(n, gstart, spec.k)
+                for a, arr in rolling_aggs(v, ws, we, spec.aggs, k_rows=spec.k).items():
+                    out = out.append_column(spec.out(a), arr)
+            elif isinstance(spec, RollingTime):
+                if ts is None:
+                    ts = _ts_np(tbl, ts_col)
+                v = _numeric_np(tbl, spec.col)
+                ws, we = rolling_time_bounds(ts, starts, spec.delta_us)
+                for a, arr in rolling_aggs(v, ws, we, spec.aggs).items():
+                    out = out.append_column(spec.out(a), arr)
+            elif isinstance(spec, Sessionize):
+                if ts is None:
+                    ts = _ts_np(tbl, ts_col)
+                sid = sessionize_ids(ts, starts, spec.gap_us)
+                out = out.append_column(spec.name, pa.array(sid))
+            else:
+                raise TypeError(f"unknown window spec {spec!r}")
+        return out
+
+    return kernel
+
+
+def _empty_with_spec_columns(tbl: pa.Table, specs: Sequence[WindowSpec]) -> pa.Table:
+    out = tbl
+    for spec in specs:
+        if isinstance(spec, (Lag, Lead)):
+            out = out.append_column(
+                spec.out, pa.array([], type=tbl.schema.field(spec.col).type)
+            )
+        elif isinstance(spec, (RollingRows, RollingTime)):
+            for a in spec.aggs:
+                t = pa.int64() if a == "count" else pa.float64()
+                out = out.append_column(spec.out(a), pa.array([], type=t))
+        elif isinstance(spec, Sessionize):
+            out = out.append_column(spec.name, pa.array([], type=pa.int64()))
+    return out
+
+
+def add_window_features(
+    ds,
+    *,
+    key: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str],
+    specs: Sequence[WindowSpec],
+    num_buckets: Optional[int] = None,
+):
+    """All window features in one bucketed shuffle (SURVEY §7.3: one logical
+    shuffle shared by every per-entity operator)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return grouped_map(
+        ds,
+        keys,
+        make_window_kernel(specs, ts_col),
+        sort_keys=list(order_cols),
+        num_buckets=num_buckets,
+    )

@@ -1,0 +1,164 @@
+"""As-of join (J1/J4) vs the pandas oracle: TTL bounds, created_ts
+tie-breaks, duplicate spine rows, misses => nulls, zero temporal leakage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from feast_ray.stages.asof import asof_join, asof_join_broadcast
+from tests.oracle import oracle_asof
+from tests.util import assert_frames_match
+
+TTL_US = 3600 * 1_000_000
+ROWKEY = ["conv_id", "ts", "turn_idx"]
+FEATS = ["msg_len", "value"]
+
+
+def _spine_sample(spine_tbl: pa.Table, n: int = 400) -> pa.Table:
+    idx = np.random.default_rng(5).choice(spine_tbl.num_rows, size=n, replace=False)
+    return spine_tbl.take(pa.array(np.sort(idx)))
+
+
+@pytest.fixture(scope="module")
+def small_spine(spine_tbl):
+    return _spine_sample(spine_tbl)
+
+
+@pytest.fixture(scope="module")
+def oracle_no_ttl(small_spine, features_tbl):
+    return oracle_asof(
+        small_spine.to_pandas(),
+        features_tbl.to_pandas(),
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=None,
+        feature_cols=FEATS,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle_ttl(small_spine, features_tbl):
+    return oracle_asof(
+        small_spine.to_pandas(),
+        features_tbl.to_pandas(),
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=TTL_US,
+        feature_cols=FEATS,
+    )
+
+
+def test_asof_no_ttl(ray_session, small_spine, features_tbl, oracle_no_ttl):
+    import ray.data as rd
+
+    got = asof_join(
+        rd.from_arrow(small_spine),
+        rd.from_arrow(features_tbl),
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=None,
+        matched_ts_name="__matched_ts",
+        num_buckets=6,
+    ).to_pandas()
+    assert_frames_match(got, oracle_no_ttl, row_key=ROWKEY, cols=FEATS + ["__matched_ts"])
+
+
+def test_asof_with_ttl(ray_session, small_spine, features_tbl, oracle_ttl):
+    import ray.data as rd
+
+    got = asof_join(
+        rd.from_arrow(small_spine),
+        rd.from_arrow(features_tbl),
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=TTL_US,
+        matched_ts_name="__matched_ts",
+        num_buckets=6,
+    ).to_pandas()
+    assert_frames_match(got, oracle_ttl, row_key=ROWKEY, cols=FEATS + ["__matched_ts"])
+    # zero temporal leakage: matched feature ts never exceeds entity ts
+    m = got["__matched_ts"].notna()
+    assert (got.loc[m, "__matched_ts"] <= got.loc[m, "ts"]).all()
+    # TTL honored
+    assert (
+        got.loc[m, "ts"].astype("int64") - got.loc[m, "__matched_ts"].astype("int64") <= TTL_US
+    ).all()
+
+
+def test_asof_preserves_spine_multiplicity(ray_session, small_spine, features_tbl):
+    import ray.data as rd
+
+    doubled = pa.concat_tables([small_spine, small_spine])
+    got = asof_join(
+        rd.from_arrow(doubled),
+        rd.from_arrow(features_tbl),
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=TTL_US,
+        num_buckets=4,
+    )
+    assert got.count() == doubled.num_rows
+
+
+def test_asof_tie_break_created_ts(ray_session):
+    """Two feature rows at the same event ts: the larger created_ts wins."""
+    import ray.data as rd
+
+    ts = pa.array([1_000_000], type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    spine = pa.table({"conv_id": ["a"], "ts": ts})
+    fts = pa.array([1_000_000, 1_000_000], type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    cts = pa.array([5, 9], type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    feats = pa.table({"conv_id": ["a", "a"], "ts": fts, "created_ts": cts, "v": [1.0, 2.0]})
+    got = asof_join(
+        rd.from_arrow(spine),
+        rd.from_arrow(feats),
+        key="conv_id",
+        created_ts="created_ts",
+        num_buckets=2,
+    ).to_pandas()
+    assert got["v"].tolist() == [2.0]
+
+
+def test_asof_miss_yields_nulls(ray_session):
+    import ray.data as rd
+
+    ts = pa.array([10], type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    spine = pa.table({"conv_id": ["zzz"], "ts": ts})
+    fts = pa.array([5], type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+    feats = pa.table({"conv_id": ["other"], "ts": fts, "v": [1.0]})
+    got = asof_join(
+        rd.from_arrow(spine), rd.from_arrow(feats), key="conv_id", num_buckets=2
+    ).to_pandas()
+    assert len(got) == 1 and got["v"].isna().all()
+
+
+def test_asof_prefix_naming(ray_session, small_spine, features_tbl):
+    import ray.data as rd
+
+    got = asof_join(
+        rd.from_arrow(small_spine.take(pa.array(range(20)))),
+        rd.from_arrow(features_tbl),
+        key="conv_id",
+        created_ts="created_ts",
+        prefix="convfeat",
+        num_buckets=2,
+    )
+    names = got.schema().names
+    assert "convfeat__msg_len" in names and "convfeat__value" in names
+
+
+def test_asof_broadcast_matches_shuffle(ray_session, small_spine, features_tbl, oracle_ttl):
+    import ray.data as rd
+
+    got = asof_join_broadcast(
+        rd.from_arrow(small_spine),
+        features_tbl,
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=TTL_US,
+        concurrency=2,
+        batch_size=128,
+    ).to_pandas()
+    assert_frames_match(got, oracle_ttl, row_key=ROWKEY, cols=FEATS)

@@ -1,0 +1,162 @@
+"""Window kernels vs the pandas oracle on the seeded transcript fixture
+(edge cases baked into the fixture: single-turn conv, duplicate ts, a conv
+whose every gap equals the session threshold, hot conv, shuffled file order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from feast_ray.stages.windows import (
+    Lag,
+    Lead,
+    RollingRows,
+    RollingTime,
+    Sessionize,
+    add_window_features,
+)
+from tests.oracle import (
+    oracle_lag_lead,
+    oracle_rolling_rows,
+    oracle_rolling_time,
+    oracle_sessionize,
+)
+from tests.util import assert_frames_match
+
+GAP_US = 1800 * 1_000_000
+KEYCOLS = ["conv_id", "ts", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def turns_with_value(transcripts_tbl) -> pa.Table:
+    """Transcripts + a numeric column with some nulls (for agg nullness)."""
+    rng = np.random.default_rng(7)
+    n = transcripts_tbl.num_rows
+    v = rng.normal(10.0, 3.0, n)
+    mask = rng.random(n) < 0.1
+    return transcripts_tbl.append_column("value", pa.array(v, mask=mask))
+
+
+def _run(ray_session, tbl, specs):
+    import ray.data as rd
+
+    ds = rd.from_arrow(tbl)
+    out = add_window_features(
+        ds,
+        key="conv_id",
+        ts_col="ts",
+        order_cols=["ts", "turn_idx"],
+        specs=specs,
+        num_buckets=5,
+    )
+    return out.to_pandas()
+
+
+def test_lag_lead(ray_session, turns_with_value):
+    got = _run(ray_session, turns_with_value, [Lag("value", 1), Lead("value", 1), Lag("value", 3)])
+    want = oracle_lag_lead(
+        turns_with_value.to_pandas(), key="conv_id", order=["ts", "turn_idx"], col="value", k=1
+    )
+    want3 = oracle_lag_lead(
+        turns_with_value.to_pandas(), key="conv_id", order=["ts", "turn_idx"], col="value", k=3
+    )
+    assert_frames_match(got, want, row_key=KEYCOLS, cols=["lag1_value", "lead1_value"])
+    assert_frames_match(got, want3, row_key=KEYCOLS, cols=["lag3_value"])
+
+
+def test_lag_string_column(ray_session, turns_with_value):
+    got = _run(ray_session, turns_with_value, [Lag("role", 1)])
+    want = oracle_lag_lead(
+        turns_with_value.to_pandas(), key="conv_id", order=["ts", "turn_idx"], col="role", k=1
+    )
+    assert_frames_match(got, want, row_key=KEYCOLS, cols=["lag1_role"])
+
+
+def test_rolling_rows(ray_session, turns_with_value):
+    spec = RollingRows(
+        "value", 5, aggs=("count", "sum", "mean", "last", "min", "max", "std"), prefix="roll"
+    )
+    got = _run(ray_session, turns_with_value, [spec])
+    want = oracle_rolling_rows(
+        turns_with_value.to_pandas(), key="conv_id", order=["ts", "turn_idx"], col="value", k=5
+    )
+    assert_frames_match(
+        got,
+        want,
+        row_key=KEYCOLS,
+        cols=[f"roll_{a}" for a in ("count", "sum", "mean", "last", "min", "max", "std")],
+        atol=1e-8,
+        rtol=1e-8,
+    )
+
+
+def test_rolling_time(ray_session, turns_with_value):
+    delta = 600 * 1_000_000
+    spec = RollingTime("value", delta, aggs=("count", "sum", "mean"), prefix="troll")
+    got = _run(ray_session, turns_with_value, [spec])
+    want = oracle_rolling_time(
+        turns_with_value.to_pandas(),
+        key="conv_id",
+        order=["ts", "turn_idx"],
+        ts="ts",
+        col="value",
+        delta_us=delta,
+    )
+    assert_frames_match(
+        got, want, row_key=KEYCOLS, cols=["troll_count", "troll_sum", "troll_mean"], atol=1e-8
+    )
+
+
+def test_sessionize(ray_session, turns_with_value):
+    got = _run(ray_session, turns_with_value, [Sessionize(GAP_US)])
+    want = oracle_sessionize(
+        turns_with_value.to_pandas(), key="conv_id", order=["ts", "turn_idx"], ts="ts", gap_us=GAP_US
+    )
+    assert_frames_match(got, want, row_key=KEYCOLS, cols=["session_id"])
+    # conv-00000001 has every gap exactly == threshold -> one single session
+    g = got[got["conv_id"] == "conv-00000001"]
+    assert (g["session_id"] == 0).all()
+
+
+def test_single_turn_conv(ray_session, turns_with_value):
+    got = _run(
+        ray_session,
+        turns_with_value,
+        [Lag("value", 1), RollingRows("value", 3, aggs=("count",), prefix="r"), Sessionize(GAP_US)],
+    )
+    g = got[got["conv_id"] == "conv-00000000"]
+    assert len(g) == 1
+    assert g["lag1_value"].isna().all()
+    assert (g["session_id"] == 0).all()
+
+
+def test_all_window_specs_one_pass(ray_session, turns_with_value):
+    """The flagship property: every spec family computed in ONE shuffle."""
+    specs = [
+        Lag("value", 1),
+        Lead("value", 2),
+        RollingRows("value", 4, aggs=("count", "mean", "last")),
+        RollingTime("value", 300 * 1_000_000, aggs=("count",)),
+        Sessionize(GAP_US),
+    ]
+    got = _run(ray_session, turns_with_value, specs)
+    assert len(got) == turns_with_value.num_rows
+    for c in ["lag1_value", "lead2_value", "value_r4_count", "value_r4_mean",
+              "value_r4_last", "session_id"]:
+        assert c in got.columns
+
+
+def test_text_byte_equality_under_stable_order(ray_session, transcripts_tbl):
+    """Per-turn text equality under stable turn ordering (BASELINE.json:15)."""
+    got = _run(ray_session, transcripts_tbl, [Sessionize(GAP_US)])
+    got = got.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    want = (
+        transcripts_tbl.to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert (got["text"] == want["text"]).all()
+    assert (got["turn_idx"] == want["turn_idx"]).all()
