@@ -1,44 +1,66 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+feast_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship per-entity feature pipeline on sf0.001.
+- ``queries()``    — one callable per implemented operator family
+                     (SURVEY.md §2); takes ``sf_dir``.
+- ``oracle_sql()`` — matching DuckDB SQL per query (same column names);
+                     omitted only for genuinely non-SQL-expressible ops.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sessionized, windowed, as-of-joined per-event feature
+    vectors over the sf0.001 events stream (the get_historical_features-
+    style backfill of SURVEY §3.1/§3.2)."""
+    from feast_ray.pipelines.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    from feast_ray.stages.windows import (
+        Lag,
+        Lead,
+        RollingRows,
+        RollingTime,
+        Sessionize,
+        add_window_features,
+    )
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[
+            Lag("value", 1),
+            Lead("value", 1),
+            RollingRows("value", 5, aggs=("count", "sum", "mean", "last")),
+            RollingTime("value", 3600 * 1_000_000, aggs=("count", "mean")),
+            Sessionize(1800 * 1_000_000),
+        ],
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from feast_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from feast_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

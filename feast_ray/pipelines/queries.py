@@ -1,0 +1,556 @@
+"""Driver-facing query battery: one entry per implemented operator family
+(SURVEY.md §2), each with a matching ANSI-SQL oracle runnable by DuckDB on
+the same parquet tables (see ``ORACLE_SQL``).  Column names are identical on
+both sides.  Floating-point determinism across engines: money/value sums are
+computed in exact integer-scaled units (per-row ROUND(x * 10^k) of
+fixed-decimal inputs, integer sums, one final division) so accumulation
+order cannot diverge; final ROUND calls are avoided because numpy rounds
+half-to-even while DuckDB rounds half-away — a real tie (x.xx5) flips them.
+
+None of these functions call ``ray.init`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US = 1_000_000
+SESSION_GAP_US = 1800 * US
+ASOF_TTL_US = 86400 * US
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _round_cols(cols: dict[str, int]):
+    """numpy-based rounding (pyarrow's round can return a non-canonical
+    neighbouring double; np.round matches DuckDB's ROUND on doubles)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            i = t.column_names.index(c)
+            v = t[c].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            nulls = np.isnan(v)
+            t = t.set_column(i, c, pa.array(np.round(v, nd), mask=nulls))
+        return t
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Per-entity window operators over the events stream (A1-A4, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize_events(sf_dir: str):
+    from feast_ray.stages.windows import Sessionize, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[Sessionize(SESSION_GAP_US)],
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "session_id"])
+
+
+def q_lag_lead_events(sf_dir: str):
+    from feast_ray.stages.windows import Lag, Lead, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[Lag("value", 1), Lead("value", 1), Lag("event_type", 1)],
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "value", "lag1_value", "lead1_value", "lag1_event_type"]
+    )
+
+
+def q_rolling_events(sf_dir: str):
+    from feast_ray.stages.windows import RollingRows, RollingTime, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column("vc", pa.array(np.round(v * 100).astype(np.int64)))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[
+            RollingRows("vc", 5, aggs=("count", "sum"), prefix="r5c"),
+            RollingTime("value", 3600 * US, aggs=("count",), prefix="t1h"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["r5c_sum"].to_numpy(zero_copy_only=False)  # exact int sums in float64
+        c = t["r5c_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = t.append_column("r5_count", t["r5c_count"])
+        t = t.append_column("r5_sum", pa.array(s / 100.0))
+        t = t.append_column("r5_mean", pa.array((s / 100.0) / c, mask=c == 0))
+        return t
+
+    out = out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "r5_count", "r5_sum", "r5_mean", "t1h_count"]
+    )
+
+
+def q_asof_click_value(sf_dir: str):
+    """Purchases spine, as-of joined against per-(user, ts) click aggregates
+    with a 1-day TTL (J1 over a pre-aggregated right side, A7-style)."""
+    from ray.data.aggregate import Count, Max
+
+    from feast_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    spine = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    feats = clicks.groupby(["user_id", "ts"]).aggregate(
+        Max("value", alias_name="v_click"), Count(alias_name="n_click")
+    )
+    return asof_join(
+        spine,
+        feats,
+        key="user_id",
+        spine_ts="ts",
+        feat_ts="ts",
+        ttl_us=ASOF_TTL_US,
+        feature_cols=["v_click", "n_click"],
+        matched_ts_name="click_ts",
+    )
+
+
+def q_latest_event_per_user(sf_dir: str):
+    from feast_ray.stages.latest import latest_per_entity
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    return latest_per_entity(
+        ds, keys="user_id", ts_col="ts", tie_break_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables (S1, M1-M6, J-group, A5-A7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """Q1-style grouped aggregate with the partial-aggregation pattern:
+    per-batch pyarrow group_by combine, then a tiny global groupby (the
+    shuffle moves one row per group per batch, not every row)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("1998-09-02", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        # Exact integer-scaled money math: the inputs are fixed-decimal, so
+        # per-row ROUND(x * 10^k) is unambiguous and the integer sums are
+        # order-independent — immune to float accumulation-order divergence
+        # between engines (boundary bugs otherwise appear on ROUND(sum, 2)).
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        dp = price * (1.0 - disc)
+        out = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qc": pa.array(np.round(qty * 100).astype(np.int64)),
+                "bc": pa.array(np.round(price * 100).astype(np.int64)),
+                "dpc": pa.array(np.round(dp * 10000).astype(np.int64)),
+                "cc": pa.array(np.round((dp * (1.0 + tax)) * 1000000).astype(np.int64)),
+                "dc": pa.array(np.round(disc * 100).astype(np.int64)),
+            }
+        )
+        return out.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qc", "sum"), ("bc", "sum"), ("dpc", "sum"), ("cc", "sum"),
+             ("dc", "sum"), ("qc", "count")]
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = agg.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qc_sum", alias_name="qc"),
+        Sum("bc_sum", alias_name="bc"),
+        Sum("dpc_sum", alias_name="dpc"),
+        Sum("cc_sum", alias_name="cc"),
+        Sum("dc_sum", alias_name="dc"),
+        Sum("qc_count", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count_order"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        qc = t["qc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bc = t["bc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dpc = t["dpc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = t["cc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dc = t["dc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(qc / 100.0),
+                "sum_base_price": pa.array(bc / 100.0),
+                "sum_disc_price": pa.array(dpc / 10000.0),
+                "sum_charge": pa.array(cc / 1000000.0),
+                "avg_qty": pa.array((qc / 100.0) / n),
+                "avg_price": pa.array((bc / 100.0) / n),
+                "avg_disc": pa.array((dc / 100.0) / n),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_orders(sf_dir: str):
+    """Q3-style multi-way hash join + grouped aggregate + deterministic
+    top-10 (Dataset.join is Ray's hash-partitioned join)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1995-03-15", "us")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    co = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(co, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev(t: pa.Table) -> pa.Table:
+        # exact integer-scaled revenue (see q_pricing_summary note)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rc = np.round((price * (1.0 - disc)) * 10000).astype(np.int64)
+        return t.select(["l_orderkey", "o_orderdate"]).append_column("rc", pa.array(rc))
+
+    g = j.map_batches(rev, batch_format="pyarrow").groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rc", alias_name="rc")
+    )
+
+    def to_rev(t: pa.Table) -> pa.Table:
+        rc = t["rc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = t.append_column("revenue", pa.array(rc / 10000.0))
+        return t.drop_columns(["rc"])
+
+    g = g.map_batches(to_rev, batch_format="pyarrow")
+    top = g.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
+    return top
+
+
+def q_events_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column("vc", pa.array(np.round(v * 100).astype(np.int64)))
+
+    out = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("vc", alias_name="vc"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        vc = t["vc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = t.append_column("sum_value", pa.array(vc / 100.0))
+        t = t.append_column("avg_value", pa.array((vc / 100.0) / n))
+        return t.drop_columns(["vc"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = _events(sf_dir, ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals)})
+
+
+# ---------------------------------------------------------------------------
+# Documents / embeddings (training-data operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact dedup: keep the smallest doc_id per identical text.  Routed by
+    a content hash (one shuffle); equality confirmed on the raw text within
+    each group, so hash collisions cannot merge distinct documents."""
+    import ray.data as rd
+
+    from feast_ray.grouped import grouped_map
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        return t.take(pa.array(starts[:-1]))  # first row (min doc_id) per text group
+
+    return grouped_map(ds, ["text"], kernel, sort_keys=["doc_id"]).select_columns(
+        ["doc_id", "text"]
+    )
+
+
+def q_text_stats_docs(sf_dir: str):
+    """Vectorized text analysis: char/token counts + token density."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
+        n_tokens = pc.count_substring_regex(t["text"], "[A-Za-z0-9_]+").cast(pa.int64())
+        dens = pc.round(
+            pc.divide(n_tokens.cast(pa.float64()), pc.max_element_wise(n_chars.cast(pa.float64()), 1.0)),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_calc": n_chars,
+                "n_tokens": n_tokens,
+                "token_density": dens,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_knn_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 query vector:
+    per-batch numpy matmul + partial top-k, tiny final sort (the baseline
+    ANN path; see feast_ray.stages.similarity for the scale variant)."""
+    from feast_ray.stages.similarity import brute_force_topk
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+    out = brute_force_topk(ds, qvec, k=10, exclude_ids=(0,), id_col="vec_id")
+    return out
+
+
+QUERIES = {
+    "sessionize_events": q_sessionize_events,
+    "lag_lead_events": q_lag_lead_events,
+    "rolling_events": q_rolling_events,
+    "asof_click_value": q_asof_click_value,
+    "latest_event_per_user": q_latest_event_per_user,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "events_type_stats": q_events_type_stats,
+    "distinct_event_types": q_distinct_event_types,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "text_stats_docs": q_text_stats_docs,
+    "knn_topk": q_knn_topk,
+}
+
+
+ORACLE_SQL = {
+    "sessionize_events": f"""
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events)
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                              AND epoch_us(ts) - epoch_us(prev_ts) <= {SESSION_GAP_US}
+                             THEN 0 ELSE 1 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        FROM e
+    """,
+    "lag_lead_events": """
+        SELECT user_id, event_id, ts, value,
+               LAG(value)  OVER w AS lag1_value,
+               LEAD(value) OVER w AS lead1_value,
+               LAG(event_type) OVER w AS lag1_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "rolling_events": """
+        WITH e AS (
+          SELECT user_id, event_id, ts, value,
+                 CAST(ROUND(value * 100) AS BIGINT) AS vc
+          FROM events)
+        SELECT user_id, event_id, ts,
+               CAST(COUNT(vc) OVER w5 AS BIGINT) AS r5_count,
+               CAST(SUM(vc) OVER w5 AS DOUBLE) / 100.0 AS r5_sum,
+               (CAST(SUM(vc) OVER w5 AS DOUBLE) / 100.0)
+                     / (COUNT(vc) OVER w5) AS r5_mean,
+               CAST(COUNT(value) OVER wt AS BIGINT) AS t1h_count
+        FROM e
+        WINDOW
+          w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+          wt AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "asof_click_value": """
+        WITH spine AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        f AS (
+          SELECT user_id, ts, max(value) AS v_click, count(*) AS n_click
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT s.user_id, s.event_id, s.ts,
+               CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.v_click END AS v_click,
+               CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.n_click END AS n_click,
+               CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.ts END AS click_ts
+        FROM spine s ASOF LEFT JOIN f
+          ON s.user_id = f.user_id AND f.ts <= s.ts
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "pricing_summary": """
+        WITH t AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS bc,
+                 CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS dpc,
+                 CAST(ROUND(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000)
+                      AS BIGINT) AS cc,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS dc
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(qc) AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(SUM(bc) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(SUM(dpc) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(SUM(cc) AS DOUBLE) / 1000000.0 AS sum_charge,
+               (CAST(SUM(qc) AS DOUBLE) / 100.0) / COUNT(*) AS avg_qty,
+               (CAST(SUM(bc) AS DOUBLE) / 100.0) / COUNT(*) AS avg_price,
+               (CAST(SUM(dc) AS DOUBLE) / 100.0) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM t GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "events_type_stats": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+                     / COUNT(*) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "dedup_exact_docs": """
+        SELECT doc_id, text
+        FROM (SELECT doc_id, text,
+                     ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents)
+        WHERE rn = 1
+    """,
+    "text_stats_docs": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+               ROUND(CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+                     / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 6) AS token_density
+        FROM documents
+    """,
+    "knn_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+                   AS cos_sim
+          FROM embeddings WHERE vec_id <> 0)
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+}

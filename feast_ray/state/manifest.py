@@ -1,0 +1,121 @@
+"""Per-partition lineage manifests — the engine's checkpoint/resume unit
+(BASELINE.json:14: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+The reference's only checkpoint is a per-feature-view watermark in the
+registry (upstream ``sdk/python/feast/feature_store.py::materialize_incremental``
+via ``FeatureView.most_recent_end_time``).  Here every hash-bucket partition
+of a backfill writes its output atomically (tmp file + rename) and then a
+manifest JSON recording lineage (config fingerprint, inputs) and metrics
+(rows, bytes, wall seconds).  A re-run loads the done-set and prunes those
+buckets BEFORE the shuffle, so finished partitions cost nothing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import Any, Iterable, Optional
+
+MANIFEST_DIR = "_manifests"
+
+
+def config_fingerprint(obj: Any) -> str:
+    """Stable fingerprint of a pipeline configuration (inputs, specs, bucket
+    count).  A resume only skips partitions written under the SAME config."""
+    blob = json.dumps(obj, sort_keys=True, default=repr).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def manifest_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:05d}.json")
+
+
+def partition_dir(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, f"part={part_id:05d}")
+
+
+def write_partition_atomic(tbl, out_dir: str, part_id: int) -> tuple[str, int]:
+    """Write one partition's Arrow table to parquet atomically; returns
+    (path, bytes)."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(out_dir, part_id)
+    os.makedirs(pdir, exist_ok=True)
+    final = os.path.join(pdir, "data.parquet")
+    fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return final, os.path.getsize(final)
+
+
+def write_manifest(
+    out_dir: str,
+    part_id: int,
+    *,
+    fingerprint: str,
+    rows: int,
+    bytes_written: int,
+    wall_s: float,
+    extra: Optional[dict] = None,
+) -> dict:
+    """Write the completion manifest (last step — its existence marks done)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    rec = {
+        "part_id": part_id,
+        "status": "done",
+        "fingerprint": fingerprint,
+        "rows": rows,
+        "bytes": bytes_written,
+        "wall_s": round(wall_s, 4),
+    }
+    if extra:
+        rec.update(extra)
+    path = manifest_path(out_dir, part_id)
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+    return rec
+
+
+def load_done_partitions(out_dir: str, fingerprint: str) -> set[int]:
+    """Partition ids completed under this exact config fingerprint."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                rec = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write from a killed run -> recompute
+        if rec.get("status") == "done" and rec.get("fingerprint") == fingerprint:
+            done.add(int(rec["part_id"]))
+    return done
+
+
+def load_manifests(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    out = []
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                pass
+    return out

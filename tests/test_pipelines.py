@@ -1,0 +1,148 @@
+"""End-to-end pipelines: historical retrieval vs oracle; backfill sink,
+manifests, metrics, and checkpointed resume equivalence."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from feast_ray.pipelines.backfill import backfill_transcripts, transcript_feature_dataset
+from feast_ray.pipelines.historical import get_historical_features
+from feast_ray.specs import FeatureView, ParquetSource
+from feast_ray.state.manifest import load_manifests, manifest_path, partition_dir
+from tests.oracle import oracle_asof
+from tests.util import assert_frames_match
+
+TTL = timedelta(hours=1)
+TTL_US = 3600 * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory, transcripts_tbl, features_tbl, spine_tbl):
+    d = tmp_path_factory.mktemp("fixdata")
+    pq.write_table(transcripts_tbl, d / "transcripts.parquet")
+    pq.write_table(features_tbl, d / "features_numeric.parquet")
+    pq.write_table(spine_tbl.take(pa.array(range(300))), d / "spine.parquet")
+    return str(d)
+
+
+def test_historical_retrieval_matches_oracle(ray_session, fixture_dir, features_tbl, spine_tbl):
+    view = FeatureView(
+        name="convfeat",
+        join_keys=("conv_id",),
+        source=ParquetSource(
+            path=os.path.join(fixture_dir, "features_numeric.parquet"),
+            timestamp_field="ts",
+            created_timestamp_column="created_ts",
+        ),
+        ttl=TTL,
+        features=("msg_len", "value"),
+    )
+    got = get_historical_features(
+        os.path.join(fixture_dir, "spine.parquet"), [view], num_buckets=5
+    ).to_pandas()
+    spine_pdf = spine_tbl.take(pa.array(range(300))).to_pandas()
+    want = oracle_asof(
+        spine_pdf,
+        features_tbl.to_pandas(),
+        key="conv_id",
+        created_ts="created_ts",
+        ttl_us=TTL_US,
+        feature_cols=["msg_len", "value"],
+    )
+    assert_frames_match(
+        got, want, row_key=["conv_id", "ts", "turn_idx"], cols=["msg_len", "value"]
+    )
+
+
+def test_historical_full_feature_names_and_udf(ray_session, fixture_dir):
+    view = FeatureView(
+        name="convfeat",
+        join_keys=("conv_id",),
+        source=ParquetSource(
+            path=os.path.join(fixture_dir, "features_numeric.parquet"),
+            timestamp_field="ts",
+            created_timestamp_column="created_ts",
+        ),
+        ttl=TTL,
+        features=("msg_len", "value"),
+    )
+
+    def odfv(df: pd.DataFrame) -> pd.DataFrame:  # on-demand transform (M8)
+        df["value_per_char"] = df["convfeat__value"] / df["convfeat__msg_len"].clip(lower=1)
+        return df
+
+    got = get_historical_features(
+        os.path.join(fixture_dir, "spine.parquet"),
+        [view],
+        full_feature_names=True,
+        on_demand_transform=odfv,
+        num_buckets=4,
+    ).to_pandas()
+    assert {"convfeat__msg_len", "convfeat__value", "value_per_char"} <= set(got.columns)
+
+
+def test_backfill_writes_resumes_and_preserves_text(ray_session, fixture_dir, transcripts_tbl, tmp_path):
+    out1 = str(tmp_path / "run_single")
+    inp = os.path.join(fixture_dir, "transcripts.parquet")
+    m1 = backfill_transcripts(inp, out1, num_buckets=8, resume=False)
+    assert m1["rows"] == transcripts_tbl.num_rows
+    assert m1["partitions_written"] >= 1
+    manifests = load_manifests(out1)
+    assert sum(r["rows"] for r in manifests) == transcripts_tbl.num_rows
+    assert all(r["status"] == "done" and r["wall_s"] > 0 for r in manifests)
+
+    # per-turn text byte-equality under stable turn ordering
+    got = pq.read_table(out1).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    want = (
+        transcripts_tbl.to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert (got["text"].to_numpy() == want["text"].to_numpy()).all()
+
+    # simulate a partially-failed run: copy output, delete 2 partitions
+    out2 = str(tmp_path / "run_resume")
+    shutil.copytree(out1, out2)
+    victims = [r["part_id"] for r in manifests[:2]]
+    for pid in victims:
+        os.unlink(manifest_path(out2, pid))
+        shutil.rmtree(partition_dir(out2, pid))
+    m2 = backfill_transcripts(inp, out2, num_buckets=8, resume=True)
+    assert m2["partitions_written"] == len(victims)
+    assert m2["partitions_skipped"] == len(manifests) - len(victims)
+
+    # resumed output equals the single-shot run
+    a = pq.read_table(out1).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    b = pq.read_table(out2).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    assert a.shape == b.shape
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_feature_dataset_matches_backfill(ray_session, fixture_dir, tmp_path):
+    inp = os.path.join(fixture_dir, "transcripts.parquet")
+    out = str(tmp_path / "bf")
+    backfill_transcripts(inp, out, num_buckets=4, resume=False)
+    import ray.data as rd
+
+    lazy = transcript_feature_dataset(rd.read_parquet(inp), num_buckets=4).to_pandas()
+    written = pq.read_table(out).to_pandas().drop(columns=["part"])  # hive partition col
+    key = ["conv_id", "turn_idx"]
+    lazy = lazy.sort_values(key, kind="stable").reset_index(drop=True)
+    written = written.sort_values(key, kind="stable").reset_index(drop=True)
+    assert sorted(lazy.columns) == sorted(written.columns)
+    for c in ["session_id", "session_turn_seq", "msg_len_r5_mean", "lag1_msg_len"]:
+        lv = lazy[c].to_numpy(dtype=float, na_value=np.nan)
+        wv = written[c].to_numpy(dtype=float, na_value=np.nan)
+        assert np.allclose(lv, wv, equal_nan=True)
