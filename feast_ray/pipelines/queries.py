@@ -554,3 +554,14 @@ ORACLE_SQL = {
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
 }
+
+
+# Text-analysis / dedup / similarity / multimodal query families live in
+# queries_docs.py; merged here so the driver sees one registry.
+from feast_ray.pipelines.queries_docs import (  # noqa: E402
+    ORACLE_SQL_DOCS,
+    QUERIES_DOCS,
+)
+
+QUERIES.update(QUERIES_DOCS)
+ORACLE_SQL.update(ORACLE_SQL_DOCS)

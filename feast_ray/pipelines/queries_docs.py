@@ -1,0 +1,250 @@
+"""Driver-contract queries over the documents/embeddings tables: text
+analysis, deduplication, similarity, multimodal plumbing.
+
+Each entry returns the same column names its ORACLE_SQL twin produces;
+non-SQL-expressible sketch outputs (fingerprints, SimHash, LSH ANN) have no
+SQL twin and are pinned instead by pure-Python oracles in
+tests/test_text_dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feast_ray.stages.text import (
+    ALPHA_RE,
+    EN_STOPWORDS,
+    LANG_STOPWORDS,
+    PUNCT_RE,
+    TOKEN_RE,
+    WORD_CHAR_RE,
+    add_fingerprints,
+    add_lang_id,
+    add_text_quality,
+    stopword_pattern,
+)
+
+JACCARD_K = 20
+JACCARD_TAU = 0.2
+MINHASH_TAU = 0.5
+EMB_TAU = 0.4
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def q_lang_id_docs(sf_dir: str):
+    """Stopword-count language ID (argmax over LANG_STOPWORDS scans)."""
+    out = add_lang_id(_docs(sf_dir))
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def q_quality_score_docs(sf_dir: str):
+    """Quality features: regex-count ratios + heuristic score (raw doubles —
+    bit-identical to the SQL twin's arithmetic)."""
+    out = add_text_quality(_docs(sf_dir))
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "alpha_ratio",
+            "punct_ratio",
+            "stop_ratio",
+            "mean_token_len",
+            "quality_score",
+        ]
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Rolling-hash content fingerprints (sketch — no SQL twin; pinned by
+    the pure-Python oracle in tests)."""
+    return add_fingerprints(_docs(sf_dir))
+
+
+def q_neardup_jaccard_docs(sf_dir: str):
+    """EXACT char-20-gram Jaccard pairs >= 0.2 via distributed inverted index."""
+    from feast_ray.stages.dedup import jaccard_pair_pipeline
+
+    return jaccard_pair_pipeline(_docs(sf_dir), k=JACCARD_K, tau=JACCARD_TAU)
+
+
+def q_dedup_minhash_docs(sf_dir: str):
+    """MinHash+LSH near-dedup (candidates LSH, verification exact): keep a
+    doc iff no smaller doc_id has Jaccard >= 0.5 with it."""
+    from feast_ray.stages.dedup import minhash_dedup_pipeline
+
+    out = minhash_dedup_pipeline(_docs(sf_dir), tau=MINHASH_TAU, k=JACCARD_K)
+    return out.select_columns(["doc_id"])
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    """SimHash pairs with Hamming distance <= 3 (exact via band pigeonhole;
+    sketch output — pinned by the brute-force oracle in tests)."""
+    from feast_ray.stages.dedup import simhash_pair_pipeline
+
+    return simhash_pair_pipeline(_docs(sf_dir))
+
+
+def q_neardup_embedding_pairs(sf_dir: str):
+    """Embedding cosine near-duplicate pairs >= 0.4 (broadcast matmul)."""
+    import ray.data as rd
+
+    from feast_ray.stages.dedup import embedding_pair_pipeline
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_pair_pipeline(emb, tau=EMB_TAU)
+
+
+def q_knn_lsh_topk(sf_dir: str):
+    """Approximate ANN: random-hyperplane LSH bucket pruning then exact
+    cosine within the bucket (recall pinned by tests, no SQL twin)."""
+    import ray.data as rd
+
+    from feast_ray.stages.similarity import lsh_bucket_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+    return lsh_bucket_topk(ds, qvec, k=10, exclude_ids=(0,), n_planes=4)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Media-column plumbing: attach binary payloads, decode/featurize on an
+    actor pool (deterministic fake decoder — the Ray plumbing is real)."""
+    from feast_ray.stages.multimodal import add_media_features, attach_fake_payloads
+
+    ds = _docs(sf_dir).map_batches(
+        attach_fake_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_media_features(ds, id_cols=("doc_id",), concurrency=2, batch_size=64)
+    # byte_mean/byte_std are exercised in tests; the driver compare keeps the
+    # SQL-expressible subset
+    return out.select_columns(["doc_id", "width", "height", "n_bytes"])
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _lang_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)  # alphabetical == engine tie-break order
+    scores = ",\n           ".join(
+        f"len(regexp_extract_all(lower(text), '{stopword_pattern(LANG_STOPWORDS[l])}')) AS s_{l}"
+        for l in langs
+    )
+    all_scores = ", ".join(f"s_{l}" for l in langs)
+    # first max in alphabetical order == numpy argmax tie-break
+    case = f"WHEN greatest({all_scores}) = 0 THEN 'und'\n"
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1 :])
+        case += f"               WHEN {conds} THEN '{l}'\n"
+    case += f"               ELSE '{langs[-1]}'"
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+           {scores}
+          FROM documents)
+        SELECT doc_id,
+               CASE {case} END AS lang_pred,
+               greatest({all_scores}) AS lang_score
+        FROM s
+    """
+
+
+def _quality_sql() -> str:
+    stop_pat = stopword_pattern(EN_STOPWORDS)
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS DOUBLE) AS n_tokens,
+                 CAST(len(regexp_extract_all(lower(text), '{WORD_CHAR_RE}')) AS DOUBLE) AS n_word_chars,
+                 CAST(len(regexp_extract_all(text, '{ALPHA_RE}')) AS DOUBLE) AS n_alpha,
+                 CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS n_punct,
+                 CAST(len(regexp_extract_all(lower(text), '{stop_pat}')) AS DOUBLE) AS n_stop
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars, n_tokens,
+                 CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END AS alpha_ratio,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END AS punct_ratio,
+                 CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END AS stop_ratio,
+                 CASE WHEN n_tokens > 0 THEN n_word_chars / n_tokens ELSE 0 END AS mean_token_len
+          FROM c)
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               alpha_ratio, punct_ratio, stop_ratio, mean_token_len,
+               least(n_tokens / 64.0, 1.0) * 0.4
+                 + alpha_ratio * 0.4
+                 + least(stop_ratio * 4.0, 1.0) * 0.2 AS quality_score
+        FROM r
+    """
+
+
+_JACCARD_PAIRS_CTE = f"""
+      g AS (SELECT DISTINCT doc_id, substr(text, gs, {JACCARD_K}) AS g
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - {JACCARD_K - 1})) AS t(gs)),
+      sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      jac AS (SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS j
+              FROM p JOIN sizes sa ON sa.doc_id = doc_a
+                     JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+QUERIES_DOCS = {
+    "lang_id_docs": q_lang_id_docs,
+    "quality_score_docs": q_quality_score_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "neardup_jaccard_docs": q_neardup_jaccard_docs,
+    "dedup_minhash_docs": q_dedup_minhash_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "neardup_embedding_pairs": q_neardup_embedding_pairs,
+    "knn_lsh_topk": q_knn_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL_DOCS = {
+    "lang_id_docs": _lang_sql(),
+    "quality_score_docs": _quality_sql(),
+    "neardup_jaccard_docs": f"""
+        WITH {_JACCARD_PAIRS_CTE}
+        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= {JACCARD_TAU}
+    """,
+    # LSH misses are (1 - J^2)^32 < 1e-5 at J >= 0.5 and verified absent on
+    # this dataset at sf0.01/0.1 — candidates are exact-verified, so the SQL
+    # twin (the pure exact rule) matches deterministically.
+    "dedup_minhash_docs": f"""
+        WITH {_JACCARD_PAIRS_CTE}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM jac WHERE j >= {MINHASH_TAU})
+    """,
+    "neardup_embedding_pairs": f"""
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {EMB_TAU}
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+}

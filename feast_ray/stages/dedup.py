@@ -1,0 +1,624 @@
+"""Deduplication / near-duplicate detection over document tables.
+
+Five operators (exact dedup lives in ``pipelines.queries``; the rest here):
+
+- :func:`jaccard_pair_pipeline` — EXACT char-k-gram Jaccard pairs via a
+  distributed inverted index: any pair with J > 0 shares a gram, so
+  grouping (gram_hash -> docs) and counting shared grams per pair yields
+  exact intersections with zero false negatives.
+- :func:`minhash_pair_pipeline` — MinHash signatures + banded LSH candidate
+  generation, each candidate verified with EXACT Jaccard (broadcast gram
+  sets), i.e. LSH only prunes the pair space.
+- :func:`minhash_dedup_pipeline` — the dedup rule on top: drop a document
+  iff some smaller ``doc_id`` has verified J >= tau with it.
+- :func:`simhash_pair_pipeline` — 64-bit SimHash over token hashes; pairs
+  with Hamming distance <= 3 found EXACTLY via 4x16-bit band pigeonhole
+  (hd <= 3 implies at least one identical 16-bit band).
+- :func:`embedding_pair_pipeline` — cosine near-dup pairs over an
+  embedding column: broadcast the (normalized) matrix once via ``ray.put``
+  and matmul each batch against it.
+
+Scale notes (100 TB design):
+- The gram/band inverted index is ONE hash shuffle on an int64 key; pair
+  generation and counting are vectorized numpy inside each bucket.  Grams
+  with pathological document frequency (boilerplate) explode the pair
+  space quadratically — cap with ``max_df`` (drops grams shared by more
+  than ``max_df`` docs; exactness then holds for pairs of df-bounded
+  grams, the standard production trade-off).  Local testdata needs no cap.
+- Exact-verify uses a broadcast doc_id -> sorted gram-hash index
+  (``ray.put`` once, shared read-only by every task).  At scales where the
+  doc index exceeds a node's memory, verification becomes a second
+  co-partitioned join on doc_id — same kernels, one more shuffle.
+- The embedding matrix is broadcast because near-dup search is against the
+  full corpus; beyond memory, pre-bucket by LSH
+  (``stages.similarity._HyperplaneHasher``) and join bucket-local.
+
+The Feast reference has no dedup operators (SURVEY §2.7); these are
+required training-data-pipeline components per the task brief.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feast_ray.grouped import grouped_map
+
+HASH_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
+GRAM_BASE = np.uint64(1_000_003)
+DEFAULT_K = 20  # char-gram length (chars, not bytes — matches SQL substr)
+
+
+# ---------------------------------------------------------------------------
+# Char-gram extraction (vectorized over the whole batch)
+# ---------------------------------------------------------------------------
+
+
+def _flat_codepoints(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated UTF-32 codepoints of every string + char offsets.
+
+    One C-speed ``str.join`` + one ``encode`` for the whole batch — the
+    gram domain is CHARACTERS so results match SQL ``substr`` semantics.
+    """
+    pylist = texts.to_pylist()
+    joined = "".join(s if s is not None else "" for s in pylist)
+    data = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter(
+        (len(s) if s is not None else 0 for s in pylist), count=len(pylist), dtype=np.int64
+    )
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return data, offsets
+
+
+def _rolling_hashes_u32(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hash of every k-codepoint window (mod 2^64)."""
+    n = len(data)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    d = data.astype(np.uint64)
+    for j in range(k):
+        h = h * GRAM_BASE + d[j : j + m]
+    return h
+
+
+def distinct_gram_hashes(
+    texts: pa.Array, ids: np.ndarray, k: int = DEFAULT_K
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, gram_hash) arrays with per-document DISTINCT grams.
+
+    Equivalent to SQL ``SELECT DISTINCT doc_id, substr(text, i, k)``
+    modulo 64-bit hash collisions (~n^2 / 2^64 — negligible and
+    deterministic for fixed data).
+    """
+    data, offsets = _flat_codepoints(texts)
+    h = _rolling_hashes_u32(data, k)
+    lens = np.diff(offsets)
+    counts = np.maximum(lens - (k - 1), 0)
+    if not counts.sum():
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    pos = _valid_positions(offsets[:-1], counts)
+    grams = h[pos]
+    # distinct within doc: lexsort by (doc, gram), drop adjacent repeats
+    order = np.lexsort((grams, doc_of))
+    doc_s, gram_s = doc_of[order], grams[order]
+    keep = np.ones(len(doc_s), dtype=bool)
+    keep[1:] = (doc_s[1:] != doc_s[:-1]) | (gram_s[1:] != gram_s[:-1])
+    return ids[doc_s[keep]], gram_s[keep]
+
+
+def _valid_positions(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated arange(starts[i], starts[i]+counts[i]) without Python loop."""
+    total = int(counts.sum())
+    rep_starts = np.repeat(starts, counts)
+    csum = np.concatenate(([0], np.cumsum(counts)))
+    local = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], counts)
+    return rep_starts + local
+
+
+def gram_table(tbl: pa.Table, *, text_col: str, id_col: str, k: int) -> pa.Table:
+    texts = tbl[text_col].combine_chunks() if isinstance(tbl[text_col], pa.ChunkedArray) else tbl[text_col]
+    ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    d, g = distinct_gram_hashes(texts, ids, k)
+    return pa.table({"doc_id": pa.array(d), "gh": pa.array(g.view(np.int64))})
+
+
+def gram_counts(tbl: pa.Table, *, text_col: str, id_col: str, k: int) -> pa.Table:
+    """Per-doc distinct gram count (batch-local — grams of a doc live in its batch)."""
+    t = gram_table(tbl, text_col=text_col, id_col=id_col, k=k)
+    d = t["doc_id"].to_numpy()
+    uniq, cnt = np.unique(d, return_counts=True)
+    return pa.table({"doc_id": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))})
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pair generation over grouped buckets
+# ---------------------------------------------------------------------------
+
+
+def pairs_within_groups(vals: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (a < b positionally) within each group — vectorized.
+
+    ``vals`` sorted by group; group g spans [starts[g], starts[g+1]).
+    Returns (left_vals, right_vals) arrays of length sum s_g*(s_g-1)/2.
+    """
+    n = len(vals)
+    if n == 0:
+        return vals[:0], vals[:0]
+    sizes = np.diff(starts)
+    row = np.arange(n, dtype=np.int64)
+    gend = np.repeat(starts[1:], sizes)
+    left_counts = gend - 1 - row
+    total = int(left_counts.sum())
+    if total == 0:
+        return vals[:0], vals[:0]
+    L = np.repeat(row, left_counts)
+    csum = np.concatenate(([0], np.cumsum(left_counts)))
+    R = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], left_counts) + L + 1
+    return vals[L], vals[R]
+
+
+def _pair_gen_kernel(max_df: Optional[int]):
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        docs = t["doc_id"].to_numpy()
+        if max_df is not None:
+            sizes = np.diff(starts)
+            keep_groups = sizes <= max_df
+            if not keep_groups.all():
+                # rebuild with oversized groups dropped
+                mask = np.repeat(keep_groups, sizes)
+                docs = docs[mask]
+                new_sizes = sizes[keep_groups]
+                starts = np.concatenate(([0], np.cumsum(new_sizes)))
+        a, b = pairs_within_groups(docs, starts)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)})
+
+    return kernel
+
+
+def _count_pairs(pair_ds, num_buckets: Optional[int]):
+    """(doc_a, doc_b) -> occurrence count, via one int64-key grouped shuffle."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.uint64)
+        b = t["doc_b"].to_numpy().astype(np.uint64)
+        return pa.table({"pk": pa.array(((a << np.uint64(32)) | b).view(np.int64))})
+
+    packed = pair_ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        pk = t["pk"].to_numpy().view(np.uint64)
+        firsts = pk[starts[:-1]]
+        cnt = np.diff(starts)
+        return pa.table(
+            {
+                "doc_a": pa.array((firsts >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((firsts & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "inter": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return grouped_map(packed, ["pk"], count_kernel, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pair_pipeline(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    tau: float = 0.2,
+    max_df: Optional[int] = None,
+    num_buckets: Optional[int] = None,
+    round_digits: int = 6,
+):
+    """Exact pairs with char-k-gram Jaccard >= tau.
+
+    documents -> (gram_hash, doc) -> group by gram -> pairs -> count shared
+    grams -> jaccard = inter / (|A| + |B| - inter) with per-doc sizes
+    broadcast (tiny aggregate).
+    """
+    import ray
+
+    grams = ds.map_batches(
+        lambda t: gram_table(t, text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sizes_tbl = (
+        ds.map_batches(
+            lambda t: gram_counts(t, text_col=text_col, id_col=id_col, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()  # one row per document — the small aggregate side
+    )
+    size_map = dict(zip(sizes_tbl["doc_id"].astype(np.int64), sizes_tbl["n_grams"].astype(np.int64)))
+    max_id = max(size_map) if size_map else 0
+    size_arr = np.zeros(int(max_id) + 1, dtype=np.int64)
+    for i, s in size_map.items():
+        size_arr[i] = s
+    sizes_ref = ray.put(size_arr)
+
+    pair_cands = grouped_map(grams, ["gh"], _pair_gen_kernel(max_df), num_buckets=num_buckets)
+    counted = _count_pairs(pair_cands, num_buckets)
+
+    def jac(t: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        inter = t["inter"].to_numpy().astype(np.float64)
+        union = sizes[a] + sizes[b] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = inter / union
+        keep = j >= tau
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard": pa.array(np.round(j[keep], round_digits)),
+            }
+        )
+
+    return counted.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Seeded universal-hash MinHash: sig_i(doc) = min_g (a_i*g + b_i mod 2^64)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.a = (rng.integers(1, 1 << 63, num_perm, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signatures(self, doc_ids: np.ndarray, grams: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(unique_doc_ids, sig matrix [n_docs, num_perm]) from sorted-by-doc
+        (doc_id, gram_hash) arrays."""
+        if len(doc_ids) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros((0, self.num_perm), dtype=np.uint64)
+        change = np.ones(len(doc_ids), dtype=bool)
+        change[1:] = doc_ids[1:] != doc_ids[:-1]
+        starts = np.flatnonzero(change)
+        uniq = doc_ids[starts]
+        sig = np.empty((len(uniq), self.num_perm), dtype=np.uint64)
+        for i in range(self.num_perm):
+            hv = grams * self.a[i] + self.b[i]
+            sig[:, i] = np.minimum.reduceat(hv, starts)
+        return uniq, sig
+
+
+def band_keys(sig: np.ndarray, n_bands: int, seed: int = 13) -> np.ndarray:
+    """[n_docs, n_bands] int64 bucket keys: band index mixed with a hash of
+    the band's signature slice."""
+    n_docs, num_perm = sig.shape
+    r = num_perm // n_bands
+    out = np.empty((n_docs, n_bands), dtype=np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    for b in range(n_bands):
+        acc = np.full(n_docs, np.uint64(b * 1315423911 + seed), dtype=np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            acc = (acc ^ sig[:, j]) * mix
+        out[:, b] = acc
+    return out
+
+
+def minhash_pair_pipeline(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    tau: float = 0.5,
+    num_perm: int = 64,
+    n_bands: int = 32,
+    seed: int = 11,
+    num_buckets: Optional[int] = None,
+    round_digits: int = 6,
+):
+    """LSH candidate pairs verified with exact Jaccard (>= tau).
+
+    False positives are impossible (exact verify); false negatives require
+    every one of ``n_bands`` bands to differ — P(miss) = (1 - J^r)^bands,
+    ~1e-6 at J=0.5 with r=2, b=32.
+    """
+    import ray
+
+    hasher = MinHasher(num_perm, seed)
+
+    def sig_bands(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        d, g = distinct_gram_hashes(texts, ids, k)
+        uniq, sig = hasher.signatures(d, g)
+        bk = band_keys(sig, n_bands, seed + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(uniq, n_bands)),
+                "bk": pa.array(bk.reshape(-1).view(np.int64)),
+            }
+        )
+
+    bands = ds.map_batches(sig_bands, batch_format="pyarrow", zero_copy_batch=True)
+    pair_cands = grouped_map(bands, ["bk"], _pair_gen_kernel(None), num_buckets=num_buckets)
+    counted = _count_pairs(pair_cands, num_buckets)  # dedup (band collisions merge)
+
+    # exact-verify side: broadcast doc -> sorted gram hashes
+    gram_index = _build_gram_index(ds, text_col=text_col, id_col=id_col, k=k)
+    idx_ref = ray.put(gram_index)
+
+    def verify(t: pa.Table) -> pa.Table:
+        offsets, flat, id_pos = ray.get(idx_ref)
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        ja = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):  # per CANDIDATE pair (rare), not per row of data
+            ga = flat[offsets[id_pos[a[i]]] : offsets[id_pos[a[i]] + 1]]
+            gb = flat[offsets[id_pos[b[i]]] : offsets[id_pos[b[i]] + 1]]
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            ja[i] = inter / (len(ga) + len(gb) - inter) if (len(ga) or len(gb)) else 0.0
+        keep = ja >= tau
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard": pa.array(np.round(ja[keep], round_digits)),
+            }
+        )
+
+    return counted.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _build_gram_index(ds, *, text_col: str, id_col: str, k: int):
+    """Small-side index: (offsets, flat sorted gram hashes, doc_id -> slot)."""
+    tbls = ds.map_batches(
+        lambda t: gram_table(t, text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_arrow_refs()
+    import ray
+
+    parts = [ray.get(r) for r in tbls]
+    t = pa.concat_tables(parts)
+    d = t["doc_id"].to_numpy()
+    g = t["gh"].to_numpy().view(np.uint64)
+    order = np.lexsort((g, d))
+    d, g = d[order], g[order]
+    change = np.ones(len(d), dtype=bool)
+    if len(d):
+        change[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(change)
+    uniq = d[starts]
+    offsets = np.concatenate((starts, [len(d)])).astype(np.int64)
+    max_id = int(uniq.max()) + 1 if len(uniq) else 1
+    id_pos = np.zeros(max_id, dtype=np.int64)
+    id_pos[uniq] = np.arange(len(uniq))
+    return offsets, g, id_pos
+
+
+def minhash_dedup_pipeline(ds, *, tau: float = 0.5, **kw):
+    """Documents surviving the rule: drop doc iff some smaller doc_id has
+    verified Jaccard >= tau with it."""
+    import ray
+
+    pairs_pdf = minhash_pair_pipeline(ds, tau=tau, **kw).to_pandas()
+    dropped = (
+        np.unique(pairs_pdf["doc_b"].to_numpy(dtype=np.int64))
+        if len(pairs_pdf)
+        else np.zeros(0, np.int64)
+    )
+    drop_ref = ray.put(dropped)
+    id_col = kw.get("id_col", "doc_id")
+
+    def keep_fn(t: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, drop)))
+
+    return ds.map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(texts: pa.Array, seed: int = 17) -> np.ndarray:
+    """64-bit SimHash over word-token hashes (token multiplicity counted).
+
+    Tokens: maximal runs matched after splitting on ``[^a-z0-9_]+`` of the
+    lowercased text; empty tokens dropped.  Token hash: polynomial over
+    codepoints (Horner, vectorized across every token via a loop over the
+    max token LENGTH, not the token count), xor-seeded and mixed.
+    """
+    n = len(texts)
+    lower = pc.utf8_lower(texts)
+    split = pc.split_pattern_regex(lower, r"[^a-z0-9_]+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    sig = np.zeros((n, 64), dtype=np.int64)
+    if len(flat):
+        data, offsets = _flat_codepoints(flat)
+        lens = np.diff(offsets)
+        h = np.zeros(len(lens), dtype=np.uint64)
+        pos = offsets[:-1]
+        d = data.astype(np.uint64)
+        for j in range(int(lens.max()) if len(lens) else 0):
+            upd = lens > j
+            h[upd] = h[upd] * GRAM_BASE + d[(pos + j)[upd]]
+        h = (h ^ np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = lens > 0
+        doc_of, h = doc_of[keep], h[keep]
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        np.add.at(sig, doc_of, bits * 2 - 1)
+    bitsig = (sig > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bitsig * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def simhash_pair_pipeline(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 17,
+    num_buckets: Optional[int] = None,
+):
+    """Exact pairs with SimHash Hamming distance <= max_hamming (<= 3).
+
+    Pigeonhole over 4 disjoint 16-bit bands: hd <= 3 implies >= 1 equal
+    band, so banding has 100% recall; candidates are verified exactly.
+    """
+    import ray
+
+    n_bands, band_bits = 4, 16
+    assert max_hamming < n_bands
+
+    def sig_bands(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = simhash64(texts, seed)
+        rows = []
+        mask = np.uint64((1 << band_bits) - 1)
+        bks = np.empty((len(ids), n_bands), dtype=np.uint64)
+        for b in range(n_bands):
+            band_val = (sig >> np.uint64(b * band_bits)) & mask
+            bks[:, b] = band_val | (np.uint64(b) << np.uint64(48))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_bands)),
+                "bk": pa.array(bks.reshape(-1).view(np.int64)),
+                "sig": pa.array(np.repeat(sig.view(np.int64), n_bands)),
+            }
+        )
+
+    bands = ds.map_batches(sig_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        docs = t["doc_id"].to_numpy()
+        sigs = t["sig"].to_numpy().view(np.uint64)
+        ai, bi = pairs_within_groups(np.arange(len(docs)), starts)
+        if len(ai) == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        da, db = docs[ai], docs[bi]
+        hd = _popcount64(sigs[ai] ^ sigs[bi])
+        keep = (hd <= max_hamming) & (da != db)
+        lo = np.minimum(da[keep], db[keep])
+        hi = np.maximum(da[keep], db[keep])
+        return pa.table(
+            {"doc_a": pa.array(lo), "doc_b": pa.array(hi), "hamming": pa.array(hd[keep].astype(np.int64))}
+        )
+
+    cand = grouped_map(bands, ["bk"], pair_kernel, num_buckets=num_buckets)
+
+    # distinct pairs (a pair can match in several bands)
+    def pack(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.uint64)
+        b = t["doc_b"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {"pk": pa.array(((a << np.uint64(32)) | b).view(np.int64)),
+             "hamming": t["hamming"]}
+        )
+
+    packed = cand.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        pk = t["pk"].to_numpy().view(np.uint64)[starts[:-1]]
+        hd = t["hamming"].to_numpy()[starts[:-1]]
+        return pa.table(
+            {
+                "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "hamming": pa.array(hd),
+            }
+        )
+
+    return grouped_map(packed, ["pk"], first_kernel, num_buckets=num_buckets)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_pair_pipeline(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tau: float = 0.4,
+    round_digits: int = 6,
+):
+    """All pairs with cosine similarity >= tau.
+
+    The full normalized matrix is broadcast ONCE (``ray.put``); each batch
+    computes batch x corpus scores and keeps pairs with other_id > own id
+    (each unordered pair emitted exactly once)."""
+    import ray
+
+    from feast_ray.stages.similarity import _embedding_matrix
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    full = pa.concat_tables(parts)
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    mat = _embedding_matrix(full[emb_col])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    nmat = mat / norms[:, None]
+    ref = ray.put((ids_all, nmat))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_all_, nmat_ = ray.get(ref)
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _embedding_matrix(t[emb_col])
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        cs = (m / nm[:, None]) @ nmat_.T  # [batch, corpus]
+        hit_r, hit_c = np.nonzero((cs >= tau) & (ids[:, None] < ids_all_[None, :]))
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[hit_r]),
+                "doc_b": pa.array(ids_all_[hit_c]),
+                "cos_sim": pa.array(np.round(cs[hit_r, hit_c], round_digits)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

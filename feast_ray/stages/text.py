@@ -1,0 +1,273 @@
+"""Text-analysis operators over document tables: token counting, quality
+scoring, language identification, and winnowing fingerprints.
+
+Not present in the Feast reference (its scalar surface is casts + timestamp
+coercion, SURVEY §2.8); required as first-class training-data-pipeline
+operators by the task brief.  Everything here is vectorized:
+
+- counting/ratio features run as ``pyarrow.compute`` RE2 kernels
+  (``count_substring_regex``) over whole Arrow batches — no Python per-row
+  loop, no pandas conversion;
+- the rolling-hash fingerprint reads the Arrow string column's flat byte
+  buffer zero-copy and computes every document's k-gram hashes in one
+  numpy pass (``np.minimum.reduceat`` per doc).
+
+At 100 TB these stages are embarrassingly parallel ``map_batches`` over the
+native Parquet blocks — no shuffle, no state; throughput is bounded by the
+RE2 scans, so each feature is ONE compiled regex pass over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Small fixed stopword inventories — the language-ID heuristic scores each
+# language by its stopword hit count (one RE2 scan per language) and takes
+# the argmax; deterministic and replicated exactly in the DuckDB oracle SQL.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "den", "von"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "was"),
+    "es": ("el", "los", "las", "y", "una", "es", "se", "por", "como", "pero"),
+    "fr": ("le", "les", "et", "un", "une", "est", "que", "pour", "dans", "avec"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和",
+           "就", "不", "人"),
+}
+
+TOKEN_RE = r"[a-z0-9_]+"
+WORD_CHAR_RE = r"[a-z0-9_]"
+ALPHA_RE = r"[a-zA-Z]"
+PUNCT_RE = r"[.,;:!?]"
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def stopword_pattern(words: Sequence[str]) -> str:
+    """Word-boundary alternation, non-capturing — identical semantics in
+    pyarrow (RE2) and DuckDB (also RE2), so counts match the oracle.
+    CJK characters are not RE2 word characters, so ``\\b`` would never match
+    around them — those alternations are emitted boundary-free."""
+    ascii_words = [w for w in words if w.isascii()]
+    cjk_words = [w for w in words if not w.isascii()]
+    parts = []
+    if ascii_words:
+        parts.append(r"\b(?:" + "|".join(ascii_words) + r")\b")
+    if cjk_words:
+        parts.append("(?:" + "|".join(cjk_words) + ")")
+    return "|".join(parts)
+
+
+def _count_re(arr: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    out = pc.count_substring_regex(arr, pattern)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def text_quality_batch(
+    tbl: pa.Table,
+    *,
+    text_col: str = "text",
+    round_digits: int | None = None,
+) -> pa.Table:
+    """Per-document quality features + a scalar quality score.
+
+    Columns: n_chars, n_tokens, alpha_ratio, punct_ratio, stop_ratio,
+    mean_token_len, quality_score.  All formulas are pure arithmetic over
+    regex counts so the DuckDB oracle reproduces them bit-for-bit (after
+    round-to-6).
+    """
+    text = tbl[text_col]
+    lower = pc.utf8_lower(text)
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    n_tokens = _count_re(lower, TOKEN_RE).cast(pa.float64())
+    n_word_chars = _count_re(lower, WORD_CHAR_RE).cast(pa.float64())
+    n_alpha = _count_re(text, ALPHA_RE).cast(pa.float64())
+    n_punct = _count_re(text, PUNCT_RE).cast(pa.float64())
+    n_stop = _count_re(lower, stopword_pattern(EN_STOPWORDS)).cast(pa.float64())
+
+    def safe_div(a, b):
+        return pc.if_else(pc.greater(b, 0.0), pc.divide(a, pc.max_element_wise(b, 1.0)), 0.0)
+
+    alpha_ratio = safe_div(n_alpha, n_chars)
+    punct_ratio = safe_div(n_punct, n_chars)
+    stop_ratio = safe_div(n_stop, n_tokens)
+    mean_token_len = safe_div(n_word_chars, n_tokens)
+
+    # Heuristic score in [0, 1]: length saturation + alpha density + a mild
+    # stopword prior (natural text has some stopwords).
+    len_term = pc.min_element_wise(pc.divide(n_tokens, 64.0), 1.0)
+    stop_term = pc.min_element_wise(pc.multiply(stop_ratio, 4.0), 1.0)
+    score = pc.add(
+        pc.add(pc.multiply(len_term, 0.4), pc.multiply(alpha_ratio, 0.4)),
+        pc.multiply(stop_term, 0.2),
+    )
+
+    rnd = (lambda x: pc.round(x, round_digits)) if round_digits is not None else (lambda x: x)
+    out = tbl
+    for name, col in [
+        ("n_chars", n_chars.cast(pa.int64())),
+        ("n_tokens", n_tokens.cast(pa.int64())),
+        ("alpha_ratio", rnd(alpha_ratio)),
+        ("punct_ratio", rnd(punct_ratio)),
+        ("stop_ratio", rnd(stop_ratio)),
+        ("mean_token_len", rnd(mean_token_len)),
+        ("quality_score", rnd(score)),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+def lang_id_batch(
+    tbl: pa.Table,
+    *,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+) -> pa.Table:
+    """Stopword-count language ID: argmax score across LANG_STOPWORDS,
+    alphabetical tie-break, 'und' when every score is zero."""
+    lower = pc.utf8_lower(tbl[text_col])
+    langs = sorted(LANG_STOPWORDS)
+    n = tbl.num_rows
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for i, lang in enumerate(langs):
+        scores[i] = _count_re(lower, stopword_pattern(LANG_STOPWORDS[lang])).to_numpy(
+            zero_copy_only=False
+        )
+    best = np.argmax(scores, axis=0)  # first max => alphabetical tie-break
+    pred = np.asarray(langs, dtype=object)[best]
+    pred[scores.max(axis=0) == 0] = "und"
+    out = tbl.append_column(out_col, pa.array(pred, type=pa.string()))
+    best_score = scores.max(axis=0)
+    return out.append_column("lang_score", pa.array(best_score))
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprints (winnowing-style)
+# ---------------------------------------------------------------------------
+
+FP_BASE = np.uint64(1_000_003)
+FP_K = 8  # k-gram length in bytes
+
+
+def _flat_utf8(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_bytes, offsets) of a string array, zero-copy from Arrow buffers."""
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        arr = arr.cast(pa.string())
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return data, offsets.astype(np.int64)
+
+
+def rolling_kgram_hashes(data: np.ndarray, k: int = FP_K) -> np.ndarray:
+    """Polynomial hash of every k-byte window of ``data`` (mod 2^64).
+
+    h[i] = sum_j data[i+j] * BASE^(k-1-j); vectorized as k shifted
+    multiply-adds over the whole flat buffer.
+    """
+    n = len(data)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    d = data.astype(np.uint64)
+    for j in range(k):
+        h = h * FP_BASE + d[j : j + m]
+    return h
+
+
+def fingerprint_batch(
+    tbl: pa.Table,
+    *,
+    text_col: str = "text",
+    k: int = FP_K,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> pa.Table:
+    """Per-document k-gram rolling-hash fingerprint summary.
+
+    Emits ``fp_count`` (valid k-gram positions), ``fp_min`` and ``fp_xor``
+    (min / xor of the document's k-gram hashes, as int64 bit patterns) —
+    a compact content fingerprint: equal documents have equal
+    (fp_count, fp_min, fp_xor); near-equal documents share fp_min with
+    high probability (min-hash property of the single cheapest sketch).
+    """
+    arr = tbl[text_col].combine_chunks() if isinstance(tbl[text_col], pa.ChunkedArray) else tbl[text_col]
+    n = len(arr)
+    empty_like = {
+        "fp_count": pa.array(np.zeros(n, dtype=np.int64)),
+        "fp_min": pa.array(np.zeros(n, dtype=np.int64), mask=np.ones(n, dtype=bool)),
+        "fp_xor": pa.array(np.zeros(n, dtype=np.int64), mask=np.ones(n, dtype=bool)),
+    }
+    out = tbl.select(list(id_cols))
+    if n == 0:
+        for name, col in empty_like.items():
+            out = out.append_column(name, col)
+        return out
+
+    data, offsets = _flat_utf8(arr)
+    h = rolling_kgram_hashes(data, k)  # hashes at every flat position
+    lens = np.diff(offsets)
+    # valid hash positions for doc i: [offsets[i], offsets[i] + len_i - k]
+    counts = np.maximum(lens - (k - 1), 0)
+    has = counts > 0
+    fp_min = np.zeros(n, dtype=np.uint64)
+    fp_xor = np.zeros(n, dtype=np.uint64)
+    if h.size and has.any():
+        # mask hashes that straddle doc boundaries by marking invalid spans
+        valid = np.zeros(len(h), dtype=bool)
+        starts = offsets[:-1][has]
+        ends = (offsets[:-1] + counts)[has]
+        delta = np.zeros(len(h) + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        hv = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+        fp_min[has] = np.minimum.reduceat(hv, starts)
+        hx = np.where(valid, h, np.uint64(0))
+        fp_xor[has] = np.bitwise_xor.reduceat(hx, starts)
+        # reduceat over [start, next_start) would leak into the gap; gaps are
+        # already neutralized (max for min, 0 for xor) — but reduceat segments
+        # must end before the next doc's start, which they do because we pass
+        # each doc's own start and numpy reduces to the following start; the
+        # trailing segment after the last start runs to the end of h, whose
+        # tail belongs to later docs' gaps — also neutralized.
+    for name, col in [
+        ("fp_count", pa.array(counts.astype(np.int64))),
+        ("fp_min", pa.array(fp_min.view(np.int64), mask=~has)),
+        ("fp_xor", pa.array(fp_xor.view(np.int64), mask=~has)),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+def add_text_quality(ds, *, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: text_quality_batch(t, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def add_lang_id(ds, *, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: lang_id_batch(t, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def add_fingerprints(ds, *, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)):
+    return ds.map_batches(
+        lambda t: fingerprint_batch(t, text_col=text_col, id_cols=id_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

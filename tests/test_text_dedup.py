@@ -1,0 +1,301 @@
+"""Text-analysis, dedup, similarity, and multimodal stages vs independent
+pure-Python oracles (SURVEY §5.2 pattern: golden = small independent
+reimplementation, not stored files)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, docs_tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(docs_tbl).repartition(4)
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _fp_oracle(s: str, k: int = 8):
+    b = s.encode("utf8")
+    if len(b) < k:
+        return 0, None, None
+    hs = []
+    for i in range(len(b) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 1_000_003 + b[i + j]) % (1 << 64)
+        hs.append(h)
+    x = 0
+    for h in hs:
+        x ^= h
+    return len(hs), min(hs), x
+
+
+def test_fingerprint_matches_oracle(ray_session, docs_ds, docs_tbl):
+    from feast_ray.stages.text import add_fingerprints
+
+    got = add_fingerprints(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    texts = dict(
+        zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+    )
+    # spot-check a deterministic sample (pure-python oracle is O(len*k))
+    for doc_id in sorted(texts)[:40]:
+        c, mn, xr = _fp_oracle(texts[doc_id])
+        row = got.loc[doc_id]
+        assert row["fp_count"] == c
+        assert np.uint64(row["fp_min"]) == np.uint64(mn)
+        assert np.uint64(row["fp_xor"]) == np.uint64(xr)
+
+
+def test_fingerprint_edge_cases():
+    from feast_ray.stages.text import fingerprint_batch
+
+    tbl = pa.table({"doc_id": [0, 1, 2, 3], "text": ["", "short", "x" * 8, "the quick brown fox"]})
+    out = fingerprint_batch(tbl).to_pydict()
+    assert out["fp_count"] == [0, 0, 1, 12]
+    assert out["fp_min"][0] is None and out["fp_min"][1] is None
+    assert out["fp_min"][2] is not None
+
+
+# ---------------------------------------------------------------------------
+# jaccard / minhash
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_oracle(texts: dict[int, str], k: int, tau: float):
+    grams = {d: {t[i : i + k] for i in range(len(t) - k + 1)} for d, t in texts.items()}
+    out = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = grams[a], grams[b]
+            if not ga and not gb:
+                continue
+            inter = len(ga & gb)
+            if inter == 0:
+                continue
+            j = inter / (len(ga) + len(gb) - inter)
+            if j >= tau:
+                out.append((a, b, j))
+    return out
+
+
+def test_jaccard_pairs_match_bruteforce(ray_session, docs_ds, docs_tbl):
+    from feast_ray.stages.dedup import jaccard_pair_pipeline
+
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    want = _jaccard_oracle(texts, 20, 0.2)
+    got = (
+        jaccard_pair_pipeline(docs_ds, k=20, tau=0.2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert [(r.doc_a, r.doc_b) for r in got.itertuples()] == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["jaccard"], [j for _, _, j in want], atol=1e-6)
+
+
+def test_minhash_pairs_equal_exact_on_testdata(ray_session, docs_ds, docs_tbl):
+    """LSH recall on the fixed dataset is 100% (verified) and verification is
+    exact, so minhash pairs == exact pairs at tau=0.5."""
+    from feast_ray.stages.dedup import minhash_pair_pipeline
+
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    want = [(a, b) for a, b, j in _jaccard_oracle(texts, 20, 0.5)]
+    got = (
+        minhash_pair_pipeline(docs_ds, k=20, tau=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert [(r.doc_a, r.doc_b) for r in got.itertuples()] == want
+
+
+def test_minhash_dedup_rule(ray_session, docs_ds, docs_tbl):
+    from feast_ray.stages.dedup import minhash_dedup_pipeline
+
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    dropped = {b for _, b, _ in _jaccard_oracle(texts, 20, 0.5)}
+    got = set(minhash_dedup_pipeline(docs_ds, tau=0.5, k=20).to_pandas()["doc_id"])
+    assert got == set(texts) - dropped
+
+
+def test_minhash_signature_estimates_jaccard():
+    """Property: signature agreement approximates true Jaccard."""
+    from feast_ray.stages.dedup import MinHasher, distinct_gram_hashes
+
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(list("abcdefgh "), 400))
+    variant = base[:200] + "XYZ" + base[200:]  # high overlap
+    other = "".join(rng.choice(list("abcdefgh "), 400))
+    texts = pa.array([base, variant, other])
+    ids = np.arange(3, dtype=np.int64)
+    d, g = distinct_gram_hashes(texts, ids, 8)
+    hasher = MinHasher(num_perm=256, seed=5)
+    uniq, sig = hasher.signatures(d, g)
+    est_close = (sig[0] == sig[1]).mean()
+    est_far = (sig[0] == sig[2]).mean()
+    assert est_close > 0.8 and est_far < 0.2
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_match_bruteforce(ray_session, docs_ds, docs_tbl):
+    from feast_ray.stages.dedup import _popcount64, simhash64, simhash_pair_pipeline
+
+    sigs = simhash64(docs_tbl["text"].combine_chunks())
+    ids = docs_tbl["doc_id"].to_numpy()
+    hd = _popcount64(sigs[:, None] ^ sigs[None, :])
+    ii, jj = np.nonzero((hd <= 3) & (ids[:, None] < ids[None, :]))
+    want = sorted(zip(ids[ii].tolist(), ids[jj].tolist()))
+    got = (
+        simhash_pair_pipeline(docs_ds)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert [(r.doc_a, r.doc_b) for r in got.itertuples()] == want
+    gm = {(r.doc_a, r.doc_b): r.hamming for r in got.itertuples()}
+    for (a, b), h in gm.items():
+        ia, ib = int(np.flatnonzero(ids == a)[0]), int(np.flatnonzero(ids == b)[0])
+        assert h == hd[ia, ib]
+
+
+def test_simhash_identical_and_disjoint():
+    from feast_ray.stages.dedup import simhash64
+
+    sigs = simhash64(pa.array(["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"]))
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+# ---------------------------------------------------------------------------
+# text quality / lang id
+# ---------------------------------------------------------------------------
+
+
+def test_quality_and_lang_oracle_rows():
+    import re
+
+    from feast_ray.stages.text import LANG_STOPWORDS, lang_id_batch, text_quality_batch
+
+    texts = ["The cat sat on the mat.", "der hund und die katze", "", "12345 !!!"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    q = text_quality_batch(tbl).to_pydict()
+    for i, t in enumerate(texts):
+        low = t.lower()
+        n_tok = len(re.findall(r"[a-z0-9_]+", low))
+        assert q["n_tokens"][i] == n_tok
+        assert q["n_chars"][i] == len(t)
+        if len(t):
+            assert abs(q["alpha_ratio"][i] - len(re.findall(r"[A-Za-z]", t)) / len(t)) < 1e-12
+    l = lang_id_batch(tbl).to_pydict()
+    assert l["lang_pred"][0] == "en"
+    assert l["lang_pred"][1] == "de"
+    assert l["lang_pred"][2] == "und"
+    assert l["lang_pred"][3] == "und"
+
+
+def test_lang_id_ds(ray_session, docs_ds):
+    from feast_ray.stages.text import add_lang_id
+
+    out = add_lang_id(docs_ds).to_pandas()
+    assert set(out["lang_pred"]) <= {"de", "en", "es", "fr", "zh", "und"}
+    assert (out["lang_score"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# embeddings: near-dup pairs + LSH ANN recall
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_pairs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from feast_ray.stages.dedup import embedding_pair_pipeline
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cs = nm @ nm.T
+    ii, jj = np.nonzero((cs >= 0.4) & (ids[:, None] < ids[None, :]))
+    want = sorted(zip(ids[ii].tolist(), ids[jj].tolist()))
+    got = (
+        embedding_pair_pipeline(rd.from_arrow(tbl).repartition(4), tau=0.4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    assert [(r.doc_a, r.doc_b) for r in got.itertuples()] == want
+
+
+def test_lsh_topk_recall(ray_session):
+    """LSH ANN must recover a decent fraction of the exact top-10 (bucket
+    pruning with 4 planes keeps ~1/16 of the corpus)."""
+    import ray.data as rd
+
+    from feast_ray.stages.similarity import brute_force_topk, lsh_bucket_topk
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl).repartition(4)
+    qvec = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    exact = set(brute_force_topk(ds, qvec, k=10, exclude_ids=(0,)).to_pandas()["vec_id"])
+    approx = set(
+        lsh_bucket_topk(ds, qvec, k=10, exclude_ids=(0,), n_planes=4).to_pandas()["vec_id"]
+    )
+    assert len(approx) > 0
+    assert len(exact & approx) / 10 >= 0.3  # bucket pruning trade-off, pinned
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_actor_stage(ray_session, docs_ds, docs_tbl):
+    from feast_ray.stages.multimodal import add_media_features, attach_fake_payloads
+
+    ds = docs_ds.map_batches(attach_fake_payloads, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_media_features(ds, id_cols=("doc_id",), concurrency=2, batch_size=64).to_pandas()
+    assert len(out) == docs_tbl.num_rows
+    texts = dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()))
+    out = out.set_index("doc_id").sort_index()
+    for doc_id in sorted(texts)[:20]:
+        b = texts[doc_id].encode("utf8")
+        row = out.loc[doc_id]
+        assert row["n_bytes"] == len(b)
+        assert row["width"] == len(b) % 640 + 1
+        arr = np.frombuffer(b, dtype=np.uint8).astype(float)
+        assert abs(row["byte_mean"] - arr.mean()) < 1e-9
+        assert abs(row["byte_std"] - arr.std()) < 1e-9
+
+
+def test_multimodal_pil_mode_is_marked_stub():
+    from feast_ray.stages.multimodal import MediaFeatureExtractor
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="pil")
