@@ -26,8 +26,10 @@ Scale accounting for a 256-node / 100 TB run:
   transfer during the map phase and spills to disk under pressure.
 - Skew: a reducer's cost is its bucket's row count; hash-bucketing spreads
   conversations uniformly.  A single conversation larger than a bucket
-  budget needs salted splitting (SURVEY §4.2) — not yet implemented; the
-  kernels are O(n) vectorized so hot conversations degrade smoothly.
+  budget is split with salted keys + overlap regions —
+  ``feast_ray.stages.salt.salted_window_features`` (SURVEY §4.2); the
+  kernels are O(n) vectorized so moderately hot conversations also degrade
+  smoothly without salting.
 
 The Dataset-based path (``feast_ray.grouped.grouped_map``) remains the
 correctness-first route used by the operator library; both run the same

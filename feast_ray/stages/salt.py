@@ -1,0 +1,242 @@
+"""Salted-key splitting for hot entities (SURVEY §4.2, BASELINE.json:6).
+
+A conversation whose row count exceeds a worker's chunk budget becomes a
+straggler (and, at the extreme, an OOM) under plain hash-by-``conv_id``
+partitioning.  This stage splits such entities into bounded sub-chunks
+WITHOUT losing window-kernel exactness:
+
+    salt        = turn_idx // chunk_rows          (deterministic pre-shuffle:
+                                                   the transcript schema
+                                                   carries the within-entity
+                                                   ordinal ``turn_idx``)
+    overlap     = the last ``overlap_rows`` rows of chunk c are ALSO sent to
+                  chunk c+1, flagged ``__ovl=1``; the kernel computes over
+                  real+overlap rows sorted together and drops overlap rows on
+                  emit — so lag/rolling windows at a chunk boundary see the
+                  exact same trailing history as the unsalted path.
+    shuffle key = (conv_id, salt)  — a hot conversation now occupies
+                  ceil(n / chunk_rows) independent reducers.
+
+Exactness contract:
+- ``Lag(col, k)`` / ``RollingRows(col, k)``: exact iff
+  ``overlap_rows >= k`` (``k-1`` for rolling) — trailing history is row-bounded.
+- ``Lead(col, k)``: exact iff ``overlap_rows >= k`` (leads are taken from the
+  NEXT chunk's overlap copy mirrored backward — implemented by also sending
+  the FIRST ``overlap_rows`` rows of chunk c to chunk c-1).
+- ``RollingTime(col, delta_us)``: exact iff every entity has at most
+  ``overlap_rows`` rows inside any ``delta_us`` time window — a caller-owned
+  bound (rate limit); assert it offline or oversize the overlap.
+- ``Sessionize(gap_us)``: the boundary decision needs only the previous row
+  (overlap >= 1), but session ids are a per-entity running count — repaired
+  exactly by a cheap second phase: per-chunk ``session_start`` sums (a tiny
+  aggregate) are prefix-summed per entity and added back as offsets.
+
+The two-phase session repair checkpoints the featured table once
+(``materialize()``); in the backfill sink this checkpoint is the partitioned
+parquet output itself, so no extra materialization happens at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feast_ray.grouped import grouped_map, starts_to_row_gstart
+from feast_ray.stages.windows import (
+    Lag,
+    Lead,
+    RollingRows,
+    RollingTime,
+    Sessionize,
+    make_window_kernel,
+)
+
+SALT_COL = "__salt"
+OVL_COL = "__ovl"
+
+
+def required_overlap(specs: Sequence[object], time_rows_bound: int = 0) -> int:
+    """Minimum overlap_rows for exactness given the spec list."""
+    need = 1
+    for s in specs:
+        if isinstance(s, (Lag, Lead)):
+            need = max(need, s.k)
+        elif isinstance(s, RollingRows):
+            need = max(need, s.k - 1)
+        elif isinstance(s, RollingTime):
+            need = max(need, time_rows_bound)
+        elif isinstance(s, Sessionize):
+            need = max(need, 1)
+    return need
+
+
+def _salt_and_overlap(tbl: pa.Table, ordinal_col: str, chunk_rows: int, overlap_rows: int,
+                      want_lead: bool) -> pa.Table:
+    """Tag each row with its salt chunk; emit overlap copies to the next
+    chunk (trailing history) and, when leads are requested, to the previous
+    chunk (leading future)."""
+    ordinal = tbl[ordinal_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    salt = (ordinal // chunk_rows).astype(np.int32)
+    local = ordinal - salt.astype(np.int64) * chunk_rows
+    n = tbl.num_rows
+    real = tbl.append_column(SALT_COL, pa.array(salt)).append_column(
+        OVL_COL, pa.array(np.zeros(n, dtype=np.int8))
+    )
+    parts = [real]
+    tail = local >= chunk_rows - overlap_rows
+    if tail.any():
+        t = tbl.filter(pa.array(tail))
+        parts.append(
+            t.append_column(SALT_COL, pa.array(salt[tail] + 1)).append_column(
+                OVL_COL, pa.array(np.ones(int(tail.sum()), dtype=np.int8))
+            )
+        )
+    if want_lead:
+        head = (local < overlap_rows) & (salt > 0)
+        if head.any():
+            t = tbl.filter(pa.array(head))
+            parts.append(
+                t.append_column(SALT_COL, pa.array(salt[head] - 1)).append_column(
+                    OVL_COL, pa.array(np.ones(int(head.sum()), dtype=np.int8))
+                )
+            )
+    return pa.concat_tables(parts) if len(parts) > 1 else real
+
+
+def salted_window_features(
+    ds,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    ordinal_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    specs: Sequence[object],
+    chunk_rows: int,
+    overlap_rows: Optional[int] = None,
+    time_rows_bound: int = 0,
+    num_buckets: Optional[int] = None,
+):
+    """Window features with hot-entity splitting; result matches
+    :func:`feast_ray.stages.windows.add_window_features` exactly (modulo row
+    order) under the overlap contract in the module docstring."""
+    specs = list(specs)
+    ovl = overlap_rows if overlap_rows is not None else required_overlap(specs, time_rows_bound)
+    if ovl >= chunk_rows:
+        raise ValueError(f"overlap_rows ({ovl}) must be < chunk_rows ({chunk_rows})")
+    session_specs = [s for s in specs if isinstance(s, Sessionize)]
+    plain_specs = [s for s in specs if not isinstance(s, Sessionize)]
+    want_lead = any(isinstance(s, Lead) for s in specs)
+    wk = make_window_kernel(plain_specs, ts_col) if plain_specs else None
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        out = wk(t, starts) if wk is not None else t
+        n = out.num_rows
+        if n == 0:
+            out = _append_session_cols(out, session_specs, empty=True)
+            return out.drop_columns([OVL_COL])
+        if session_specs:
+            ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ordv = t[ordinal_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            gstart = starts_to_row_gstart(starts)
+            ar = np.arange(n, dtype=np.int64)
+            prev_ts = np.empty(n, dtype=np.int64)
+            prev_ts[1:] = ts[:-1]
+            prev_ts[0] = 0
+            has_prev = ar > gstart
+            for spec in session_specs:
+                start_flag = np.where(
+                    ordv == 0,
+                    1,
+                    np.where(has_prev & (ts - prev_ts <= spec.gap_us), 0, 1),
+                ).astype(np.int64)
+                out = out.append_column(f"__start_{spec.name}", pa.array(start_flag))
+        # drop overlap rows, then chunk-local session cumsum over real rows
+        ovl_mask = out[OVL_COL].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        # group starts must be recomputed over real rows for the cumsum
+        keep_idx = np.flatnonzero(~ovl_mask)
+        out = out.take(pa.array(keep_idx))
+        if session_specs and out.num_rows:
+            gstart_all = starts_to_row_gstart(starts)
+            kept_group = gstart_all[keep_idx]  # original group id (start offset) per kept row
+            m = out.num_rows
+            first_of_group = np.ones(m, dtype=bool)
+            first_of_group[1:] = kept_group[1:] != kept_group[:-1]
+            for spec in session_specs:
+                sf = out[f"__start_{spec.name}"].combine_chunks().to_numpy(zero_copy_only=False)
+                cs = np.cumsum(sf)
+                # starts seen before this row's chunk (cs is bucket-global)
+                base = np.maximum.accumulate(np.where(first_of_group, cs - sf, 0))
+                out = out.append_column(f"__local_{spec.name}", pa.array(cs - base - 1))
+        return out.drop_columns([OVL_COL])
+
+    tagged = ds.map_batches(
+        lambda t: _salt_and_overlap(t, ordinal_col, chunk_rows, ovl, want_lead),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    featured = grouped_map(
+        tagged,
+        [key, SALT_COL],
+        kernel,
+        sort_keys=list(order_cols),
+        num_buckets=num_buckets,
+    )
+    if not session_specs:
+        return featured.drop_columns([SALT_COL])
+
+    # Phase 2: exact session-id repair — prefix-sum per-entity chunk start
+    # counts (tiny aggregate), then add offsets.  The materialize() is the
+    # phase checkpoint (== the parquet sink in the backfill path).
+    import ray
+
+    featured = featured.materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {key: t[key], SALT_COL: t[SALT_COL]}
+        for spec in session_specs:
+            cols[f"__start_{spec.name}"] = t[f"__start_{spec.name}"]
+        pdf = pa.table(cols).to_pandas()
+        agg = pdf.groupby([key, SALT_COL], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    meta = featured.map_batches(partial_counts, batch_format="pyarrow").to_pandas()
+    meta = meta.groupby([key, SALT_COL], as_index=False).sum().sort_values([key, SALT_COL])
+    offsets: dict[str, dict] = {}
+    for spec in session_specs:
+        col = f"__start_{spec.name}"
+        cum = meta.groupby(key)[col].cumsum() - meta[col]
+        offsets[spec.name] = {
+            (k, s): int(o) for k, s, o in zip(meta[key], meta[SALT_COL], cum)
+        }
+    off_ref = ray.put(offsets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        keys = t[key].to_pandas().to_numpy()
+        salts = t[SALT_COL].to_numpy()
+        out = t
+        for spec in session_specs:
+            local = out[f"__local_{spec.name}"].to_numpy()
+            o = offs[spec.name]
+            base = np.fromiter(
+                (o.get((kk, ss), 0) for kk, ss in zip(keys, salts)),
+                count=len(keys),
+                dtype=np.int64,
+            )
+            out = out.append_column(spec.name, pa.array(base + local))
+            out = out.drop_columns([f"__local_{spec.name}", f"__start_{spec.name}"])
+        return out.drop_columns([SALT_COL])
+
+    return featured.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _append_session_cols(tbl: pa.Table, session_specs, *, empty: bool) -> pa.Table:
+    for spec in session_specs:
+        tbl = tbl.append_column(f"__start_{spec.name}", pa.array([], type=pa.int64()))
+        tbl = tbl.append_column(f"__local_{spec.name}", pa.array([], type=pa.int64()))
+    return tbl

@@ -1,0 +1,90 @@
+"""Salted-key splitting (hot conversations): salted path must equal the
+unsalted path exactly — including cross-chunk session ids — per the overlap
+contract in feast_ray/stages/salt.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from feast_ray.fixtures import gen_transcripts
+from feast_ray.stages.salt import required_overlap, salted_window_features
+from feast_ray.stages.windows import (
+    Lag,
+    Lead,
+    RollingRows,
+    RollingTime,
+    Sessionize,
+    add_window_features,
+)
+
+SPECS = [
+    Lag("msg_len", 1),
+    Lead("msg_len", 1),
+    RollingRows("msg_len", 5, aggs=("count", "sum", "mean", "last")),
+    RollingTime("msg_len", 5 * 1_000_000, aggs=("count", "mean")),
+    Sessionize(1800 * 1_000_000),
+]
+
+
+@pytest.fixture(scope="module")
+def hot_ds(ray_session):
+    import ray.data as rd
+
+    tbl = gen_transcripts(n_convs=40, mean_turns=15, seed=9, n_hot=3, hot_turns=300)
+    tbl = tbl.append_column("msg_len", pc.utf8_length(tbl["text"]).cast(pa.int32()))
+    return rd.from_arrow(tbl).repartition(5)
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame):
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        if c in ("text", "tool"):
+            continue
+        assert c in got.columns, c
+        gv, wv = got[c], want[c]
+        if pd.api.types.is_float_dtype(wv):
+            ga, wa = gv.to_numpy(dtype=float), wv.to_numpy(dtype=float)
+            assert ((np.isnan(ga) & np.isnan(wa)) | np.isclose(ga, wa, equal_nan=True)).all(), c
+        else:
+            assert gv.where(gv.notna(), None).tolist() == wv.where(wv.notna(), None).tolist(), c
+
+
+def test_salted_equals_unsalted(ray_session, hot_ds):
+    want = add_window_features(
+        hot_ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=SPECS
+    ).to_pandas()
+    got = salted_window_features(
+        hot_ds,
+        specs=SPECS,
+        chunk_rows=64,
+        overlap_rows=32,
+    ).to_pandas()
+    _cmp(got, want)
+
+
+def test_salted_without_sessionize_single_phase(ray_session, hot_ds):
+    specs = [Lag("msg_len", 2), RollingRows("msg_len", 3, aggs=("mean",))]
+    want = add_window_features(
+        hot_ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=specs
+    ).to_pandas()
+    got = salted_window_features(hot_ds, specs=specs, chunk_rows=50, overlap_rows=4).to_pandas()
+    _cmp(got, want)
+
+
+def test_required_overlap():
+    assert required_overlap([Lag("x", 3)]) == 3
+    assert required_overlap([RollingRows("x", 5)]) == 4
+    assert required_overlap([Sessionize(10)]) == 1
+    assert required_overlap([RollingTime("x", 100)], time_rows_bound=7) == 7
+
+
+def test_overlap_must_fit_chunk(ray_session, hot_ds):
+    with pytest.raises(ValueError):
+        salted_window_features(hot_ds, specs=SPECS, chunk_rows=8, overlap_rows=8)
