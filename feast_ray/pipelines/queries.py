@@ -565,3 +565,248 @@ from feast_ray.pipelines.queries_docs import (  # noqa: E402
 
 QUERIES.update(QUERIES_DOCS)
 ORACLE_SQL.update(ORACLE_SQL_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Feast-core retrieval battery 2: multi-view composition (J2), created_ts
+# tie-break (O1/O2), on-demand UDF (M8), sessions-as-aggregates (A4->A1),
+# physical union (S4), range scan (A5)
+# ---------------------------------------------------------------------------
+
+
+def _typed_events(sf_dir: str, event_type: str, cols):
+    ev = _events(sf_dir, list({*cols, "event_type"}))
+    return ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], event_type)).select(list(cols)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_historical_multiview(sf_dir: str):
+    """Spine LEFT-asof-joined against TWO feature views with different TTLs
+    and full_feature_names prefixes (J2 composition + M6)."""
+    from ray.data.aggregate import Count, Max
+
+    from feast_ray.stages.asof import asof_join
+
+    spine = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts"])
+    clicks = (
+        _typed_events(sf_dir, "click", ["user_id", "ts", "value"])
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("value", alias_name="v_click"), Count(alias_name="n_click"))
+    )
+    views = (
+        _typed_events(sf_dir, "view", ["user_id", "ts", "value"])
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("value", alias_name="v_view"))
+    )
+    out = asof_join(
+        spine, clicks, key="user_id", ttl_us=86400 * US,
+        feature_cols=["v_click", "n_click"], prefix="clicks",
+    )
+    return asof_join(
+        out, views, key="user_id", ttl_us=7200 * US,
+        feature_cols=["v_view"], prefix="views",
+    )
+
+
+def q_asof_created_tiebreak(sf_dir: str):
+    """As-of join whose right side has duplicate (user, ts) rows — ties on
+    event_ts broken by the created column (largest wins), the Feast
+    ``created_timestamp_column`` semantics."""
+    from feast_ray.stages.asof import asof_join
+
+    spine = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts"])
+    clicks = _typed_events(sf_dir, "click", ["user_id", "ts", "value", "event_id"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "ts", "cv_value", "created"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return asof_join(
+        spine, clicks, key="user_id", created_ts="created",
+        ttl_us=86400 * US, feature_cols=["cv_value", "created"],
+    )
+
+
+def q_odfv_value_diff(sf_dir: str):
+    """On-demand transform stage (M8) over an as-of-joined result: a pandas
+    UDF computing spend-vs-last-click delta at retrieval time."""
+    from ray.data.aggregate import Max
+
+    from feast_ray.stages.asof import asof_join
+
+    spine = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts", "value"])
+    clicks = (
+        _typed_events(sf_dir, "click", ["user_id", "ts", "value"])
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("value", alias_name="v_click"))
+    )
+    joined = asof_join(
+        spine, clicks, key="user_id", ttl_us=86400 * US, feature_cols=["v_click"]
+    )
+
+    def odfv(df):
+        df["value_diff"] = df["value"] - df["v_click"]
+        return df
+
+    return joined.map_batches(odfv, batch_format="pandas")
+
+
+def q_session_stats(sf_dir: str):
+    """Per-(user, session) aggregates downstream of sessionization (A4 then
+    grouped A1): event count, cent-exact value sum, session duration."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from feast_ray.stages.windows import Sessionize, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    sess = add_window_features(
+        ds, key="user_id", ts_col="ts", order_cols=["ts", "event_id"],
+        specs=[Sessionize(SESSION_GAP_US)],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        tus = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "session_id": t["session_id"], "vc": vc, "tus": tus}
+        )
+
+    agg = (
+        sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "session_id"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("vc", alias_name="vc_sum"),
+            Min("tus", alias_name="t0"),
+            Max("tus", alias_name="t1"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_id": t["session_id"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "sum_value": pc.divide(t["vc_sum"].cast(pa.float64()), 100.0),
+                "duration_us": pc.subtract(t["t1"], t["t0"]),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_union(sf_dir: str):
+    """Physical union (S4 push/append analog): purchases ∪ clicks."""
+    a = _typed_events(sf_dir, "purchase", ["event_id", "user_id", "ts", "event_type", "value"])
+    b = _typed_events(sf_dir, "click", ["event_id", "user_id", "ts", "event_type", "value"])
+    return a.union(b)
+
+
+def q_ts_range_events(sf_dir: str):
+    """Global event-time range scan (A5: drives TTL pruning)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _events(sf_dir, ["ts"])
+    row = ds.aggregate(Min("ts"), Max("ts"), Count())
+    return pd.DataFrame(
+        {
+            "min_ts": [row["min(ts)"]],
+            "max_ts": [row["max(ts)"]],
+            "n": [int(row["count()"])],
+        }
+    )
+
+
+QUERIES.update(
+    {
+        "historical_multiview": q_historical_multiview,
+        "asof_created_tiebreak": q_asof_created_tiebreak,
+        "odfv_value_diff": q_odfv_value_diff,
+        "session_stats": q_session_stats,
+        "events_union": q_events_union,
+        "ts_range_events": q_ts_range_events,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "historical_multiview": """
+            WITH spine AS (
+              SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, max(value) AS v_click, count(*) AS n_click
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            v AS (SELECT user_id, ts, max(value) AS v_view
+                  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT s.user_id, s.event_id, s.ts,
+                   CASE WHEN c.ts >= s.ts - INTERVAL 1 DAY THEN c.v_click END
+                     AS clicks__v_click,
+                   CASE WHEN c.ts >= s.ts - INTERVAL 1 DAY THEN c.n_click END
+                     AS clicks__n_click,
+                   CASE WHEN v.ts >= s.ts - INTERVAL 2 HOUR THEN v.v_view END
+                     AS views__v_view
+            FROM spine s
+            ASOF LEFT JOIN c ON s.user_id = c.user_id AND c.ts <= s.ts
+            ASOF LEFT JOIN v ON s.user_id = v.user_id AND v.ts <= s.ts
+        """,
+        "asof_created_tiebreak": """
+            WITH spine AS (
+              SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+            f AS (SELECT user_id, ts, value AS cv_value, event_id AS created
+                  FROM events WHERE event_type = 'click')
+            SELECT user_id, event_id, ts, cv_value, created
+            FROM (
+              SELECT s.user_id, s.event_id, s.ts, f.cv_value, f.created,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s.event_id
+                       ORDER BY f.ts DESC NULLS LAST, f.created DESC NULLS LAST) AS rn
+              FROM spine s LEFT JOIN f
+                ON s.user_id = f.user_id AND f.ts <= s.ts
+                   AND f.ts >= s.ts - INTERVAL 1 DAY)
+            WHERE rn = 1
+        """,
+        "odfv_value_diff": """
+            WITH spine AS (
+              SELECT user_id, event_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, max(value) AS v_click
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT s.user_id, s.event_id, s.ts, s.value,
+                   CASE WHEN c.ts >= s.ts - INTERVAL 1 DAY THEN c.v_click END AS v_click,
+                   s.value - (CASE WHEN c.ts >= s.ts - INTERVAL 1 DAY
+                                   THEN c.v_click END) AS value_diff
+            FROM spine s ASOF LEFT JOIN c
+              ON s.user_id = c.user_id AND c.ts <= s.ts
+        """,
+        "session_stats": f"""
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            s AS (
+              SELECT user_id, event_id, ts, value,
+                     CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                                    AND epoch_us(ts) - epoch_us(prev_ts) <= {1800 * 1_000_000}
+                                   THEN 0 ELSE 1 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM e)
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                     AS sum_value,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+            FROM s GROUP BY 1, 2
+        """,
+        "events_union": """
+            SELECT event_id, user_id, ts, event_type, value
+            FROM events WHERE event_type IN ('purchase', 'click')
+        """,
+        "ts_range_events": """
+            SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n FROM events
+        """,
+    }
+)
