@@ -810,3 +810,60 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_streaming_window_features(sf_dir: str):
+    """The streaming-ingest path (T3 stateful actor pool) driven as a query:
+    events arrive in global ts order in micro-batches; per-conv turn buffers
+    emit lag/rolling/session features incrementally.  Output is identical to
+    the batch path, so the SQL twin is the standard window-function oracle."""
+    import pyarrow as pa
+
+    from feast_ray.stages.windows import Lag, RollingRows, Sessionize
+    from feast_ray.state.turn_buffer import StreamingTurnPipeline
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    specs = [
+        Lag("value", 1),
+        RollingRows("value", 5, aggs=("count", "last")),
+        Sessionize(SESSION_GAP_US),
+    ]
+    pipe = StreamingTurnPipeline(
+        specs, num_shards=4, key="user_id", order_cols=("ts", "event_id")
+    )
+    outs = []
+    # simulate the stream: consume the time-ordered events in micro-batches
+    for batch in ds.sort("ts").iter_batches(batch_size=4096, batch_format="pyarrow"):
+        out = pipe.ingest(batch)
+        if out.num_rows:
+            outs.append(out)
+    pipe.shutdown()
+    res = pa.concat_tables(outs)
+    # integer-cent rounding for the float sum-free outputs is unnecessary:
+    # lag/last are value copies, count is integral, session_id integral
+    return res.select(
+        ["user_id", "event_id", "ts", "value", "lag1_value", "value_r5_count",
+         "value_r5_last", "session_id"]
+    )
+
+
+QUERIES["streaming_window_features"] = q_streaming_window_features
+ORACLE_SQL["streaming_window_features"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(ts) OVER w AS prev_ts,
+             LAG(value) OVER w AS lag1_value,
+             CAST(COUNT(value) OVER w5 AS BIGINT) AS value_r5_count,
+             LAST_VALUE(value IGNORE NULLS) OVER w5 AS value_r5_last
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts, value, lag1_value, value_r5_count, value_r5_last,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts) <= {1800 * 1_000_000}
+                         THEN 0 ELSE 1 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM e
+"""
