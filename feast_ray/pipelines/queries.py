@@ -114,10 +114,9 @@ def q_rolling_events(sf_dir: str):
 
 def q_asof_click_value(sf_dir: str):
     """Purchases spine, as-of joined against per-(user, ts) click aggregates
-    with a 1-day TTL (J1 over a pre-aggregated right side, A7-style)."""
-    from ray.data.aggregate import Count, Max
-
-    from feast_ray.stages.asof import asof_join
+    with a 1-day TTL — tie aggregation folded into the join kernel, so the
+    whole query is ONE hash shuffle (J1 + A7 fused)."""
+    from feast_ray.stages.asof import AsofView, asof_join_multi
 
     ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
     spine = ev.map_batches(
@@ -134,18 +133,17 @@ def q_asof_click_value(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    feats = clicks.groupby(["user_id", "ts"]).aggregate(
-        Max("value", alias_name="v_click"), Count(alias_name="n_click")
-    )
-    return asof_join(
+    return asof_join_multi(
         spine,
-        feats,
+        [
+            AsofView(
+                clicks,
+                ttl_us=ASOF_TTL_US,
+                agg={"v_click": ("max", "value"), "n_click": ("count", None)},
+                matched_ts_name="click_ts",
+            )
+        ],
         key="user_id",
-        spine_ts="ts",
-        feat_ts="ts",
-        ttl_us=ASOF_TTL_US,
-        feature_cols=["v_click", "n_click"],
-        matched_ts_name="click_ts",
     )
 
 
@@ -585,29 +583,30 @@ def _typed_events(sf_dir: str, event_type: str, cols):
 
 def q_historical_multiview(sf_dir: str):
     """Spine LEFT-asof-joined against TWO feature views with different TTLs
-    and full_feature_names prefixes (J2 composition + M6)."""
-    from ray.data.aggregate import Count, Max
-
-    from feast_ray.stages.asof import asof_join
+    and full_feature_names prefixes (J2 composition + M6) — the co-shuffle
+    formulation: both views and the spine in ONE hash exchange
+    (``asof_join_multi``), measured ~3x faster than the iterative
+    view-by-view composition at V=2."""
+    from feast_ray.stages.asof import AsofView, asof_join_multi
 
     spine = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts"])
-    clicks = (
-        _typed_events(sf_dir, "click", ["user_id", "ts", "value"])
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("value", alias_name="v_click"), Count(alias_name="n_click"))
-    )
-    views = (
-        _typed_events(sf_dir, "view", ["user_id", "ts", "value"])
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("value", alias_name="v_view"))
-    )
-    out = asof_join(
-        spine, clicks, key="user_id", ttl_us=86400 * US,
-        feature_cols=["v_click", "n_click"], prefix="clicks",
-    )
-    return asof_join(
-        out, views, key="user_id", ttl_us=7200 * US,
-        feature_cols=["v_view"], prefix="views",
+    return asof_join_multi(
+        spine,
+        [
+            AsofView(
+                _typed_events(sf_dir, "click", ["user_id", "ts", "value"]),
+                ttl_us=86400 * US,
+                prefix="clicks",
+                agg={"v_click": ("max", "value"), "n_click": ("count", None)},
+            ),
+            AsofView(
+                _typed_events(sf_dir, "view", ["user_id", "ts", "value"]),
+                ttl_us=7200 * US,
+                prefix="views",
+                agg={"v_view": ("max", "value")},
+            ),
+        ],
+        key="user_id",
     )
 
 
@@ -632,18 +631,19 @@ def q_asof_created_tiebreak(sf_dir: str):
 def q_odfv_value_diff(sf_dir: str):
     """On-demand transform stage (M8) over an as-of-joined result: a pandas
     UDF computing spend-vs-last-click delta at retrieval time."""
-    from ray.data.aggregate import Max
-
-    from feast_ray.stages.asof import asof_join
+    from feast_ray.stages.asof import AsofView, asof_join_multi
 
     spine = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts", "value"])
-    clicks = (
-        _typed_events(sf_dir, "click", ["user_id", "ts", "value"])
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("value", alias_name="v_click"))
-    )
-    joined = asof_join(
-        spine, clicks, key="user_id", ttl_us=86400 * US, feature_cols=["v_click"]
+    joined = asof_join_multi(
+        spine,
+        [
+            AsofView(
+                _typed_events(sf_dir, "click", ["user_id", "ts", "value"]),
+                ttl_us=86400 * US,
+                agg={"v_click": ("max", "value")},
+            )
+        ],
+        key="user_id",
     )
 
     def odfv(df):
@@ -656,8 +656,7 @@ def q_odfv_value_diff(sf_dir: str):
 def q_session_stats(sf_dir: str):
     """Per-(user, session) aggregates downstream of sessionization (A4 then
     grouped A1): event count, cent-exact value sum, session duration."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+    from feast_ray.grouped import grouped_aggregate
     from feast_ray.stages.windows import Sessionize, add_window_features
 
     ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
@@ -667,21 +666,23 @@ def q_session_stats(sf_dir: str):
     )
 
     def prep(t: pa.Table) -> pa.Table:
+        # integer-cent scaling: the (float64-exact) sums are accumulation-
+        # order independent, so they match the SQL twin bitwise
         vc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
         tus = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table(
             {"user_id": t["user_id"], "session_id": t["session_id"], "vc": vc, "tus": tus}
         )
 
-    agg = (
-        sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "session_id"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("vc", alias_name="vc_sum"),
-            Min("tus", alias_name="t0"),
-            Max("tus", alias_name="t1"),
-        )
+    agg = grouped_aggregate(
+        sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "session_id"],
+        {
+            "n_events": ("count", None),
+            "vc_sum": ("sum", "vc"),
+            "t0": ("min", "tus"),
+            "t1": ("max", "tus"),
+        },
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -691,7 +692,9 @@ def q_session_stats(sf_dir: str):
                 "session_id": t["session_id"],
                 "n_events": t["n_events"].cast(pa.int64()),
                 "sum_value": pc.divide(t["vc_sum"].cast(pa.float64()), 100.0),
-                "duration_us": pc.subtract(t["t1"], t["t0"]),
+                "duration_us": pc.subtract(
+                    t["t1"].cast(pa.int64()), t["t0"].cast(pa.int64())
+                ),
             }
         )
 

@@ -162,3 +162,38 @@ def test_asof_broadcast_matches_shuffle(ray_session, small_spine, features_tbl, 
         batch_size=128,
     ).to_pandas()
     assert_frames_match(got, oracle_ttl, row_key=ROWKEY, cols=FEATS)
+
+
+def test_multi_view_equals_iterative(ray_session, small_spine, features_tbl):
+    """asof_join_multi (one co-shuffle) must equal view-by-view asof_join
+    composition, including created_ts tie-breaks and matched ts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.asof import AsofView, asof_join, asof_join_multi
+
+    spine_ds = rd.from_arrow(small_spine)
+    feat_ds = rd.from_arrow(features_tbl)
+    it = asof_join(
+        spine_ds, feat_ds, key="conv_id", created_ts="created_ts",
+        ttl_us=3600 * 1_000_000, feature_cols=["msg_len", "value"],
+        prefix="fv", matched_ts_name="m_ts",
+    ).to_pandas()
+    multi = asof_join_multi(
+        spine_ds,
+        [AsofView(feat_ds, created_ts="created_ts", ttl_us=3600 * 1_000_000,
+                  feature_cols=["msg_len", "value"], prefix="fv",
+                  matched_ts_name="m_ts")],
+        key="conv_id",
+    ).to_pandas()
+    key = ["conv_id", "ts", "turn_idx"]
+    it = it.sort_values(key, kind="stable").reset_index(drop=True)
+    multi = multi.sort_values(key, kind="stable").reset_index(drop=True)
+    assert len(it) == len(multi)
+    for c in ["fv__msg_len", "fv__value", "m_ts"]:
+        gv, wv = multi[c], it[c]
+        if pd.api.types.is_float_dtype(wv):
+            ga, wa = gv.to_numpy(dtype=float), wv.to_numpy(dtype=float)
+            assert ((np.isnan(ga) & np.isnan(wa)) | np.isclose(ga, wa, equal_nan=True)).all(), c
+        else:
+            assert gv.where(gv.notna(), None).tolist() == wv.where(wv.notna(), None).tolist(), c
