@@ -89,12 +89,17 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
         lambda b: b
     ).materialize()
 
-    n_buckets = max(16, 4 * num_cpus)
+    # constant bucket count regardless of CPU level: the scaling comparison
+    # must run the IDENTICAL job (same exchange shape) at every parallelism
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "128"))
+    carry_text = os.environ.get("BENCH_CARRY_TEXT", "1") == "1"
     metrics = None
     for rep in range(2):  # rep 0 warms; rep 1 is the steady-state measurement
         out_dir = f"/tmp/feast_ray_bench/out_cpu{num_cpus}_r{rep}"
         shutil.rmtree(out_dir, ignore_errors=True)
-        metrics = backfill_transcripts(tr_path, out_dir, num_buckets=n_buckets, resume=False)
+        metrics = backfill_transcripts(
+            tr_path, out_dir, num_buckets=n_buckets, resume=False, carry_text=carry_text
+        )
 
     qtimes = {}
     for name, fn in ({} if backfill_only else QUERIES).items():
@@ -119,8 +124,20 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
     }
 
 
-def run_subprocess(num_cpus: int, backfill_only: bool = False) -> dict:
+def run_subprocess(num_cpus: int, backfill_only: bool = False, n_turns: int | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    if n_turns is not None:
+        env["BENCH_TURNS"] = str(n_turns)
+    # Honest scaling requires per-task parallelism == 1: pyarrow (sort/take)
+    # and polars (hash) kernels otherwise fan out to every hardware thread,
+    # so a "2-CPU" Ray session would silently use the whole box.
+    env.update(
+        OMP_NUM_THREADS="1",
+        POLARS_MAX_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+        ARROW_IO_THREADS="2",
+    )
     args = ["--backfill-only"] if backfill_only else []
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)) or ".", "bench.py"), *args],
@@ -143,25 +160,29 @@ def main() -> None:
         # the honest single-box proxy for N -> 4N *nodes* (where bandwidth
         # scales with the cluster).  The 8 -> 32 pair is also reported; it
         # saturates this box's memory bus and understates cluster scaling.
-        results = {c: run_subprocess(c, backfill_only=True) for c in (2, 8, 32)}
-        t = {c: r["turns_per_sec"] for c, r in results.items()}
-        eff_2_8 = (t[8] / t[2]) / 4
-        eff_8_32 = (t[32] / t[8]) / 4
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff_2_8, 3),
-                    "unit": "ratio",
-                    "pair": [2, 8],
-                    "secondary_pair": [8, 32],
-                    "secondary_value": round(eff_8_32, 3),
-                    "turns_per_sec": {str(c): t[c] for c in t},
-                    "sec": {str(c): results[c]["value"] for c in results},
-                    "sf": sf_dir,
-                }
-            )
-        )
+        # The input is sized up (default ~33M turns) so the fastest level
+        # still runs long enough that fixed startup costs are negligible,
+        # and the exchange shape (bucket count) is identical at every level.
+        sc_turns = int(os.environ.get("BENCH_SCALING_TURNS", "24000000"))
+        report = {"metric": "scaling_efficiency", "unit": "ratio", "sf": sf_dir,
+                  "pair": [2, 8], "secondary_pair": [8, 32]}
+        for variant, carry in (("narrow", "0"), ("wide", "1")):
+            os.environ["BENCH_CARRY_TEXT"] = carry
+            results = {
+                c: run_subprocess(c, backfill_only=True, n_turns=sc_turns)
+                for c in (2, 8, 32)
+            }
+            t = {c: r["turns_per_sec"] for c, r in results.items()}
+            report[variant] = {
+                "eff_2_8": round((t[8] / t[2]) / 4, 3),
+                "eff_8_32": round((t[32] / t[8]) / 4, 3),
+                "turns_per_sec": {str(c): t[c] for c in t},
+                "sec": {str(c): results[c]["value"] for c in results},
+            }
+        # primary: narrow-path 2->8 (per-core memory/disk bandwidth constant —
+        # the single-box proxy for N->4N nodes; see BASELINE.md)
+        report["value"] = report["narrow"]["eff_2_8"]
+        print(json.dumps(report))
         return
 
     print(json.dumps(run_bench(sf_dir, num_cpus, n_turns,

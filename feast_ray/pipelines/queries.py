@@ -870,3 +870,113 @@ ORACLE_SQL["streaming_window_features"] = f"""
                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
     FROM e
 """
+
+
+def q_props_extract(sf_dir: str):
+    """Request-payload column processing (S6-adjacent): vectorized regex
+    extraction of the JSON ``props.k`` field, aggregated per event type."""
+    from feast_ray.grouped import grouped_aggregate
+
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(st, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    ex = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        ex,
+        ["event_type"],
+        {"n": ("count", None), "sum_k": ("sum", "k"), "max_k": ("max", "k")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_k": t["sum_k"].cast(pa.int64()),  # int sums exact in f64
+                "max_k": t["max_k"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Vector aggregate: per-label centroid of the embedding column —
+    per-batch partial matrix sums (vectorized numpy), tiny global combine;
+    output exploded to (label, idx, centroid) rows for exact comparison."""
+    import ray.data as rd
+
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.similarity import _embedding_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "idx": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()), "c": pa.array([], pa.int64())}
+            )
+        labels = t["label"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embedding_matrix(t["embedding"])
+        d = mat.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "idx": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.reshape(-1)),
+                "c": pa.array(np.repeat(counts.astype(np.int64), d)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        parts, ["label", "idx"], {"s": ("sum", "s"), "c": ("sum", "c")}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"label": t["label"], "idx": t["idx"], "centroid": pa.array(s / c)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update(
+    {
+        "props_extract": q_props_extract,
+        "embedding_centroids": q_embedding_centroids,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "props_extract": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+                   MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "embedding_centroids": """
+            SELECT label,
+                   CAST(idx AS BIGINT) AS idx,
+                   AVG(v) AS centroid
+            FROM (SELECT label,
+                         generate_subscripts(embedding, 1) AS idx,
+                         unnest(embedding::DOUBLE[]) AS v
+                  FROM embeddings)
+            GROUP BY label, idx
+        """,
+    }
+)
