@@ -245,48 +245,100 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_top_orders(sf_dir: str):
-    """Q3-style multi-way hash join + grouped aggregate + deterministic
-    top-10 (Dataset.join is Ray's hash-partitioned join)."""
+    """Q3-style multi-way join + grouped aggregate + deterministic top-10,
+    in the 100-TB-correct shape: the small sides (filtered customer,
+    customer-filtered orders) are resolved on the driver and BROADCAST via
+    ``ray.put``; the big side (lineitem) is never shuffled — each batch
+    filters, dictionary-looks-up the order date, and partially aggregates,
+    so only one tiny global groupby + top-k sort remains."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     cutoff = np.datetime64("1995-03-15", "us")
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+    # small side 1: BUILDING customers (driver-side: a few thousand keys)
+    cust_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+            ).to_arrow_refs()
+        ]
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    ckeys = cust_tbl.filter(pc.equal(cust_tbl["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].to_numpy()
+    ckeys = np.sort(ckeys)
+
+    # small side 2: their pre-cutoff orders -> sorted (orderkey, orderdate)
+    ord_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            ).to_arrow_refs()
+        ]
     )
+    m = pc.and_(
+        pc.less(ord_tbl["o_orderdate"], pa.scalar(cutoff)),
+        pa.array(
+            ckeys[
+                np.clip(np.searchsorted(ckeys, ord_tbl["o_custkey"].to_numpy()), 0, len(ckeys) - 1)
+            ]
+            == ord_tbl["o_custkey"].to_numpy()
+        )
+        if len(ckeys)
+        else pa.array(np.zeros(ord_tbl.num_rows, dtype=bool)),
+    )
+    ord_tbl = ord_tbl.filter(m)
+    okeys = ord_tbl["o_orderkey"].to_numpy()
+    order_sort = np.argsort(okeys)
+    okeys_sorted = okeys[order_sort]
+    odates_sorted = (
+        ord_tbl["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()[order_sort]
+    )
+    side_ref = ray.put((okeys_sorted, odates_sorted))
+
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(
-        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))).select(
-            ["l_orderkey", "l_extendedprice", "l_discount"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     )
-    co = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(co, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def rev(t: pa.Table) -> pa.Table:
-        # exact integer-scaled revenue (see q_pricing_summary note)
+    def partial(t: pa.Table) -> pa.Table:
+        okeys_s, odates_s = ray.get(side_ref)
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        if len(okeys_s) == 0 or t.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "rc": pa.array([], pa.int64())}
+            )
+        pos = np.clip(np.searchsorted(okeys_s, lk), 0, len(okeys_s) - 1)
+        hit = okeys_s[pos] == lk
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
         rc = np.round((price * (1.0 - disc)) * 10000).astype(np.int64)
-        return t.select(["l_orderkey", "o_orderdate"]).append_column("rc", pa.array(rc))
+        part = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "o_orderdate": pa.array(odates_s[pos]).cast(pa.timestamp("us")),
+                "rc": pa.array(rc),
+            }
+        )
+        # per-batch combine: one row per (orderkey, date) leaves the task
+        return part.group_by(["l_orderkey", "o_orderdate"]).aggregate([("rc", "sum")]).rename_columns(
+            ["l_orderkey", "o_orderdate", "rc"]
+        )
 
-    g = j.map_batches(rev, batch_format="pyarrow").groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("rc", alias_name="rc")
+    g = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rc", alias_name="rc"))
     )
 
     def to_rev(t: pa.Table) -> pa.Table:
