@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis) for the pure numpy kernels — each
+kernel vs an independent naive-Python oracle on randomized small inputs.
+No Ray involvement: these run in milliseconds per example."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from feast_ray.stages.windows import (
+    rolling_aggs,
+    rolling_rows_bounds,
+    rolling_time_bounds,
+    sessionize_ids,
+    shift_indices,
+)
+
+
+# strategy: a list of group sizes + per-row values/timestamps
+group_sizes = st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=6)
+
+
+def _starts(sizes):
+    return np.concatenate(([0], np.cumsum(sizes))).astype(np.int64)
+
+
+def _row_bounds(sizes):
+    starts = _starts(sizes)
+    n = int(starts[-1])
+    gstart = np.repeat(starts[:-1], sizes)
+    gend = np.repeat(starts[1:], sizes)
+    return n, starts, gstart, gend
+
+
+@given(sizes=group_sizes, k=st.integers(min_value=1, max_value=5), lead=st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_shift_indices_property(sizes, k, lead):
+    n, starts, gstart, gend = _row_bounds(sizes)
+    idx = shift_indices(n, gstart, gend, -k if lead else k)
+    vals = np.arange(n)
+    got = [None if not idx[i].is_valid else int(vals[idx[i].as_py()]) for i in range(n)]
+    want = []
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        for i in range(lo, hi):
+            j = i + k if lead else i - k
+            want.append(int(vals[j]) if lo <= j < hi else None)
+    assert got == want
+
+
+@given(
+    sizes=group_sizes,
+    k=st.integers(min_value=1, max_value=6),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_rows_aggs_property(sizes, k, data):
+    n, starts, gstart, _ = _row_bounds(sizes)
+    vals = data.draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    v = np.array([np.nan if x is None else x for x in vals])
+    ws, we = rolling_rows_bounds(n, gstart, k)
+    out = rolling_aggs(v, ws, we, ("count", "sum", "mean", "last", "min", "max"), k_rows=k)
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        for i in range(lo, hi):
+            window = [x for x in vals[max(lo, i - k + 1) : i + 1] if x is not None]
+            assert out["count"][i].as_py() == len(window)
+            if window:
+                assert np.isclose(out["sum"][i].as_py(), sum(window))
+                assert np.isclose(out["mean"][i].as_py(), sum(window) / len(window))
+                assert np.isclose(out["last"][i].as_py(), window[-1])
+                assert np.isclose(out["min"][i].as_py(), min(window))
+                assert np.isclose(out["max"][i].as_py(), max(window))
+            else:
+                for a in ("sum", "mean", "last", "min", "max"):
+                    assert not out[a][i].is_valid
+
+
+@given(
+    sizes=group_sizes,
+    delta=st.integers(min_value=0, max_value=20),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_time_window_property(sizes, delta, data):
+    n, starts, gstart, _ = _row_bounds(sizes)
+    # nondecreasing int timestamps within each group
+    ts = np.zeros(n, dtype=np.int64)
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        gaps = data.draw(
+            st.lists(st.integers(min_value=0, max_value=15), min_size=hi - lo, max_size=hi - lo)
+        )
+        ts[lo:hi] = np.cumsum(gaps)
+    ws, we = rolling_time_bounds(ts, starts, delta)
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        for i in range(lo, hi):
+            in_win = [j for j in range(lo, hi) if ts[i] - delta <= ts[j] <= ts[i]]
+            assert ws[i] == min(in_win) and we[i] == max(in_win) + 1
+
+
+@given(sizes=group_sizes, gap=st.integers(min_value=0, max_value=10), data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_sessionize_property(sizes, gap, data):
+    n, starts, _, _ = _row_bounds(sizes)
+    ts = np.zeros(n, dtype=np.int64)
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        gaps = data.draw(
+            st.lists(st.integers(min_value=0, max_value=15), min_size=hi - lo, max_size=hi - lo)
+        )
+        ts[lo:hi] = np.cumsum(gaps)
+    got = sessionize_ids(ts, starts, gap)
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        sid = 0
+        for i in range(lo, hi):
+            if i > lo and ts[i] - ts[i - 1] > gap:
+                sid += 1
+            assert got[i] == sid
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_pairs_within_groups_property(sizes):
+    from itertools import combinations
+
+    from feast_ray.stages.dedup import pairs_within_groups
+
+    starts = _starts(sizes)
+    vals = np.arange(int(starts[-1]), dtype=np.int64) * 10
+    a, b = pairs_within_groups(vals, starts)
+    got = list(zip(a.tolist(), b.tolist()))
+    want = []
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        want += list(combinations(vals[lo:hi].tolist(), 2))
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_popcount_property(xs):
+    from feast_ray.stages.dedup import _popcount64
+
+    arr = np.array(xs, dtype=np.uint64)
+    got = _popcount64(arr)
+    assert got.tolist() == [bin(x).count("1") for x in xs]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_distinct_gram_hashes_counts_property(texts, k):
+    """Distinct hashed k-grams per doc == distinct k-char substrings
+    (collision-free at these sizes)."""
+    from feast_ray.stages.dedup import distinct_gram_hashes
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    d, g = distinct_gram_hashes(pa.array(texts, type=pa.string()), ids, k)
+    got = {int(i): 0 for i in ids}
+    for i in d:
+        got[int(i)] += 1
+    for i, t in enumerate(texts):
+        want = len({t[j : j + k] for j in range(len(t) - k + 1)})
+        assert got[i] == want, (i, t)
