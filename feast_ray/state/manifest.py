@@ -119,3 +119,60 @@ def load_manifests(out_dir: str) -> list[dict]:
             except (json.JSONDecodeError, OSError):
                 pass
     return out
+
+
+def persist_dataset(
+    ds,
+    out_dir: str,
+    *,
+    name: str,
+    partition_cols: Optional[list] = None,
+    config: Optional[dict] = None,
+) -> dict:
+    """Persist a retrieval result as a SavedDataset (reference:
+    ``RetrievalJob.persist`` -> ``saved_dataset.py::SavedDatasetFileStorage``):
+    partitioned parquet + one dataset-level manifest recording schema,
+    row count, and the config fingerprint.
+
+    Unlike the per-bucket backfill sink this is the generic "persist what
+    this lazy Dataset produces" path; Ray streams blocks straight to files
+    (no driver materialization)."""
+    import time
+
+    import pyarrow as pa
+
+    t0 = time.perf_counter()
+    os.makedirs(out_dir, exist_ok=True)
+    if partition_cols:
+        ds = ds.write_parquet(out_dir, partition_cols=list(partition_cols))
+    else:
+        ds.write_parquet(out_dir)
+    # count + schema from the written files (cheap metadata scan)
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(out_dir, format="parquet")
+    rows = written.count_rows()
+    schema = {f.name: str(f.type) for f in written.schema}
+    rec = {
+        "name": name,
+        "status": "done",
+        "rows": int(rows),
+        "schema": schema,
+        "fingerprint": config_fingerprint(config or {"name": name}),
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(out_dir, "_saved_dataset.json"))
+    return rec
+
+
+def load_saved_dataset(out_dir: str):
+    """Re-open a persisted dataset (lazy); returns (Dataset, manifest)."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_saved_dataset.json")) as f:
+        rec = json.load(f)
+    files_ds = rd.read_parquet(out_dir)
+    return files_ds, rec

@@ -29,6 +29,11 @@ Scale: P actors ~= cluster cores; carry is O(active_convs x overlap_rows)
 per actor — bounded by evicting conversations idle past ``evict_idle_us``
 (their next turn would start a new session anyway, so correctness of
 session ids survives eviction only if eviction >= session gap; enforced).
+NOTE: eviction IS a semantic trade-off for the other windows — after an
+evicted conversation resumes, lag/rolling features restart from empty
+history (null lag at the resume row) where the batch path would look back
+across the idle gap.  Eviction is off by default; enable it only when
+features are session-scoped or the divergence is acceptable.
 """
 
 from __future__ import annotations

@@ -146,3 +146,22 @@ def test_feature_dataset_matches_backfill(ray_session, fixture_dir, tmp_path):
         lv = lazy[c].to_numpy(dtype=float, na_value=np.nan)
         wv = written[c].to_numpy(dtype=float, na_value=np.nan)
         assert np.allclose(lv, wv, equal_nan=True)
+
+
+def test_persist_and_reload_saved_dataset(ray_session, tmp_path, fixture_dir):
+    """K1 persist analog: retrieval result -> partitioned parquet +
+    dataset manifest -> lazy reload with identical content."""
+    import ray.data as rd
+
+    from feast_ray.state.manifest import load_saved_dataset, persist_dataset
+
+    ds = rd.read_parquet(os.path.join(fixture_dir, "features_numeric.parquet"))
+    out = str(tmp_path / "saved")
+    rec = persist_dataset(ds, out, name="convfeat_training", config={"v": 1})
+    assert rec["status"] == "done" and rec["rows"] == ds.count()
+    re_ds, re_rec = load_saved_dataset(out)
+    assert re_rec["name"] == "convfeat_training"
+    a = ds.to_pandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    b = re_ds.to_pandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert set(a.columns) == set(b.columns)
