@@ -418,9 +418,10 @@ def q_text_stats_docs(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
         n_tokens = pc.count_substring_regex(t["text"], "[A-Za-z0-9_]+").cast(pa.int64())
-        dens = pc.round(
-            pc.divide(n_tokens.cast(pa.float64()), pc.max_element_wise(n_chars.cast(pa.float64()), 1.0)),
-            ndigits=6,
+        # raw ratio, NOT rounded: half-ties (e.g. 0.1953125) flip between
+        # numpy's half-even and DuckDB's half-away rounding — found at sf0.1
+        dens = pc.divide(
+            n_tokens.cast(pa.float64()), pc.max_element_wise(n_chars.cast(pa.float64()), 1.0)
         )
         return pa.table(
             {
@@ -589,8 +590,8 @@ ORACLE_SQL = {
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
-               ROUND(CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
-                     / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 6) AS token_density
+               CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+                     / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS token_density
         FROM documents
     """,
     "knn_topk": """
