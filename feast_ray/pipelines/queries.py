@@ -1033,3 +1033,66 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_asof_click_broadcast(sf_dir: str):
+    """The J4 broadcast variant of asof_click_value: the per-(user, ts)
+    click aggregate is small, so it is materialized once, ``ray.put``, and
+    every actor resolves spine batches with merge_asof — ZERO shuffle of
+    the spine.  Same semantics as the shuffle path (same oracle)."""
+    import pyarrow as pa
+    import ray
+
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.asof import asof_join_broadcast
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    spine = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts = [
+        ray.get(r)
+        for r in grouped_aggregate(
+            clicks, ["user_id", "ts"],
+            {"v_click": ("max", "value"), "n_click": ("count", None)},
+        ).to_arrow_refs()
+    ]
+    # empty buckets surface as 0-row blocks with a degenerate schema
+    feats_tbl = pa.concat_tables([p for p in parts if p.num_rows])
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("n_click"), "n_click", t["n_click"].cast(pa.int64())
+        )
+
+    out = asof_join_broadcast(
+        spine, fix_types(feats_tbl), key="user_id", ttl_us=ASOF_TTL_US,
+        feature_cols=["v_click", "n_click"],
+    )
+    return out
+
+
+QUERIES["asof_click_broadcast"] = q_asof_click_broadcast
+ORACLE_SQL["asof_click_broadcast"] = """
+    WITH spine AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT user_id, ts, max(value) AS v_click, count(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT s.user_id, s.event_id, s.ts,
+           CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.v_click END AS v_click,
+           CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.n_click END AS n_click
+    FROM spine s ASOF LEFT JOIN f
+      ON s.user_id = f.user_id AND f.ts <= s.ts
+"""
