@@ -27,21 +27,6 @@ def _events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def _round_cols(cols: dict[str, int]):
-    """numpy-based rounding (pyarrow's round can return a non-canonical
-    neighbouring double; np.round matches DuckDB's ROUND on doubles)."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        for c, nd in cols.items():
-            i = t.column_names.index(c)
-            v = t[c].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
-            nulls = np.isnan(v)
-            t = t.set_column(i, c, pa.array(np.round(v, nd), mask=nulls))
-        return t
-
-    return fn
-
-
 # ---------------------------------------------------------------------------
 # Per-entity window operators over the events stream (A1-A4, SURVEY §2.5)
 # ---------------------------------------------------------------------------
