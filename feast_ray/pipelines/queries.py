@@ -1081,3 +1081,72 @@ ORACLE_SQL["asof_click_broadcast"] = """
     FROM spine s ASOF LEFT JOIN f
       ON s.user_id = f.user_id AND f.ts <= s.ts
 """
+
+
+def q_expanding_events(sf_dir: str):
+    """Cumulative (expanding) aggregates + row_number + rolling min/max per
+    user — the running-feature family (SQL: ROWS UNBOUNDED PRECEDING)."""
+    from feast_ray.stages.windows import (
+        Expanding,
+        RollingRows,
+        RowNumber,
+        add_window_features,
+    )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column("vc", pa.array(np.round(v * 100).astype(np.int64)))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[
+            RowNumber(),
+            Expanding("vc", aggs=("count", "sum")),
+            RollingRows("value", 7, aggs=("min", "max"), prefix="r7"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["vc_cum_sum"].to_numpy(zero_copy_only=False)  # exact int sums
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "row_number": t["row_number"],
+                "cum_count": t["vc_cum_count"],
+                "cum_sum": pa.array(s / 100.0),
+                "r7_min": t["r7_min"],
+                "r7_max": t["r7_max"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["expanding_events"] = q_expanding_events
+ORACLE_SQL["expanding_events"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events)
+    SELECT user_id, event_id, ts,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_number,
+           CAST(COUNT(vc) OVER wc AS BIGINT) AS cum_count,
+           CAST(SUM(vc) OVER wc AS DOUBLE) / 100.0 AS cum_sum,
+           MIN(value) OVER w7 AS r7_min,
+           MAX(value) OVER w7 AS r7_max
+    FROM e
+    WINDOW
+      w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      wc AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING),
+      w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

@@ -46,10 +46,12 @@ import pyarrow.compute as pc
 
 from feast_ray.grouped import grouped_map, starts_to_row_gstart
 from feast_ray.stages.windows import (
+    Expanding,
     Lag,
     Lead,
     RollingRows,
     RollingTime,
+    RowNumber,
     Sessionize,
     make_window_kernel,
 )
@@ -123,6 +125,13 @@ def salted_window_features(
     :func:`feast_ray.stages.windows.add_window_features` exactly (modulo row
     order) under the overlap contract in the module docstring."""
     specs = list(specs)
+    bad = [s for s in specs if isinstance(s, (Expanding, RowNumber))]
+    if bad:
+        raise ValueError(
+            f"{[type(s).__name__ for s in bad]} need full entity history and "
+            "cannot run under bounded-overlap salting; compute them on the "
+            "unsalted path (their state is O(1) per entity, not O(rows))"
+        )
     ovl = overlap_rows if overlap_rows is not None else required_overlap(specs, time_rows_bound)
     if ovl >= chunk_rows:
         raise ValueError(f"overlap_rows ({ovl}) must be < chunk_rows ({chunk_rows})")

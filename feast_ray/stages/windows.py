@@ -104,6 +104,26 @@ class Sessionize:
     name: str = "session_id"
 
 
+@dataclass(frozen=True)
+class Expanding:
+    """Cumulative aggregates from the entity's first row to the current row
+    (SQL ``ROWS UNBOUNDED PRECEDING``)."""
+
+    col: str
+    aggs: tuple[str, ...] = ("count", "sum")
+    prefix: Optional[str] = None
+
+    def out(self, agg: str) -> str:
+        return f"{self.prefix or f'{self.col}_cum'}_{agg}"
+
+
+@dataclass(frozen=True)
+class RowNumber:
+    """1-based ordinal within the entity under the sort order."""
+
+    name: str = "row_number"
+
+
 WindowSpec = object  # union of the above
 
 
@@ -290,6 +310,15 @@ def make_window_kernel(specs: Sequence[WindowSpec], ts_col: str):
                     ts = _ts_np(tbl, ts_col)
                 sid = sessionize_ids(ts, starts, spec.gap_us)
                 out = out.append_column(spec.name, pa.array(sid))
+            elif isinstance(spec, Expanding):
+                v = _numeric_np(tbl, spec.col)
+                ws = gstart
+                we = np.arange(n, dtype=np.int64) + 1
+                for a, arr in rolling_aggs(v, ws, we, spec.aggs).items():
+                    out = out.append_column(spec.out(a), arr)
+            elif isinstance(spec, RowNumber):
+                rn = np.arange(n, dtype=np.int64) - gstart + 1
+                out = out.append_column(spec.name, pa.array(rn))
             else:
                 raise TypeError(f"unknown window spec {spec!r}")
         return out
@@ -304,11 +333,11 @@ def _empty_with_spec_columns(tbl: pa.Table, specs: Sequence[WindowSpec]) -> pa.T
             out = out.append_column(
                 spec.out, pa.array([], type=tbl.schema.field(spec.col).type)
             )
-        elif isinstance(spec, (RollingRows, RollingTime)):
+        elif isinstance(spec, (RollingRows, RollingTime, Expanding)):
             for a in spec.aggs:
                 t = pa.int64() if a == "count" else pa.float64()
                 out = out.append_column(spec.out(a), pa.array([], type=t))
-        elif isinstance(spec, Sessionize):
+        elif isinstance(spec, (Sessionize, RowNumber)):
             out = out.append_column(spec.name, pa.array([], type=pa.int64()))
     return out
 

@@ -66,8 +66,15 @@ class TurnShardActor:
         time_rows_bound: int = 0,
         evict_idle_us: Optional[int] = None,
     ):
+        from feast_ray.stages.windows import Expanding, RowNumber
+
         if any(isinstance(s, Lead) for s in specs):
             raise ValueError("Lead specs are not computable on a stream (future turns)")
+        if any(isinstance(s, (Expanding, RowNumber)) for s in specs):
+            raise ValueError(
+                "Expanding/RowNumber need full-history offsets; not supported "
+                "by the bounded turn buffer (use the batch path)"
+            )
         self.specs = list(specs)
         self.key = key
         self.ts_col = ts_col

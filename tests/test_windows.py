@@ -160,3 +160,57 @@ def test_text_byte_equality_under_stable_order(ray_session, transcripts_tbl):
     )
     assert (got["text"] == want["text"]).all()
     assert (got["turn_idx"] == want["turn_idx"]).all()
+
+
+def test_expanding_and_row_number(ray_session, transcripts_tbl):
+    """Expanding count/sum and row_number vs a pandas oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import Expanding, RowNumber, add_window_features
+
+    tbl = transcripts_tbl.append_column(
+        "msg_len", pc.utf8_length(transcripts_tbl["text"]).cast(pa.int32())
+    )
+    got = (
+        add_window_features(
+            rd.from_arrow(tbl).repartition(4),
+            key="conv_id",
+            ts_col="ts",
+            order_cols=["ts", "turn_idx"],
+            specs=[RowNumber(), Expanding("msg_len", aggs=("count", "sum", "mean"))],
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = tbl.to_pandas().sort_values(["conv_id", "ts", "turn_idx"])
+    g = pdf.groupby("conv_id")["msg_len"]
+    pdf["row_number"] = g.cumcount() + 1
+    pdf["cum_count"] = g.cumcount() + 1
+    pdf["cum_sum"] = g.cumsum().astype(float)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["row_number"].tolist() == pdf["row_number"].tolist()
+    assert got["msg_len_cum_count"].tolist() == pdf["cum_count"].tolist()
+    assert np.allclose(got["msg_len_cum_sum"], pdf["cum_sum"])
+    assert np.allclose(got["msg_len_cum_mean"], pdf["cum_sum"] / pdf["cum_count"])
+
+
+def test_salt_and_stream_reject_full_history_specs(ray_session, transcripts_tbl):
+    import pytest as _pytest
+    import ray
+    import ray.data as rd
+
+    from feast_ray.stages.salt import salted_window_features
+    from feast_ray.stages.windows import Expanding, RowNumber
+    from feast_ray.state.turn_buffer import TurnShardActor
+
+    ds = rd.from_arrow(transcripts_tbl)
+    with _pytest.raises(ValueError):
+        salted_window_features(ds, specs=[Expanding("turn_idx")], chunk_rows=64)
+    with _pytest.raises(ValueError):
+        salted_window_features(ds, specs=[RowNumber()], chunk_rows=64)
+    a = TurnShardActor.remote([RowNumber()])
+    with _pytest.raises(Exception):
+        ray.get(a.stats.remote())
+    ray.kill(a)
