@@ -1150,3 +1150,25 @@ ORACLE_SQL["expanding_events"] = """
       w7 AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_topk_events_per_user(sf_dir: str):
+    """The 3 newest events per user with a recency rank (A6 generalized to
+    top-k; one bucketed shuffle, vectorized per-group tail-k)."""
+    from feast_ray.stages.latest import topk_per_entity
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    return topk_per_entity(
+        ds, keys="user_id", ts_col="ts", k=3, tie_break_cols=["event_id"]
+    )
+
+
+QUERIES["topk_events_per_user"] = q_topk_events_per_user
+ORACLE_SQL["topk_events_per_user"] = """
+    SELECT user_id, event_id, ts, event_type, value,
+           CAST(rn AS BIGINT) AS recency_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn <= 3
+"""

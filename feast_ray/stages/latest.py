@@ -61,3 +61,54 @@ def latest_per_entity(
         sort_keys.append(created_ts_col)
     sort_keys += list(tie_break_cols)
     return grouped_map(ds, keys, latest_kernel, sort_keys=sort_keys, num_buckets=num_buckets)
+
+
+def topk_kernel(k: int, rank_col: Optional[str] = None):
+    """Per-group newest-k rows (vectorized tail-k over all groups at once);
+    optionally emits a 1-based recency rank (1 = newest)."""
+
+    def kernel(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            out = tbl
+            if rank_col:
+                out = out.append_column(rank_col, pa.array([], type=pa.int64()))
+            return out
+        sizes = np.diff(starts)
+        take = np.minimum(sizes, k)
+        # indices of the last `take[g]` rows of each group
+        total = int(take.sum())
+        rep_end = np.repeat(starts[1:], take)
+        csum = np.concatenate(([0], np.cumsum(take)))
+        local = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], take)
+        idx = rep_end - np.repeat(take, take) + local
+        out = tbl.take(pa.array(idx))
+        if rank_col:
+            rank = np.repeat(take, take) - local  # newest row -> rank 1
+            out = out.append_column(rank_col, pa.array(rank))
+        return out
+
+    return kernel
+
+
+def topk_per_entity(
+    ds,
+    *,
+    keys: str | Sequence[str],
+    ts_col: str,
+    k: int,
+    created_ts_col: Optional[str] = None,
+    tie_break_cols: Sequence[str] = (),
+    rank_col: Optional[str] = "recency_rank",
+    num_buckets: Optional[int] = None,
+):
+    """The k newest rows per entity (A6 generalized; SQL
+    ``ROW_NUMBER() OVER (... ORDER BY ts DESC) <= k``)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_keys = [ts_col]
+    if created_ts_col:
+        sort_keys.append(created_ts_col)
+    sort_keys += list(tie_break_cols)
+    return grouped_map(
+        ds, keys, topk_kernel(k, rank_col), sort_keys=sort_keys, num_buckets=num_buckets
+    )
