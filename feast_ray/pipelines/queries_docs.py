@@ -248,3 +248,24 @@ ORACLE_SQL_DOCS = {
         FROM documents
     """,
 }
+
+
+def q_knn_ivf_topk(sf_dir: str):
+    """IVF-clustered ANN (the second scale path besides LSH): mini-kmeans
+    coarse quantizer, probe the nearest nprobe clusters only (recall pinned
+    by tests, no SQL twin)."""
+    import ray.data as rd
+
+    from feast_ray.stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+    return ivf_topk(ds, qvec, k=10, exclude_ids=(0,), nlist=16, nprobe=4)
+
+
+QUERIES_DOCS["knn_ivf_topk"] = q_knn_ivf_topk

@@ -138,3 +138,101 @@ def lsh_bucket_topk(
 
     cands = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return _topk_sort(cands, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered scale path
+# ---------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """Seeded mini-kmeans coarse quantizer (IVF).
+
+    ``fit`` runs a few Lloyd iterations over a deterministic sample;
+    ``assign`` maps vectors to their nearest centroid (one matmul).  At
+    100 TB the assignment is a one-off ``map_batches`` whose output becomes
+    the partition key, so a query reads only ``nprobe / nlist`` of the
+    corpus; locally the filter is applied per batch.
+    """
+
+    def __init__(self, nlist: int = 16, n_iter: int = 8, seed: int = 23):
+        self.nlist = nlist
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: Optional[np.ndarray] = None
+
+    def fit(self, sample: np.ndarray) -> "IvfIndex":
+        rng = np.random.default_rng(self.seed)
+        n = len(sample)
+        k = min(self.nlist, n)
+        cent = sample[rng.choice(n, size=k, replace=False)].astype(np.float64)
+        for _ in range(self.n_iter):
+            d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    cent[j] = sample[m].mean(axis=0)
+        self.centroids = cent
+        return self
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        c = self.centroids
+        d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+        return np.argmin(d, axis=1)
+
+    def probes(self, qvec: np.ndarray, nprobe: int) -> np.ndarray:
+        d = ((self.centroids - qvec[None, :]) ** 2).sum(axis=1)
+        return np.argsort(d)[:nprobe]
+
+
+def ivf_topk(
+    ds,
+    qvec: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 23,
+    exclude_ids: Sequence[int] = (),
+):
+    """Approximate top-k via IVF: score only vectors whose coarse cluster is
+    among the query's ``nprobe`` nearest centroids.
+
+    Train sample: the first ``train_sample`` rows in id order (deterministic;
+    at scale use a pushdown-sampled read).  Centroids are broadcast via the
+    task closure (a few KB)."""
+    import ray
+
+    q = np.asarray(qvec, dtype=np.float64)
+    head = ds.sort(id_col).limit(train_sample).take_all()
+    sample = np.asarray([r[emb_col] for r in head], dtype=np.float64)
+    index = IvfIndex(nlist=nlist, n_iter=8, seed=seed).fit(sample)
+    probe_set = set(int(x) for x in index.probes(q, nprobe))
+    excl = np.asarray(list(exclude_ids), dtype=np.int64)
+    idx_ref = ray.put(index.centroids)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cos_sim": pa.array([], type=pa.float64())}
+            )
+        cents = ray.get(idx_ref)
+        local = IvfIndex(nlist=nlist, seed=seed)
+        local.centroids = cents
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embedding_matrix(t[emb_col])
+        cl = local.assign(mat)
+        keep = np.isin(cl, list(probe_set)) & ~np.isin(ids, excl)
+        ids, mat = ids[keep], mat[keep]
+        cos = cosine_scores(mat, q) if len(ids) else np.zeros(0)
+        if len(cos) > k:
+            part = np.argpartition(-cos, k - 1)[:k]
+            ids, cos = ids[part], cos[part]
+        return pa.table({id_col: pa.array(ids), "cos_sim": pa.array(np.round(cos, 6))})
+
+    cands = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk_sort(cands, k, id_col)

@@ -299,3 +299,30 @@ def test_multimodal_pil_mode_is_marked_stub():
         pass
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(mode="pil")
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF with nprobe=4/16 must recover most of the exact top-10 (the
+    query's own cluster plus 3 neighbors usually hold the near vectors)."""
+    import ray.data as rd
+
+    from feast_ray.stages.similarity import IvfIndex, brute_force_topk, ivf_topk
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl).repartition(4)
+    qvec = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    exact = set(brute_force_topk(ds, qvec, k=10, exclude_ids=(0,)).to_pandas()["vec_id"])
+    approx = set(ivf_topk(ds, qvec, k=10, exclude_ids=(0,), nlist=16, nprobe=4).to_pandas()["vec_id"])
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.5
+
+
+def test_ivf_assign_deterministic():
+    from feast_ray.stages.similarity import IvfIndex
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(300, 8))
+    a = IvfIndex(nlist=8, seed=5).fit(data).assign(data)
+    b = IvfIndex(nlist=8, seed=5).fit(data).assign(data)
+    assert (a == b).all()
+    assert len(np.unique(a)) > 1
