@@ -200,6 +200,7 @@ def grouped_aggregate(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, Optional[str]]],
     *,
+    sort_keys: Sequence[str] = (),
     num_buckets: Optional[int] = None,
 ):
     """One row per key group with vectorized aggregates.
@@ -217,6 +218,11 @@ def grouped_aggregate(
             raise ValueError(f"unknown agg op {op!r} for {out!r}")
         if op != "count" and col is None:
             raise ValueError(f"agg {out!r}: op {op!r} needs an input column")
+        if op in ("first", "last") and not sort_keys:
+            raise ValueError(
+                f"agg {out!r}: {op!r} is order-dependent — pass sort_keys= "
+                "(within-group row order is otherwise shuffle-nondeterministic)"
+            )
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         firsts = starts[:-1]
@@ -253,4 +259,4 @@ def grouped_aggregate(
                 cols[out] = pa.array(m, mask=~np.isfinite(m))
         return pa.table(cols)
 
-    return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
+    return grouped_map(ds, keys, kernel, sort_keys=list(sort_keys), num_buckets=num_buckets)

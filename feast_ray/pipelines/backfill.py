@@ -371,5 +371,6 @@ def backfill_incremental(
     end_ts_us = _max_ts_from_stats(dset)
     _store_watermark(out_dir, end_ts_us, (wm or {}).get("runs", 0) + 1)
     res["new_buckets"] = b if affected is None else len(affected)
+    res["new_turns"] = res["rows"] if wm is None else int(new_rows.num_rows)
     res["watermark_us"] = end_ts_us
     return res

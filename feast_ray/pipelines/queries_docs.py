@@ -222,7 +222,7 @@ ORACLE_SQL_DOCS = {
     "quality_score_docs": _quality_sql(),
     "neardup_jaccard_docs": f"""
         WITH {_JACCARD_PAIRS_CTE}
-        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= {JACCARD_TAU}
+        SELECT doc_a, doc_b, j AS jaccard FROM jac WHERE j >= {JACCARD_TAU}
     """,
     # LSH misses are (1 - J^2)^32 < 1e-5 at J >= 0.5 and verified absent on
     # this dataset at sf0.01/0.1 — candidates are exact-verified, so the SQL

@@ -329,7 +329,7 @@ def asof_join_broadcast(
 # ---------------------------------------------------------------------------
 
 
-from dataclasses import dataclass, field as _field
+from dataclasses import dataclass
 
 
 @dataclass
@@ -513,18 +513,23 @@ def asof_join_multi(
                         tbl[o].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)[pos]
                     )
                     nan = np.isnan(src_v)
+                    # per-segment count of non-null source values: an
+                    # all-null tie segment must yield NULL (SQL semantics),
+                    # not -inf/+inf/0.0
+                    cvalid = np.diff(
+                        np.concatenate(([0], np.cumsum(~nan)))[
+                            np.concatenate((seg_start, [len(pos)]))
+                        ]
+                    )
+                    seg_ok = cvalid > 0
                     if op == "count":
                         seg = sizes.astype(np.int64)
+                        seg_ok = np.ones(len(sizes), dtype=bool)  # count(*) of a match is valid
                     elif op in ("sum", "mean"):
                         s = np.add.reduceat(np.where(nan, 0.0, src_v), seg_start)
                         if op == "sum":
                             seg = s
                         else:
-                            cvalid = np.diff(
-                                np.concatenate(([0], np.cumsum(~nan)))[
-                                    np.concatenate((seg_start, [len(pos)]))
-                                ]
-                            )
                             with np.errstate(invalid="ignore", divide="ignore"):
                                 seg = s / cvalid
                     elif op == "max":
@@ -533,7 +538,7 @@ def asof_join_multi(
                         seg = np.minimum.reduceat(np.where(nan, np.inf, src_v), seg_start)
                     else:
                         raise ValueError(f"unknown agg op {op!r}")
-                    agg_vals[o] = ("seg", rep, seg)
+                    agg_vals[o] = ("seg", rep, seg, seg_ok)
             else:
                 cand = np.where(mask, ar, np.int64(-1))
             last = np.maximum.accumulate(cand) if n else cand
@@ -547,18 +552,18 @@ def asof_join_multi(
                 if agg_vals is None or o not in agg_vals or agg_vals[o][0] == "take":
                     out_cols[o] = pc.take(tbl[o].combine_chunks(), idx_arr)
                 else:
-                    _tag, rep, seg = agg_vals[o]
+                    _tag, rep, seg, seg_ok = agg_vals[o]
                     full = np.full(n, np.nan)
-                    full[rep] = seg
+                    full[rep] = np.where(seg_ok, seg, np.nan)
                     vals = full[safe]
-                    miss = ~valid | np.isnan(vals)
+                    miss = ~valid | np.isnan(vals) | ~np.isfinite(vals)
                     ftype = union_schema.field(o).type
                     if pa.types.is_integer(ftype):
                         out_cols[o] = pa.array(
                             np.where(miss, 0, vals).astype(np.int64), mask=miss
                         )
                     else:
-                        out_cols[o] = pa.array(vals, mask=miss)
+                        out_cols[o] = pa.array(np.where(miss, np.nan, vals), mask=miss)
             if v.agg is not None and len(pos) == 0:
                 for o in m["out"]:
                     out_cols[o] = pa.nulls(len(spi), type=union_schema.field(o).type)

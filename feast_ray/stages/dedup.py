@@ -128,14 +128,6 @@ def gram_table(tbl: pa.Table, *, text_col: str, id_col: str, k: int) -> pa.Table
     return pa.table({"doc_id": pa.array(d), "gh": pa.array(g.view(np.int64))})
 
 
-def gram_counts(tbl: pa.Table, *, text_col: str, id_col: str, k: int) -> pa.Table:
-    """Per-doc distinct gram count (batch-local — grams of a doc live in its batch)."""
-    t = gram_table(tbl, text_col=text_col, id_col=id_col, k=k)
-    d = t["doc_id"].to_numpy()
-    uniq, cnt = np.unique(d, return_counts=True)
-    return pa.table({"doc_id": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))})
-
-
 # ---------------------------------------------------------------------------
 # Vectorized pair generation over grouped buckets
 # ---------------------------------------------------------------------------
@@ -187,8 +179,15 @@ def _count_pairs(pair_ds, num_buckets: Optional[int]):
     """(doc_a, doc_b) -> occurrence count, via one int64-key grouped shuffle."""
 
     def pack(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy().astype(np.uint64)
-        b = t["doc_b"].to_numpy().astype(np.uint64)
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        if len(a) and (a.min() < 0 or b.max() >= 1 << 32):
+            raise ValueError(
+                "pair packing requires doc ids in [0, 2^32); remap 64-bit or "
+                "negative id spaces to a dense ordinal before dedup"
+            )
+        a = a.astype(np.uint64)
+        b = b.astype(np.uint64)
         return pa.table({"pk": pa.array(((a << np.uint64(32)) | b).view(np.int64))})
 
     packed = pair_ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
@@ -222,13 +221,14 @@ def jaccard_pair_pipeline(
     tau: float = 0.2,
     max_df: Optional[int] = None,
     num_buckets: Optional[int] = None,
-    round_digits: int = 6,
 ):
     """Exact pairs with char-k-gram Jaccard >= tau.
 
-    documents -> (gram_hash, doc) -> group by gram -> pairs -> count shared
-    grams -> jaccard = inter / (|A| + |B| - inter) with per-doc sizes
-    broadcast (tiny aggregate).
+    documents -> (gram_hash, doc) [materialized ONCE — the single gram pass
+    feeds both per-doc sizes and pair generation] -> group by gram -> pairs
+    -> count shared grams -> jaccard = inter / (|A| + |B| - inter) with
+    per-doc sizes broadcast (tiny aggregate; dense array indexed by doc_id —
+    remap sparse 64-bit id spaces to dense ordinals first).
     """
     import ray
 
@@ -236,20 +236,25 @@ def jaccard_pair_pipeline(
         lambda t: gram_table(t, text_col=text_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))})
+
     sizes_tbl = (
-        ds.map_batches(
-            lambda t: gram_counts(t, text_col=text_col, id_col=id_col, k=k),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()  # one row per document — the small aggregate side
+        grams.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        # robust to a document's grams splitting across blocks: partial
+        # counts sum up
+        .groupby("doc_id", as_index=False)["n_grams"].sum()
     )
-    size_map = dict(zip(sizes_tbl["doc_id"].astype(np.int64), sizes_tbl["n_grams"].astype(np.int64)))
-    max_id = max(size_map) if size_map else 0
-    size_arr = np.zeros(int(max_id) + 1, dtype=np.int64)
-    for i, s in size_map.items():
-        size_arr[i] = s
+    max_id = int(sizes_tbl["doc_id"].max()) if len(sizes_tbl) else 0
+    size_arr = np.zeros(max_id + 1, dtype=np.int64)
+    size_arr[sizes_tbl["doc_id"].to_numpy(dtype=np.int64)] = sizes_tbl["n_grams"].to_numpy(
+        dtype=np.int64
+    )
     sizes_ref = ray.put(size_arr)
 
     pair_cands = grouped_map(grams, ["gh"], _pair_gen_kernel(max_df), num_buckets=num_buckets)
@@ -264,11 +269,14 @@ def jaccard_pair_pipeline(
         with np.errstate(invalid="ignore", divide="ignore"):
             j = inter / union
         keep = j >= tau
+        # raw ratio, NOT rounded: jaccard is a ratio of small ints, so
+        # decimal half-ties are common and numpy (half-even) vs SQL ROUND
+        # (half-away) would flip them; the raw doubles are bit-identical
         return pa.table(
             {
                 "doc_a": pa.array(a[keep]),
                 "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(np.round(j[keep], round_digits)),
+                "jaccard": pa.array(j[keep]),
             }
         )
 
@@ -331,7 +339,6 @@ def minhash_pair_pipeline(
     n_bands: int = 32,
     seed: int = 11,
     num_buckets: Optional[int] = None,
-    round_digits: int = 6,
 ):
     """LSH candidate pairs verified with exact Jaccard (>= tau).
 
@@ -379,7 +386,7 @@ def minhash_pair_pipeline(
             {
                 "doc_a": pa.array(a[keep]),
                 "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(np.round(ja[keep], round_digits)),
+                "jaccard": pa.array(ja[keep]),
             }
         )
 
@@ -501,7 +508,6 @@ def simhash_pair_pipeline(
         texts = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         sig = simhash64(texts, seed)
-        rows = []
         mask = np.uint64((1 << band_bits) - 1)
         bks = np.empty((len(ids), n_bands), dtype=np.uint64)
         for b in range(n_bands):

@@ -132,6 +132,17 @@ def salted_window_features(
             "cannot run under bounded-overlap salting; compute them on the "
             "unsalted path (their state is O(1) per entity, not O(rows))"
         )
+    if (
+        overlap_rows is None
+        and time_rows_bound == 0
+        and any(isinstance(s, RollingTime) for s in specs)
+    ):
+        raise ValueError(
+            "RollingTime under salting needs a row bound for its lookback: "
+            "pass time_rows_bound=<max rows within delta_us per entity> or an "
+            "explicit overlap_rows — otherwise boundary windows would be "
+            "silently truncated"
+        )
     ovl = overlap_rows if overlap_rows is not None else required_overlap(specs, time_rows_bound)
     if ovl >= chunk_rows:
         raise ValueError(f"overlap_rows ({ovl}) must be < chunk_rows ({chunk_rows})")

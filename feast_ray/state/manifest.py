@@ -137,14 +137,17 @@ def persist_dataset(
     Unlike the per-bucket backfill sink this is the generic "persist what
     this lazy Dataset produces" path; Ray streams blocks straight to files
     (no driver materialization)."""
+    import shutil
     import time
 
-    import pyarrow as pa
-
     t0 = time.perf_counter()
+    # a persist is a full snapshot: clear any previous generation so the
+    # manifest and a later load cannot silently mix old and new files
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     if partition_cols:
-        ds = ds.write_parquet(out_dir, partition_cols=list(partition_cols))
+        ds.write_parquet(out_dir, partition_cols=list(partition_cols))
     else:
         ds.write_parquet(out_dir)
     # count + schema from the written files (cheap metadata scan)

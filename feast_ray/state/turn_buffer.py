@@ -75,6 +75,18 @@ class TurnShardActor:
                 "Expanding/RowNumber need full-history offsets; not supported "
                 "by the bounded turn buffer (use the batch path)"
             )
+        from feast_ray.stages.windows import RollingTime
+
+        if (
+            overlap_rows is None
+            and time_rows_bound == 0
+            and any(isinstance(s, RollingTime) for s in specs)
+        ):
+            raise ValueError(
+                "RollingTime needs a row bound for its lookback on the stream: "
+                "pass time_rows_bound= or overlap_rows= (silent truncation "
+                "otherwise)"
+            )
         self.specs = list(specs)
         self.key = key
         self.ts_col = ts_col

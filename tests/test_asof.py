@@ -197,3 +197,47 @@ def test_multi_view_equals_iterative(ray_session, small_spine, features_tbl):
             assert ((np.isnan(ga) & np.isnan(wa)) | np.isclose(ga, wa, equal_nan=True)).all(), c
         else:
             assert gv.where(gv.notna(), None).tolist() == wv.where(wv.notna(), None).tolist(), c
+
+
+def test_multi_view_all_null_agg_segment_yields_null(ray_session):
+    """Regression: an all-null (key, ts) tie segment must join as NULL, not
+    -inf / +inf / 0.0 (SQL aggregate-over-nulls semantics)."""
+    import ray.data as rd
+
+    from feast_ray.stages.asof import AsofView, asof_join_multi
+
+    spine = rd.from_arrow(
+        pa.table({"k": ["a"], "ts": pa.array([1000], type=pa.int64())})
+    )
+    feats = rd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a"],
+                "ts": pa.array([500, 500], type=pa.int64()),
+                "value": pa.array([None, None], type=pa.float64()),
+            }
+        )
+    )
+    out = asof_join_multi(
+        spine,
+        [
+            AsofView(
+                feats,
+                agg={
+                    "v_max": ("max", "value"),
+                    "v_min": ("min", "value"),
+                    "v_sum": ("sum", "value"),
+                    "v_mean": ("mean", "value"),
+                    "n": ("count", None),
+                },
+            )
+        ],
+        key="k",
+        spine_ts="ts",
+        num_buckets=2,
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    for c in ("v_max", "v_min", "v_sum", "v_mean"):
+        assert row[c] is None or (isinstance(row[c], float) and np.isnan(row[c])), (c, row[c])
+    assert row["n"] == 2  # the match itself exists: count(*) = 2
