@@ -54,6 +54,17 @@ BUCKET_COL = "__bucket"
 GroupKernel = Callable[[pa.Table, np.ndarray], pa.Table]
 
 
+def hash_backend_id() -> str:
+    """Identity of the row-hash implementation (bucket assignment depends on
+    it).  Persisted in incremental watermarks: a backend or version change
+    re-buckets rows, so skipping 'unaffected' buckets would be wrong."""
+    if _HAS_POLARS:
+        return f"polars-{pl.__version__}"
+    import pandas as pd
+
+    return f"pandas-{pd.__version__}"
+
+
 def hash_columns(tbl: pa.Table, keys: Sequence[str], seed: int = 0) -> np.ndarray:
     """Deterministic per-row uint64 hash of one or more key columns.
 

@@ -259,15 +259,20 @@ def _load_watermark(out_dir: str):
         return json.load(f)
 
 
-def _store_watermark(out_dir: str, end_ts_us: int, n_runs: int) -> None:
+def _store_watermark(
+    out_dir: str, end_ts_us: int, n_runs: int, config: Optional[dict] = None
+) -> None:
     import json
     import tempfile
 
     sdir = os.path.join(out_dir, "_state")
     os.makedirs(sdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=sdir)
+    payload = {"end_ts_us": int(end_ts_us), "runs": n_runs}
+    if config is not None:
+        payload["config"] = config
     with os.fdopen(fd, "w") as f:
-        json.dump({"end_ts_us": int(end_ts_us), "runs": n_runs}, f)
+        json.dump(payload, f)
     os.replace(tmp, os.path.join(out_dir, WATERMARK_FILE))
 
 
@@ -325,17 +330,45 @@ def backfill_incremental(
     layout map tasks still read all files but drop non-affected buckets
     before the exchange (reduce work — the dominant cost — is saved).
     """
-    from feast_ray.grouped import hash_columns
+    from feast_ray.grouped import hash_backend_id, hash_columns
 
     files = _resolve_files(input_path)
     b = num_buckets or default_num_buckets()
     wm = _load_watermark(out_dir)
 
+    # Anything that determines WHICH bucket a conversation lands in or WHAT
+    # a bucket's feature rows contain must match the stored watermark's
+    # config; otherwise skipping "unaffected" buckets would silently keep
+    # stale or misbucketed output.  On mismatch: full recompute, and stale
+    # part dirs beyond the new bucket count are removed.
+    wm_config = {
+        "session_gap_s": session_gap_s,
+        "roll_turns": roll_turns,
+        "roll_time_s": roll_time_s,
+        "num_buckets": b,
+        "carry_text": carry_text,
+        "hash_backend": hash_backend_id(),
+        "kernel_version": 2,
+    }
+    if wm is not None and wm.get("config") != wm_config:
+        old_b = (wm.get("config") or {}).get("num_buckets")
+        if isinstance(old_b, int) and old_b > b:
+            import shutil
+
+            from feast_ray.state.manifest import manifest_path, partition_dir
+
+            for pid in range(b, old_b):
+                shutil.rmtree(partition_dir(out_dir, pid), ignore_errors=True)
+                mp = manifest_path(out_dir, pid)
+                if os.path.exists(mp):
+                    os.unlink(mp)
+        wm = None  # config changed: force full recompute
+
     import pyarrow.dataset as pads
 
     dset = pads.dataset(files, format="parquet")
     if wm is None:
-        affected = None  # first run: everything
+        affected = None  # first run or config change: everything
     else:
         cutoff = pa.scalar(wm["end_ts_us"], type=pa.int64()).cast(
             pa.timestamp("us", tz="UTC")
@@ -369,7 +402,7 @@ def backfill_incremental(
         skip_buckets=skip or set(),
     )
     end_ts_us = _max_ts_from_stats(dset)
-    _store_watermark(out_dir, end_ts_us, (wm or {}).get("runs", 0) + 1)
+    _store_watermark(out_dir, end_ts_us, (wm or {}).get("runs", 0) + 1, wm_config)
     res["new_buckets"] = b if affected is None else len(affected)
     res["new_turns"] = res["rows"] if wm is None else int(new_rows.num_rows)
     res["watermark_us"] = end_ts_us

@@ -1002,7 +1002,7 @@ ORACLE_SQL.update(
         "props_extract": """
             SELECT event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,

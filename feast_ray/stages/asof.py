@@ -405,7 +405,14 @@ def asof_join_multi(
             cols = list(cols)
             out_names = [f"{v.prefix}__{c}" if v.prefix else c for c in cols]
             types = [fsch.field(c).type for c in cols]
-        clash = set(out_names) & {f.name for f in union_fields}
+        taken = {f.name for f in union_fields} | {
+            m["view"].matched_ts_name for m in metas if m["view"].matched_ts_name
+        }
+        clash = set(out_names) & taken
+        if v.matched_ts_name is not None and (
+            v.matched_ts_name in taken or v.matched_ts_name in out_names
+        ):
+            clash = clash | {v.matched_ts_name}
         if clash:
             raise ValueError(f"view output columns clash: {clash}; use prefix=")
         union_fields += [pa.field(o, t) for o, t in zip(out_names, types)]

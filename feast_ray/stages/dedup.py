@@ -460,7 +460,10 @@ def simhash64(texts: pa.Array, seed: int = 17) -> np.ndarray:
     split = pc.split_pattern_regex(lower, r"[^a-z0-9_]+")
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()
-    counts = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text => 0 tokens (fill before to_numpy: NaN→int64 is undefined)
+    counts = pc.fill_null(pc.list_value_length(split), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     flat = split.flatten()
     sig = np.zeros((n, 64), dtype=np.int64)
     if len(flat):

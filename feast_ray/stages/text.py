@@ -61,7 +61,9 @@ def stopword_pattern(words: Sequence[str]) -> str:
 
 
 def _count_re(arr: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
-    out = pc.count_substring_regex(arr, pattern)
+    # Null text counts as empty (0 matches) — keeps downstream numpy
+    # conversions NaN-free and gives null rows a defined feature value.
+    out = pc.fill_null(pc.count_substring_regex(arr, pattern), 0)
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return out
@@ -82,7 +84,7 @@ def text_quality_batch(
     """
     text = tbl[text_col]
     lower = pc.utf8_lower(text)
-    n_chars = pc.utf8_length(text).cast(pa.float64())
+    n_chars = pc.fill_null(pc.utf8_length(text), 0).cast(pa.float64())
     n_tokens = _count_re(lower, TOKEN_RE).cast(pa.float64())
     n_word_chars = _count_re(lower, WORD_CHAR_RE).cast(pa.float64())
     n_alpha = _count_re(text, ALPHA_RE).cast(pa.float64())

@@ -29,6 +29,12 @@ Scale: P actors ~= cluster cores; carry is O(active_convs x overlap_rows)
 per actor — bounded by evicting conversations idle past ``evict_idle_us``
 (their next turn would start a new session anyway, so correctness of
 session ids survives eviction only if eviction >= session gap; enforced).
+Idleness is measured in EVENT time against the shard's newest event, so the
+session guarantee additionally assumes bounded cross-conversation event-time
+skew: a conversation whose clock lags the shard's newest event by more than
+``evict_idle_us - gap`` can be evicted while its own next turn is still
+within its session gap (the resumed turn then opens a new session).  Size
+``evict_idle_us`` >= gap + max expected skew, or keep eviction off.
 NOTE: eviction IS a semantic trade-off for the other windows — after an
 evicted conversation resumes, lag/rolling features restart from empty
 history (null lag at the resume row) where the batch path would look back

@@ -82,3 +82,33 @@ def test_incremental_noop_when_no_new_rows(ray_session, tmp_path, split_input):
     backfill_incremental(in_dir, out, num_buckets=8)
     r = backfill_incremental(in_dir, out, num_buckets=8)
     assert r["partitions_written"] == 0 and r["new_turns"] == 0
+
+
+def test_incremental_config_change_forces_full_recompute(
+    ray_session, tmp_path, split_input
+):
+    """Changing anything that determines bucket contents (window params,
+    num_buckets) must invalidate the watermark: full recompute, and part
+    dirs beyond a shrunken bucket count removed."""
+    in_dir, *_ = split_input
+    out = str(tmp_path / "out")
+    backfill_incremental(in_dir, out, num_buckets=8, roll_turns=5)
+
+    # same input, different window param: nothing is 'new' by the watermark,
+    # but every bucket's features changed -> must recompute all 8
+    r = backfill_incremental(in_dir, out, num_buckets=8, roll_turns=3)
+    assert r["new_buckets"] == 8 and r["partitions_written"] == 8
+    wm = _load_watermark(out)
+    assert wm["config"]["roll_turns"] == 3
+
+    # shrink num_buckets: stale part dirs >= new count must be gone
+    r = backfill_incremental(in_dir, out, num_buckets=4, roll_turns=3)
+    assert r["new_buckets"] == 4
+    parts = sorted(glob.glob(os.path.join(out, "part=*")))
+    assert len(parts) == 4
+
+    # and the output still equals a from-scratch run at the new config
+    out_full = str(tmp_path / "out_full")
+    backfill_transcripts(in_dir, out_full, num_buckets=4, roll_turns=3)
+    got, want = _read_out(out), _read_out(out_full)
+    assert len(got) == len(want)
