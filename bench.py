@@ -56,6 +56,22 @@ def ensure_transcripts(n_turns: int, n_files: int = 32) -> str:
     return path
 
 
+def _quiet_ray_data_noise() -> None:
+    """Silence two known-cosmetic Ray Data log lines: (a) the sort operator
+    emits EMPTY partition splits as zero-column RefBundles, which trips the
+    'different schema' warning downstream (repro: any groupby().map_groups —
+    the user kernel is never called on those empties); (b) parquet schemas
+    with dict-valued metadata defeat schema hashing in transform_pyarrow.
+    Neither affects results; both flood the bench tail."""
+    import logging
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = False) -> dict:
     import ray
 
@@ -70,6 +86,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _quiet_ray_data_noise()
 
     import ray.data as rd
 

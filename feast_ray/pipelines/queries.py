@@ -1172,3 +1172,73 @@ ORACLE_SQL["topk_events_per_user"] = """
           FROM events)
     WHERE rn <= 3
 """
+
+
+def q_anti_join_customers(sf_dir: str):
+    """J5 anti join: customers with no URGENT order (TPC-H Q22 shape) — the
+    general co-partitioned presence filter (``stages.join.anti_join``): one
+    hash shuffle of left rows + right KEYS, vectorized membership kernel,
+    nothing on the driver.  Reference analog: Feast offline stores emit
+    ``NOT EXISTS`` subqueries (upstream ``offline_store.py`` templating)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from feast_ray.stages.join import anti_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    right = urgent.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return anti_join(cust, right, keys=["c_custkey"])
+
+
+def q_semi_join_customers(sf_dir: str):
+    """J5 semi join: customers with at least one URGENT order.  Same
+    co-partitioned kernel as the anti join; the right side is filtered at
+    the read (predicate pushdown) so only matching keys enter the shuffle."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from feast_ray.stages.join import semi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    right = urgent.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return semi_join(cust, right, keys=["c_custkey"])
+
+
+QUERIES["anti_join_customers"] = q_anti_join_customers
+QUERIES["semi_join_customers"] = q_semi_join_customers
+ORACLE_SQL["anti_join_customers"] = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+"""
+ORACLE_SQL["semi_join_customers"] = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""

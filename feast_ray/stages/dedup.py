@@ -7,8 +7,9 @@ Five operators (exact dedup lives in ``pipelines.queries``; the rest here):
   grouping (gram_hash -> docs) and counting shared grams per pair yields
   exact intersections with zero false negatives.
 - :func:`minhash_pair_pipeline` — MinHash signatures + banded LSH candidate
-  generation, each candidate verified with EXACT Jaccard (broadcast gram
-  sets), i.e. LSH only prunes the pair space.
+  generation, each candidate verified with EXACT Jaccard via a
+  co-partitioned doc_id join (:func:`verify_pairs_distributed`), i.e. LSH
+  only prunes the pair space and nothing corpus-sized is ever broadcast.
 - :func:`minhash_dedup_pipeline` — the dedup rule on top: drop a document
   iff some smaller ``doc_id`` has verified J >= tau with it.
 - :func:`simhash_pair_pipeline` — 64-bit SimHash over token hashes; pairs
@@ -25,10 +26,11 @@ Scale notes (100 TB design):
   space quadratically — cap with ``max_df`` (drops grams shared by more
   than ``max_df`` docs; exactness then holds for pairs of df-bounded
   grams, the standard production trade-off).  Local testdata needs no cap.
-- Exact-verify uses a broadcast doc_id -> sorted gram-hash index
-  (``ray.put`` once, shared read-only by every task).  At scales where the
-  doc index exceeds a node's memory, verification becomes a second
-  co-partitioned join on doc_id — same kernels, one more shuffle.
+- Exact-verify is a co-partitioned join (:func:`verify_pairs_distributed`):
+  shuffle grams + pair memberships by doc_id to attach each candidate
+  doc's gram set to its pairs, then shuffle by pair key to count the
+  intersection.  No corpus-sized state ever touches the driver; moved
+  bytes are proportional to the candidate set, not the corpus.
 - The embedding matrix is broadcast because near-dup search is against the
   full corpus; beyond memory, pre-bucket by LSH
   (``stages.similarity._HyperplaneHasher``) and join bucket-local.
@@ -45,7 +47,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from feast_ray.grouped import grouped_map
+from feast_ray.grouped import grouped_map, starts_to_group_index
 
 HASH_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)
 GRAM_BASE = np.uint64(1_000_003)
@@ -367,79 +369,150 @@ def minhash_pair_pipeline(
     pair_cands = grouped_map(bands, ["bk"], _pair_gen_kernel(None), num_buckets=num_buckets)
     counted = _count_pairs(pair_cands, num_buckets)  # dedup (band collisions merge)
 
-    # exact-verify side: broadcast doc -> sorted gram hashes
-    gram_index = _build_gram_index(ds, text_col=text_col, id_col=id_col, k=k)
-    idx_ref = ray.put(gram_index)
-
-    def verify(t: pa.Table) -> pa.Table:
-        offsets, flat, id_pos = ray.get(idx_ref)
-        a = t["doc_a"].to_numpy()
-        b = t["doc_b"].to_numpy()
-        ja = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):  # per CANDIDATE pair (rare), not per row of data
-            ga = flat[offsets[id_pos[a[i]]] : offsets[id_pos[a[i]] + 1]]
-            gb = flat[offsets[id_pos[b[i]]] : offsets[id_pos[b[i]] + 1]]
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            ja[i] = inter / (len(ga) + len(gb) - inter) if (len(ga) or len(gb)) else 0.0
-        keep = ja >= tau
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(ja[keep]),
-            }
-        )
-
-    return counted.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _build_gram_index(ds, *, text_col: str, id_col: str, k: int):
-    """Small-side index: (offsets, flat sorted gram hashes, doc_id -> slot)."""
-    tbls = ds.map_batches(
+    grams = ds.map_batches(
         lambda t: gram_table(t, text_col=text_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_arrow_refs()
-    import ray
+    )
+    return verify_pairs_distributed(grams, counted, tau=tau, num_buckets=num_buckets)
 
-    parts = [ray.get(r) for r in tbls]
-    t = pa.concat_tables(parts)
-    d = t["doc_id"].to_numpy()
-    g = t["gh"].to_numpy().view(np.uint64)
-    order = np.lexsort((g, d))
-    d, g = d[order], g[order]
-    change = np.ones(len(d), dtype=bool)
-    if len(d):
-        change[1:] = d[1:] != d[:-1]
-    starts = np.flatnonzero(change)
-    uniq = d[starts]
-    offsets = np.concatenate((starts, [len(d)])).astype(np.int64)
-    max_id = int(uniq.max()) + 1 if len(uniq) else 1
-    id_pos = np.zeros(max_id, dtype=np.int64)
-    id_pos[uniq] = np.arange(len(uniq))
-    return offsets, g, id_pos
+
+_VERIFY_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def verify_pairs_distributed(grams, cand, *, tau: float, num_buckets: Optional[int] = None):
+    """Exact-Jaccard verification of candidate pairs with NO driver-side
+    corpus state — two co-partitioned shuffles, all kernels vectorized:
+
+    1. shuffle by doc_id: gram rows (doc_id, gh) meet pair-membership rows
+       (doc_id, pk, side); each doc's distinct gram set is attached to every
+       candidate pair it participates in, emitting (pk, side, gh).  Volume
+       is sum over candidates of |A|+|B| — proportional to the CANDIDATE
+       set, not the corpus.
+    2. shuffle by pk: |A| = side-0 rows, |B| = side-1 rows, intersection =
+       gram values present on both sides (per-side gram sets are distinct,
+       so a within-group duplicate gh means both sides have it).
+
+    jaccard = inter / (|A| + |B| - inter), emitted raw (un-rounded — ratio
+    of small ints; see :func:`jaccard_pair_pipeline`).
+    """
+    _G, _PA, _PB = np.int8(-1), np.int8(0), np.int8(1)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pk": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.full(n, _G, dtype=np.int8)),
+                "gh": t["gh"],
+            }
+        )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        pk = ((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate((a, b))),
+                "pk": pa.array(np.concatenate((pk, pk))),
+                "side": pa.array(
+                    np.concatenate(
+                        (np.full(len(a), _PA, np.int8), np.full(len(b), _PB, np.int8))
+                    )
+                ),
+                "gh": pa.array(np.zeros(2 * len(a), dtype=np.int64)),
+            }
+        )
+
+    both = grams.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        cand.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        gh = t["gh"].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        n_groups = len(starts) - 1
+        gram_mask = side == _G
+        gram_idx = np.flatnonzero(gram_mask)  # ascending => grouped by doc group
+        gram_cnt = np.bincount(gidx[gram_mask], minlength=n_groups)
+        gram_off = np.concatenate(([0], np.cumsum(gram_cnt)))
+        pair_idx = np.flatnonzero(~gram_mask)
+        pg = gidx[pair_idx]
+        cnts = gram_cnt[pg]  # grams to attach per pair-membership row
+        if int(cnts.sum()) == 0:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "gh": pa.array([], pa.int64()),
+                }
+            )
+        gpos = _valid_positions(gram_off[pg], cnts)  # indices into gram_idx
+        return pa.table(
+            {
+                "pk": pa.array(np.repeat(pk[pair_idx], cnts)),
+                "side": pa.array(np.repeat(side[pair_idx], cnts)),
+                "gh": pa.array(gh[gram_idx[gpos]]),
+            }
+        )
+
+    attached = grouped_map(both, ["doc_id"], attach_kernel, num_buckets=num_buckets)
+
+    def verify_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return _VERIFY_SCHEMA.empty_table()
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        gh = t["gh"].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        n_groups = len(starts) - 1
+        size_a = np.bincount(gidx[side == _PA], minlength=n_groups)
+        size_b = np.bincount(gidx[side == _PB], minlength=n_groups)
+        order = np.lexsort((gh, gidx))
+        g_s, gh_s = gidx[order], gh[order]
+        dup = (g_s[1:] == g_s[:-1]) & (gh_s[1:] == gh_s[:-1])
+        inter = np.bincount(g_s[1:][dup], minlength=n_groups).astype(np.float64)
+        union = size_a + size_b - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        keep = j >= tau
+        pku = pk[starts[:-1]][keep].view(np.uint64)
+        return pa.table(
+            {
+                "doc_a": pa.array((pku >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((pku & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    return grouped_map(attached, ["pk"], verify_kernel, num_buckets=num_buckets)
 
 
 def minhash_dedup_pipeline(ds, *, tau: float = 0.5, **kw):
     """Documents surviving the rule: drop doc iff some smaller doc_id has
-    verified Jaccard >= tau with it."""
-    import ray
+    verified Jaccard >= tau with it.
 
-    pairs_pdf = minhash_pair_pipeline(ds, tau=tau, **kw).to_pandas()
-    dropped = (
-        np.unique(pairs_pdf["doc_b"].to_numpy(dtype=np.int64))
-        if len(pairs_pdf)
-        else np.zeros(0, np.int64)
-    )
-    drop_ref = ray.put(dropped)
+    Fully distributed: the verified pairs' ``doc_b`` column is anti-joined
+    against the corpus co-partitioned on the id (``stages.join.anti_join``)
+    — no pair table or dropped-id set ever materializes on the driver.
+    """
+    from feast_ray.stages.join import anti_join
+
     id_col = kw.get("id_col", "doc_id")
-
-    def keep_fn(t: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~np.isin(ids, drop)))
-
-    return ds.map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)
+    num_buckets = kw.get("num_buckets")
+    pairs = minhash_pair_pipeline(ds, tau=tau, **kw)
+    dropped = pairs.map_batches(
+        lambda t: pa.table({id_col: t["doc_b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return anti_join(ds, dropped, keys=[id_col], num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
