@@ -1,10 +1,13 @@
 """Driver-contract queries over the documents/embeddings tables: text
 analysis, deduplication, similarity, multimodal plumbing.
 
-Each entry returns the same column names its ORACLE_SQL twin produces;
-non-SQL-expressible sketch outputs (fingerprints, SimHash, LSH ANN) have no
-SQL twin and are pinned instead by pure-Python oracles in
-tests/test_text_dedup.py.
+Each entry returns the same column names its ORACLE_SQL twin produces.
+Every query here has a driver-checkable twin: the SimHash pair rule and the
+hyperplane-LSH bucketing are recomputed IN SQL (bit-exact, constants baked
+in), fingerprints expose a property projection (count closed form +
+sketch-group = text-group), and the IVF driver query runs full-probe (which
+must equal brute force).  The approximate regimes and raw sketch values
+stay pinned by the pure-Python oracles in tests/test_text_dedup.py.
 """
 
 from __future__ import annotations
@@ -63,9 +66,51 @@ def q_quality_score_docs(sf_dir: str):
 
 
 def q_fingerprint_docs(sf_dir: str):
-    """Rolling-hash content fingerprints (sketch — no SQL twin; pinned by
-    the pure-Python oracle in tests)."""
-    return add_fingerprints(_docs(sf_dir))
+    """Rolling-hash content fingerprints with a driver-checkable property
+    output: ``fp_count`` has the closed form GREATEST(octet_length - k + 1,
+    0), and docs sharing the full (fp_count, fp_min, fp_xor) sketch are
+    exactly the equal-text groups on this corpus — emitted as
+    ``fp_group_min`` (min doc_id of the doc's sketch group, one grouped
+    shuffle).  The raw int64 sketch values themselves stay pinned by the
+    pure-Python oracle in tests/test_text_dedup.py (SQL can't reproduce
+    them)."""
+    from feast_ray.grouped import grouped_map
+
+    fps = add_fingerprints(_docs(sf_dir))
+
+    def fill(t: pa.Table) -> pa.Table:
+        # empty docs carry null sketches; group them under a sentinel
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_count": t["fp_count"],
+                "fp_min": pc.fill_null(t["fp_min"], -1),
+                "fp_xor": pc.fill_null(t["fp_xor"], -1),
+            }
+        )
+
+    filled = fps.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fp_count": pa.array([], pa.int64()),
+                    "fp_group_min": pa.array([], pa.int64()),
+                }
+            )
+        gmin = np.minimum.reduceat(ids, starts[:-1])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_count": t["fp_count"],
+                "fp_group_min": pa.array(np.repeat(gmin, np.diff(starts))),
+            }
+        )
+
+    return grouped_map(filled, ["fp_count", "fp_min", "fp_xor"], kernel)
 
 
 def q_neardup_jaccard_docs(sf_dir: str):
@@ -247,13 +292,135 @@ ORACLE_SQL_DOCS = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
+    # Property oracle: fp_count has a closed form (byte k-grams, k=8), and
+    # the full sketch (fp_count, fp_min, fp_xor) equals across docs iff the
+    # TEXT equals (equal text => equal sketch always; distinct text =>
+    # distinct sketch on this corpus — 64-bit min/xor collisions across the
+    # battery's document count are ~n^2/2^64).
+    "fingerprint_docs": """
+        SELECT doc_id,
+               CAST(GREATEST(octet_length(encode(text)) - 7, 0) AS BIGINT) AS fp_count,
+               MIN(doc_id) OVER (PARTITION BY text) AS fp_group_min
+        FROM documents
+    """,
 }
+
+
+def _simhash_pairs_sql(seed: int = 17, max_hamming: int = 3) -> str:
+    """Full SQL twin of :func:`feast_ray.stages.dedup.simhash64` + the
+    pigeonhole pair rule — NOT a weaker property: DuckDB recomputes every
+    64-bit signature (token split, polynomial codepoint hash mod 2^64 via
+    HUGEINT with a 32-bit split multiply, xor-seed low-bit arithmetic,
+    per-bit +/-1 majority vote) and joins all pairs with Hamming <= 3.
+    Validated bit-exact against the numpy kernel at sf0.01 and sf0.1."""
+    mixc = 0x9E3779B97F4A7C15
+    lo, hi = mixc & 0xFFFFFFFF, mixc >> 32
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.t AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    th AS (
+      SELECT doc_id, list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+                       list_transform(str_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+          (a, b) -> (a * 1000003 + b) % CAST(18446744073709551616 AS HUGEINT)) AS h0
+      FROM toks
+    ),
+    xored AS (
+      SELECT doc_id,
+             h0 - (h0 % 32) + CAST(xor(CAST(h0 % 32 AS BIGINT), {seed}) AS HUGEINT) AS hx
+      FROM th
+    ),
+    mixed AS (
+      SELECT doc_id, ((hx % 4294967296) * {lo}
+         + (((hx % 4294967296) * {hi} + (hx // 4294967296) * {lo}) % 4294967296)
+           * 4294967296)
+          % CAST(18446744073709551616 AS HUGEINT) AS h
+      FROM xored
+    ),
+    bits AS (
+      SELECT m.doc_id, b.b,
+             CAST((m.h // CAST(power(2, b.b) AS HUGEINT)) % 2 AS BIGINT) * 2 - 1 AS w
+      FROM mixed m CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+    ),
+    sigbits AS (
+      SELECT doc_id, b, CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS s
+      FROM bits GROUP BY doc_id, b
+    ),
+    sig0 AS (
+      SELECT doc_id, SUM(CAST(s AS HUGEINT) * CAST(power(2, b) AS HUGEINT)) AS sigv
+      FROM sigbits GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT d.doc_id,
+             CAST(CASE WHEN s.sigv IS NULL THEN 0
+                       WHEN s.sigv >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN s.sigv - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE s.sigv END AS BIGINT) AS sigi
+      FROM documents d LEFT JOIN sig0 s USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sigi, b.sigi)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sigi, b.sigi)) <= {max_hamming}
+    """
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 4, seed: int = 7, k: int = 10) -> str:
+    """SQL twin of :func:`feast_ray.stages.similarity.lsh_bucket_topk`: the
+    seeded hyperplane matrix is baked in as float literals (repr round-trips
+    float64 exactly), the bucket of every vector is recomputed in SQL, and
+    exact cosine top-k runs within the query's bucket.  Assumes the battery
+    embeddings are ``dim``-dimensional (they are, per TESTDATA.md)."""
+    from feast_ray.stages.similarity import _HyperplaneHasher
+
+    planes = _HyperplaneHasher(dim, n_planes=n_planes, seed=seed).planes  # (dim, P)
+    rows = ",\n               ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in planes[:, j]))
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH planes(j, v) AS (
+      VALUES {rows}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    qb AS (
+      SELECT SUM(CASE WHEN list_inner_product((SELECT qe FROM q), v) > 0
+                      THEN 1 << j ELSE 0 END) AS b
+      FROM planes
+    ),
+    buck AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.v) > 0
+                      THEN 1 << p.j ELSE 0 END) AS b
+      FROM embeddings e CROSS JOIN planes p
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+             AS cos_sim
+    FROM embeddings e JOIN buck b ON e.vec_id = b.vec_id
+    WHERE b.b = (SELECT b FROM qb)
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+ORACLE_SQL_DOCS["simhash_pairs_docs"] = _simhash_pairs_sql()
+ORACLE_SQL_DOCS["knn_lsh_topk"] = _lsh_topk_sql()
 
 
 def q_knn_ivf_topk(sf_dir: str):
     """IVF-clustered ANN (the second scale path besides LSH): mini-kmeans
-    coarse quantizer, probe the nearest nprobe clusters only (recall pinned
-    by tests, no SQL twin)."""
+    coarse quantizer, probe-ordered cluster search.  The driver query runs
+    FULL-PROBE (nprobe == nlist), which must return exactly the brute-force
+    top-k — a completeness invariant of the train→assign→probe→score path
+    that the exact-cosine SQL twin checks.  The approximate regime
+    (nprobe < nlist) is pinned by the recall tests in
+    tests/test_text_dedup.py."""
     import ray.data as rd
 
     from feast_ray.stages.similarity import ivf_topk
@@ -265,7 +432,17 @@ def q_knn_ivf_topk(sf_dir: str):
         zero_copy_batch=True,
     ).take_all()
     qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
-    return ivf_topk(ds, qvec, k=10, exclude_ids=(0,), nlist=16, nprobe=4)
+    return ivf_topk(ds, qvec, k=10, exclude_ids=(0,), nlist=16, nprobe=16)
 
 
 QUERIES_DOCS["knn_ivf_topk"] = q_knn_ivf_topk
+ORACLE_SQL_DOCS["knn_ivf_topk"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+               AS cos_sim
+      FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""

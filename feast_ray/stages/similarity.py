@@ -202,13 +202,17 @@ def ivf_topk(
     """Approximate top-k via IVF: score only vectors whose coarse cluster is
     among the query's ``nprobe`` nearest centroids.
 
-    Train sample: the first ``train_sample`` rows in id order (deterministic;
-    at scale use a pushdown-sampled read).  Centroids are broadcast via the
-    task closure (a few KB)."""
+    Train sample: the first ``train_sample`` rows in NATURAL READ ORDER
+    (deterministic for a fixed file set — block order follows the input
+    files), locally re-sorted by id so kmeans sees a stable input.  No
+    global sort: an all-to-all exchange to fetch 2k training rows would
+    dwarf the query at scale.  Centroids are broadcast via the task
+    closure (a few KB)."""
     import ray
 
     q = np.asarray(qvec, dtype=np.float64)
-    head = ds.sort(id_col).limit(train_sample).take_all()
+    head = ds.limit(train_sample).take_all()
+    head.sort(key=lambda r: r[id_col])
     sample = np.asarray([r[emb_col] for r in head], dtype=np.float64)
     index = IvfIndex(nlist=nlist, n_iter=8, seed=seed).fit(sample)
     probe_set = set(int(x) for x in index.probes(q, nprobe))
