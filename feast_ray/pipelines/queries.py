@@ -1242,3 +1242,35 @@ ORACLE_SQL["semi_join_customers"] = """
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 """
+
+
+def q_rolling_time_minmax(sf_dir: str):
+    """min/max (+count) over a trailing TIME window (A1 completed: upstream
+    Feast declares min/max over ``time_window`` in
+    ``aggregation.py::Aggregation``).  Sparse-table range-extrema kernel —
+    SQL ``MIN/MAX(...) OVER (... RANGE INTERVAL 1 HOUR PRECEDING)``."""
+    from feast_ray.stages.windows import RollingTime, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[RollingTime("value", 3600 * US, aggs=("count", "min", "max"), prefix="t1h")],
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "value", "t1h_count", "t1h_min", "t1h_max"]
+    )
+
+
+QUERIES["rolling_time_minmax"] = q_rolling_time_minmax
+ORACLE_SQL["rolling_time_minmax"] = """
+    SELECT user_id, event_id, ts, value,
+           CAST(COUNT(value) OVER w AS BIGINT) AS t1h_count,
+           MIN(value) OVER w AS t1h_min,
+           MAX(value) OVER w AS t1h_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""

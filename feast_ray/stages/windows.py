@@ -168,10 +168,29 @@ def rolling_rows_bounds(n: int, gstart: np.ndarray, k: int) -> tuple[np.ndarray,
 def rolling_time_bounds(
     ts: np.ndarray, starts: np.ndarray, delta_us: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row [wstart, wend) covering ts in [t - delta, t], peers included."""
+    """Per-row [wstart, wend) covering ts in [t - delta, t], peers included.
+
+    Vectorized across ALL groups in one pass: per-group timestamps are
+    rebased to 0 and shifted onto disjoint key ranges separated by more
+    than ``delta`` — a single global ``searchsorted`` then cannot cross a
+    group boundary.  Falls back to a per-group loop only if the combined
+    key space would overflow int64 (pathological multi-millennium spans)."""
     n = len(ts)
     wstart = np.empty(n, dtype=np.int64)
     wend = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return wstart, wend
+    sizes = np.diff(starts)
+    tmin = ts[starts[:-1]]
+    ranges = ts[starts[1:] - 1] - tmin  # per-group span (ts sorted asc)
+    span_est = float(ranges.astype(np.float64).sum()) + (float(delta_us) + 2.0) * len(sizes)
+    if span_est < 2**62:
+        rel = ts - np.repeat(tmin, sizes)
+        offs = np.concatenate(([0], np.cumsum(ranges + delta_us + 2)))[:-1]
+        key = rel + np.repeat(offs, sizes)
+        wstart[:] = np.searchsorted(key, key - delta_us, side="left")
+        wend[:] = np.searchsorted(key, key, side="right")
+        return wstart, wend
     for g in range(len(starts) - 1):
         lo, hi = starts[g], starts[g + 1]
         seg = ts[lo:hi]
@@ -218,36 +237,50 @@ def rolling_aggs(
             miss = j < wstart
             out[a] = pa.array(v[np.maximum(j, 0)], mask=miss)
         elif a in ("min", "max"):
-            if k_rows is None:
-                raise NotImplementedError(
-                    "min/max over time windows not yet supported — use a rows window"
-                )
-            out[a] = _rolling_minmax_rows(v, valid, wstart, k_rows, a)
+            out[a] = _range_minmax(v, valid, wstart, wend, a)
         else:
             raise ValueError(f"unknown rolling agg {a!r}")
     return out
 
 
-def _rolling_minmax_rows(
-    v: np.ndarray, valid: np.ndarray, wstart: np.ndarray, k: int, which: str
+def _range_minmax(
+    v: np.ndarray, valid: np.ndarray, wstart: np.ndarray, wend: np.ndarray, which: str
 ) -> pa.Array:
-    """Trailing-k min/max via a strided sliding window (vectorized, O(n*k))."""
+    """min/max over arbitrary [wstart, wend) windows via a sparse table
+    (vectorized range-extrema: O(n log W) build for max window length W,
+    two lookups per row).  Covers rows windows, time windows (matching SQL
+    ``RANGE ... PRECEDING`` incl. peers), and expanding windows uniformly —
+    upstream Feast declares min/max over ``time_window`` in
+    ``aggregation.py::Aggregation``."""
     n = len(v)
     fill = np.inf if which == "min" else -np.inf
     vv = np.where(valid, v, fill)
-    pad = np.concatenate((np.full(k - 1, fill), vv))
-    win = np.lib.stride_tricks.sliding_window_view(pad, k)
-    res = win.min(axis=1) if which == "min" else win.max(axis=1)
-    # clamp to group start: recompute rows whose window crosses the boundary
-    ar = np.arange(n, dtype=np.int64)
-    short = wstart > ar - (k - 1)
-    if short.any():
-        idxs = np.flatnonzero(short)
-        res = res.copy()
-        reduce_fn = np.min if which == "min" else np.max
-        for i in idxs:
-            seg = vv[wstart[i] : i + 1]
-            res[i] = reduce_fn(seg) if len(seg) else fill
+    reduce2 = np.minimum if which == "min" else np.maximum
+    lens = wend - wstart  # >= 1: every window contains the current row
+    maxlen = int(lens.max()) if n else 0
+    # level tables: sp[j][i] = extremum of vv[i : i + 2^j]
+    sp = [vv]
+    j = 1
+    while (1 << j) <= maxlen:
+        half = 1 << (j - 1)
+        prev = sp[-1]
+        m = n - (1 << j) + 1
+        sp.append(reduce2(prev[:m], prev[half : half + m]))
+        j += 1
+    lev = np.zeros(n, dtype=np.int64)
+    if n:
+        # floor(log2(len)) via bit_length: levels are few, assign per level
+        lev = (np.floor(np.log2(np.maximum(lens, 1)))).astype(np.int64)
+        lev = np.minimum(lev, len(sp) - 1)
+    res = np.full(n, fill)
+    for jj in range(len(sp)):
+        m = lev == jj
+        if not m.any():
+            continue
+        w = 1 << jj
+        a = wstart[m]
+        b = wend[m] - w
+        res[m] = reduce2(sp[jj][a], sp[jj][b])
     miss = ~np.isfinite(res)
     return pa.array(np.where(miss, 0.0, res), mask=miss)
 

@@ -115,7 +115,7 @@ def oracle_rolling_time(
     for g in _sorted_groups(df, key, order):
         g = g.copy().reset_index(drop=True)
         tus = g[ts].astype("int64")
-        res = {a: [] for a in ("count", "sum", "mean")}
+        res = {a: [] for a in ("count", "sum", "mean", "min", "max")}
         for i in range(len(g)):
             t = tus.iloc[i]
             m = (tus >= t - delta_us) & (tus <= t)
@@ -123,6 +123,8 @@ def oracle_rolling_time(
             res["count"].append(len(wv))
             res["sum"].append(wv.sum() if len(wv) else np.nan)
             res["mean"].append(wv.mean() if len(wv) else np.nan)
+            res["min"].append(wv.min() if len(wv) else np.nan)
+            res["max"].append(wv.max() if len(wv) else np.nan)
         for a, vals in res.items():
             g[f"troll_{a}"] = vals
         out.append(g)

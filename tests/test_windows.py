@@ -95,7 +95,9 @@ def test_rolling_rows(ray_session, turns_with_value):
 
 def test_rolling_time(ray_session, turns_with_value):
     delta = 600 * 1_000_000
-    spec = RollingTime("value", delta, aggs=("count", "sum", "mean"), prefix="troll")
+    spec = RollingTime(
+        "value", delta, aggs=("count", "sum", "mean", "min", "max"), prefix="troll"
+    )
     got = _run(ray_session, turns_with_value, [spec])
     want = oracle_rolling_time(
         turns_with_value.to_pandas(),
@@ -106,7 +108,11 @@ def test_rolling_time(ray_session, turns_with_value):
         delta_us=delta,
     )
     assert_frames_match(
-        got, want, row_key=KEYCOLS, cols=["troll_count", "troll_sum", "troll_mean"], atol=1e-8
+        got,
+        want,
+        row_key=KEYCOLS,
+        cols=["troll_count", "troll_sum", "troll_mean", "troll_min", "troll_max"],
+        atol=1e-8,
     )
 
 
