@@ -231,59 +231,69 @@ def q_pricing_summary(sf_dir: str):
 
 def q_top_orders(sf_dir: str):
     """Q3-style multi-way join + grouped aggregate + deterministic top-10,
-    in the 100-TB-correct shape: the small sides (filtered customer,
-    customer-filtered orders) are resolved on the driver and BROADCAST via
-    ``ray.put``; the big side (lineitem) is never shuffled — each batch
-    filters, dictionary-looks-up the order date, and partially aggregates,
-    so only one tiny global groupby + top-k sort remains."""
+    in the 100-TB-correct shape: predicates and projections are pushed into
+    both small-side reads, the customer-membership filter on orders runs
+    distributed in map tasks, and only the final few-MB (orderkey ->
+    orderdate) index is collected and BROADCAST via ``ray.put``; the big
+    side (lineitem) is never shuffled — each batch filters,
+    dictionary-looks-up the order date, and partially aggregates, so only
+    one tiny global groupby + top-k sort remains."""
+    import pyarrow.dataset as pads
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     cutoff = np.datetime64("1995-03-15", "us")
 
-    # small side 1: BUILDING customers (driver-side: a few thousand keys)
-    cust_tbl = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in rd.read_parquet(
-                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-            ).to_arrow_refs()
-        ]
-    )
-    ckeys = cust_tbl.filter(pc.equal(cust_tbl["c_mktsegment"], "BUILDING"))[
-        "c_custkey"
-    ].to_numpy()
-    ckeys = np.sort(ckeys)
+    # small side 1: BUILDING custkeys — predicate + projection pushed into
+    # the read, so only matching keys (1/|segments| of one column) ever
+    # leave storage; collected and broadcast as a sorted array.
+    ckey_parts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey"],
+            filter=pads.field("c_mktsegment") == "BUILDING",
+        ).to_arrow_refs()
+    ]
+    ckeys = np.sort(pa.concat_tables(ckey_parts)["c_custkey"].to_numpy())
+    ckeys_ref = ray.put(ckeys)
 
-    # small side 2: their pre-cutoff orders -> sorted (orderkey, orderdate)
-    ord_tbl = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderkey", "o_custkey", "o_orderdate"],
-            ).to_arrow_refs()
-        ]
-    )
-    m = pc.and_(
-        pc.less(ord_tbl["o_orderdate"], pa.scalar(cutoff)),
-        pa.array(
-            ckeys[
-                np.clip(np.searchsorted(ckeys, ord_tbl["o_custkey"].to_numpy()), 0, len(ckeys) - 1)
-            ]
-            == ord_tbl["o_custkey"].to_numpy()
+    # small side 2: their pre-cutoff orders.  The date predicate is pushed
+    # into the read and the customer-membership filter runs DISTRIBUTED in
+    # map tasks — only the surviving (orderkey, orderdate) index (few MB)
+    # is collected on the driver and broadcast.
+    def _member_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(ck) == 0 or t.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us"))}
+            )
+        pos = np.searchsorted(ck, key)
+        hit = (pos < len(ck)) & (ck[np.clip(pos, 0, len(ck) - 1)] == key)
+        t = t.filter(pa.array(hit))
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us"))}
         )
-        if len(ckeys)
-        else pa.array(np.zeros(ord_tbl.num_rows, dtype=bool)),
-    )
-    ord_tbl = ord_tbl.filter(m)
-    okeys = ord_tbl["o_orderkey"].to_numpy()
+
+    idx_parts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pads.field("o_orderdate") < pa.scalar(cutoff),
+        )
+        .map_batches(_member_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    idx_tbl = pa.concat_tables(idx_parts)
+    okeys = idx_tbl["o_orderkey"].to_numpy()
     order_sort = np.argsort(okeys)
     okeys_sorted = okeys[order_sort]
-    odates_sorted = (
-        ord_tbl["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()[order_sort]
-    )
+    odates_sorted = idx_tbl["o_orderdate"].cast(pa.int64()).to_numpy()[order_sort]
     side_ref = ray.put((okeys_sorted, odates_sorted))
 
     li = rd.read_parquet(

@@ -227,62 +227,30 @@ def jaccard_pair_pipeline(
     """Exact pairs with char-k-gram Jaccard >= tau.
 
     documents -> (gram_hash, doc) [materialized ONCE — the single gram pass
-    feeds both per-doc sizes and pair generation] -> group by gram -> pairs
-    -> count shared grams -> jaccard = inter / (|A| + |B| - inter) with
-    per-doc sizes broadcast (tiny aggregate; dense array indexed by doc_id —
-    remap sparse 64-bit id spaces to dense ordinals first).
-    """
-    import ray
+    feeds both pair generation and exact verification] -> group by gram ->
+    candidate pairs (any J > 0 pair shares a gram; zero false negatives)
+    -> :func:`verify_pairs_distributed` computes per-pair |A|, |B| and the
+    intersection in two co-partitioned shuffles.  NOTHING is collected on
+    the driver — no per-doc size table, no id-space assumption beyond the
+    [0, 2^32) pair-packing range.
 
+    With ``max_df`` set, grams shared by more than ``max_df`` docs don't
+    GENERATE candidates (the standard boilerplate cap), but every surviving
+    candidate still gets its TRUE Jaccard over all grams (the verify join
+    recounts; the cap bounds recall, never precision).
+    """
     grams = ds.map_batches(
         lambda t: gram_table(t, text_col=text_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
 
-    def batch_counts(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy()
-        uniq, cnt = np.unique(d, return_counts=True)
-        return pa.table({"doc_id": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))})
-
-    sizes_tbl = (
-        grams.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        # robust to a document's grams splitting across blocks: partial
-        # counts sum up
-        .groupby("doc_id", as_index=False)["n_grams"].sum()
-    )
-    max_id = int(sizes_tbl["doc_id"].max()) if len(sizes_tbl) else 0
-    size_arr = np.zeros(max_id + 1, dtype=np.int64)
-    size_arr[sizes_tbl["doc_id"].to_numpy(dtype=np.int64)] = sizes_tbl["n_grams"].to_numpy(
-        dtype=np.int64
-    )
-    sizes_ref = ray.put(size_arr)
-
     pair_cands = grouped_map(grams, ["gh"], _pair_gen_kernel(max_df), num_buckets=num_buckets)
     counted = _count_pairs(pair_cands, num_buckets)
-
-    def jac(t: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        a = t["doc_a"].to_numpy()
-        b = t["doc_b"].to_numpy()
-        inter = t["inter"].to_numpy().astype(np.float64)
-        union = sizes[a] + sizes[b] - inter
-        with np.errstate(invalid="ignore", divide="ignore"):
-            j = inter / union
-        keep = j >= tau
-        # raw ratio, NOT rounded: jaccard is a ratio of small ints, so
-        # decimal half-ties are common and numpy (half-even) vs SQL ROUND
-        # (half-away) would flip them; the raw doubles are bit-identical
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(j[keep]),
-            }
-        )
-
-    return counted.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+    # jaccard emitted raw, NOT rounded: it is a ratio of small ints, so
+    # decimal half-ties are common and numpy (half-even) vs SQL ROUND
+    # (half-away) would flip them; the raw doubles are bit-identical
+    return verify_pairs_distributed(grams, counted, tau=tau, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -663,12 +631,118 @@ def embedding_pair_pipeline(
     emb_col: str = "embedding",
     tau: float = 0.4,
     round_digits: int = 6,
+    mode: str = "blockpair",
+    n_chunks: int = 8,
+    num_buckets: Optional[int] = None,
 ):
     """All pairs with cosine similarity >= tau.
 
-    The full normalized matrix is broadcast ONCE (``ray.put``); each batch
-    computes batch x corpus scores and keeps pairs with other_id > own id
-    (each unordered pair emitted exactly once)."""
+    ``mode``:
+
+    - ``"blockpair"`` (default, EXACT, scale path): rows are chunked by
+      ``id % n_chunks`` and every chunk PAIR (c <= d) becomes one shuffle
+      group — each reducer holds two chunks and matmuls them.  No driver
+      materialization, no broadcast; per-row fan-out is ``n_chunks`` and a
+      reducer holds 2/n_chunks of the corpus, so size n_chunks ~
+      sqrt(cluster tasks) with chunks bounded by worker memory.
+    - ``"broadcast"`` (EXACT, small-corpus fast path): normalize the whole
+      matrix on the driver, ``ray.put`` once, score batch x corpus per
+      map task.  Zero shuffle, but requires the matrix to fit in one node.
+    - ``"lsh"`` (APPROXIMATE): hyperplane-bucket rows and pair only within
+      buckets (one shuffle, no fan-out).  Recall per pair with cosine
+      angle θ is (1 - θ/π)^n_planes — e.g. ~0.66 at cos=0.4, 4 planes;
+      precision is exact (true cosine verified in-kernel).  Pinned by
+      tests/test_text_dedup.py recall assertions.
+    """
+    if mode == "broadcast":
+        return _embedding_pairs_broadcast(
+            ds, id_col=id_col, emb_col=emb_col, tau=tau, round_digits=round_digits
+        )
+    if mode == "lsh":
+        return _embedding_pairs_lsh(
+            ds, id_col=id_col, emb_col=emb_col, tau=tau, round_digits=round_digits,
+            num_buckets=num_buckets,
+        )
+    if mode != "blockpair":
+        raise ValueError(f"unknown embedding pair mode {mode!r}")
+
+    from feast_ray.stages.similarity import _embedding_matrix
+
+    B = int(n_chunks)
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), emb_col: t[emb_col],
+                 "__chunk": pa.array([], pa.int32()), "__pk": pa.array([], pa.int64())}
+            )
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (ids % B).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), B))
+        c_rep = np.repeat(c, B)
+        d = np.tile(np.arange(B, dtype=np.int64), n)
+        lo = np.minimum(c_rep, d)
+        hi = np.maximum(c_rep, d)
+        pk = lo * B + hi  # one group per unordered chunk pair; (c, c) once
+        out = t.select([id_col, emb_col]).take(rep)
+        out = out.append_column("__chunk", pa.array(c_rep.astype(np.int32)))
+        out = out.append_column("__pk", pa.array(pk))
+        return out
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        outs_a, outs_b, outs_c = [], [], []
+        pk_np = t["__pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ch = t["__chunk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t[emb_col].combine_chunks()
+        for g in range(len(starts) - 1):
+            lo_i, hi_i = int(starts[g]), int(starts[g + 1])
+            pk = int(pk_np[lo_i])
+            a_chunk, b_chunk = pk // B, pk % B
+            sl = slice(lo_i, hi_i)
+            mat = _embedding_matrix(emb.slice(lo_i, hi_i - lo_i))
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            mat = mat / nm[:, None]
+            gids = ids[sl]
+            if a_chunk == b_chunk:
+                cs = mat @ mat.T
+                r, cidx = np.nonzero((cs >= tau) & (gids[:, None] < gids[None, :]))
+                outs_a.append(gids[r]); outs_b.append(gids[cidx]); outs_c.append(cs[r, cidx])
+            else:
+                am = ch[sl] == a_chunk
+                bm = ~am
+                if not am.any() or not bm.any():
+                    continue
+                cs = mat[am] @ mat[bm].T
+                ia, ib = gids[am], gids[bm]
+                r, cidx = np.nonzero(cs >= tau)
+                la, lb, cv = ia[r], ib[cidx], cs[r, cidx]
+                lo_id = np.minimum(la, lb)
+                hi_id = np.maximum(la, lb)
+                outs_a.append(lo_id); outs_b.append(hi_id); outs_c.append(cv)
+        if not outs_a:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(outs_a)),
+                "doc_b": pa.array(np.concatenate(outs_b)),
+                "cos_sim": pa.array(np.round(np.concatenate(outs_c), round_digits)),
+            }
+        )
+
+    return grouped_map(expanded, ["__pk"], kernel, num_buckets=num_buckets)
+
+
+_EMB_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("cos_sim", pa.float64())]
+)
+
+
+def _embedding_pairs_broadcast(ds, *, id_col, emb_col, tau, round_digits):
     import ray
 
     from feast_ray.stages.similarity import _embedding_matrix
@@ -685,10 +759,7 @@ def embedding_pair_pipeline(
     def score(t: pa.Table) -> pa.Table:
         ids_all_, nmat_ = ray.get(ref)
         if t.num_rows == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "cos_sim": pa.array([], pa.float64())}
-            )
+            return _EMB_PAIR_SCHEMA.empty_table()
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         m = _embedding_matrix(t[emb_col])
         nm = np.linalg.norm(m, axis=1)
@@ -704,3 +775,52 @@ def embedding_pair_pipeline(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _embedding_pairs_lsh(
+    ds, *, id_col, emb_col, tau, round_digits, n_planes: int = 4, seed: int = 7,
+    num_buckets: Optional[int] = None,
+):
+    from feast_ray.stages.similarity import _HyperplaneHasher, _embedding_matrix
+
+    state = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), emb_col: t[emb_col],
+                 "__bk": pa.array([], pa.int64())}
+            )
+        mat = _embedding_matrix(t[emb_col])
+        h = state.get("h")
+        if h is None:
+            h = state["h"] = _HyperplaneHasher(mat.shape[1], n_planes=n_planes, seed=seed)
+        return t.select([id_col, emb_col]).append_column("__bk", pa.array(h.bucket(mat)))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t[emb_col].combine_chunks()
+        outs_a, outs_b, outs_c = [], [], []
+        for g in range(len(starts) - 1):
+            lo_i, hi_i = int(starts[g]), int(starts[g + 1])
+            mat = _embedding_matrix(emb.slice(lo_i, hi_i - lo_i))
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            mat = mat / nm[:, None]
+            gids = ids[lo_i:hi_i]
+            cs = mat @ mat.T
+            r, c = np.nonzero((cs >= tau) & (gids[:, None] < gids[None, :]))
+            outs_a.append(gids[r]); outs_b.append(gids[c]); outs_c.append(cs[r, c])
+        if not outs_a:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(outs_a)),
+                "doc_b": pa.array(np.concatenate(outs_b)),
+                "cos_sim": pa.array(np.round(np.concatenate(outs_c), round_digits)),
+            }
+        )
+
+    return grouped_map(bucketed, ["__bk"], kernel, num_buckets=num_buckets)

@@ -326,3 +326,31 @@ def test_ivf_assign_deterministic():
     b = IvfIndex(nlist=8, seed=5).fit(data).assign(data)
     assert (a == b).all()
     assert len(np.unique(a)) > 1
+
+
+def test_embedding_pair_modes_agree(ray_session):
+    """blockpair (exact, distributed) == broadcast (exact, small-corpus);
+    lsh is a subset with exact precision and decent recall."""
+    import ray.data as rd
+
+    from feast_ray.stages.dedup import embedding_pair_pipeline
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    # plant near-duplicates: 10 vectors are noisy copies of earlier ones
+    emb = np.vstack([base, base[:10] + rng.normal(scale=0.05, size=(10, 16))])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(emb), dtype=np.int64)),
+            "embedding": pa.array(list(emb.astype(np.float32))),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    kw = dict(tau=0.8, num_buckets=4)
+    exact = embedding_pair_pipeline(ds, mode="blockpair", n_chunks=3, **kw).to_pandas()
+    bc = embedding_pair_pipeline(ds, mode="broadcast", tau=0.8).to_pandas()
+    key = lambda df: set(zip(df.doc_a, df.doc_b))
+    assert key(exact) == key(bc) and len(exact) >= 10
+    lsh = embedding_pair_pipeline(ds, mode="lsh", **kw).to_pandas()
+    assert key(lsh) <= key(exact)  # exact precision
+    assert len(lsh) >= 0.5 * len(exact)  # documented recall on near-dups
