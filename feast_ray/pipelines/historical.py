@@ -37,16 +37,12 @@ def get_historical_features(
     """
     out = spine_from(entity_df, ts_col=spine_ts)
     for view in views:
-        if len(view.join_keys) != 1:
-            raise NotImplementedError(
-                "composite join keys not yet supported; use a derived key column"
-            )
         feat_ds = read_view_source(view)
         ttl_us = int(view.ttl.total_seconds() * 1_000_000) if view.ttl else None
         out = asof_join(
             out,
             feat_ds,
-            key=view.join_keys[0],
+            key=list(view.join_keys),  # 1..n keys (Entity.join_keys)
             spine_ts=spine_ts,
             feat_ts=view.timestamp_field,
             created_ts=view.created_timestamp_column,

@@ -1284,3 +1284,64 @@ ORACLE_SQL["rolling_time_minmax"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def q_asof_composite_key(sf_dir: str):
+    """Composite-key point-in-time join (J1 with ``Entity.join_keys`` of
+    length 2 — upstream ``entity.py::Entity.join_keys``): purchases spine
+    keyed by (user_id, k2) as-of joined against per-(user_id, k2, ts) click
+    aggregates with a 1-day TTL.  Same single-shuffle kernel; the bucket
+    hash, local sort and group ordinals run on the full key tuple."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def add_k2(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("k2", pa.array((eid % 3).astype(np.int64)))
+
+    ev = ev.map_batches(add_k2, batch_format="pyarrow", zero_copy_batch=True)
+    spine = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "k2", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "k2", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    feats = grouped_aggregate(
+        clicks,
+        ["user_id", "k2", "ts"],
+        {"v_click": ("max", "value"), "n_click": ("count", None)},
+    )
+    return asof_join(
+        spine,
+        feats,
+        key=["user_id", "k2"],
+        ttl_us=ASOF_TTL_US,
+        feature_cols=["v_click", "n_click"],
+        matched_ts_name="click_ts",
+    )
+
+
+QUERIES["asof_composite_key"] = q_asof_composite_key
+ORACLE_SQL["asof_composite_key"] = """
+    WITH e AS (SELECT *, CAST(event_id % 3 AS BIGINT) AS k2 FROM events),
+    spine AS (SELECT user_id, k2, event_id, ts FROM e WHERE event_type = 'purchase'),
+    f AS (SELECT user_id, k2, ts, max(value) AS v_click,
+                 CAST(count(*) AS BIGINT) AS n_click
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2, 3)
+    SELECT s.user_id, s.k2, s.event_id, s.ts,
+           CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.v_click END AS v_click,
+           CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.n_click END AS n_click,
+           CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.ts END AS click_ts
+    FROM spine s ASOF LEFT JOIN f
+      ON s.user_id = f.user_id AND s.k2 = f.k2 AND f.ts <= s.ts
+"""

@@ -62,7 +62,7 @@ def _prepare_sides(
     spine_schema: pa.Schema,
     feature_cols: Sequence[str],
     out_names: Sequence[str],
-    key: str,
+    keys: Sequence[str],
     spine_ts: str,
     feat_ts: str,
     created_ts: Optional[str],
@@ -93,8 +93,8 @@ def _prepare_sides(
         n = tbl.num_rows
         cols = {}
         for f in spine_schema:
-            if f.name == key:
-                cols[key] = tbl[key]
+            if f.name in keys:
+                cols[f.name] = tbl[f.name]
             else:
                 cols[f.name] = pa.nulls(n, type=f.type)
         for c, o in zip(feature_cols, out_names):
@@ -152,7 +152,7 @@ def asof_join(
     spine,
     features,
     *,
-    key: str,
+    key: str | Sequence[str],
     spine_ts: str = "ts",
     feat_ts: str = "ts",
     created_ts: Optional[str] = None,
@@ -164,16 +164,22 @@ def asof_join(
 ):
     """TTL-bounded point-in-time LEFT join of ``spine`` against ``features``.
 
+    ``key`` may be one column or a composite key list (Feast entities
+    routinely declare several join keys — upstream
+    ``entity.py::Entity.join_keys``); the hash bucketing, local sort and
+    group ordinals all operate on the full key tuple.
+
     Returns a Dataset with every spine column plus one column per feature
     (optionally prefixed ``{prefix}__{col}`` — Feast ``full_feature_names``,
     M6) and optionally the matched feature event timestamp.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     spine_schema = pa.schema(
         [f for f in _dataset_schema(spine) if not f.name.startswith("__")]
     )
     feat_schema = _dataset_schema(features)
     if feature_cols is None:
-        skip = {key, feat_ts}
+        skip = set(keys) | {feat_ts}
         if created_ts:
             skip.add(created_ts)
         feature_cols = [n for n in feat_schema.names if n not in skip]
@@ -184,7 +190,7 @@ def asof_join(
         raise ValueError(f"feature columns clash with spine columns: {clash}; use prefix=")
 
     union_schema, prep_spine, prep_feat = _prepare_sides(
-        spine_schema, feature_cols, out_names, key, spine_ts, feat_ts, created_ts, feat_schema
+        spine_schema, feature_cols, out_names, keys, spine_ts, feat_ts, created_ts, feat_schema
     )
     left = spine.map_batches(prep_spine, batch_format="pyarrow", zero_copy_batch=True)
     right = features.map_batches(prep_feat, batch_format="pyarrow", zero_copy_batch=True)
@@ -202,7 +208,7 @@ def asof_join(
     )
     return grouped_map(
         both,
-        [key],
+        keys,
         kernel,
         sort_keys=[_T, _SIDE, _CTS],
         num_buckets=num_buckets,
@@ -361,7 +367,7 @@ def asof_join_multi(
     spine,
     views: Sequence[AsofView],
     *,
-    key: str,
+    key: str | Sequence[str],
     spine_ts: str = "ts",
     num_buckets: Optional[int] = None,
 ):
@@ -376,6 +382,7 @@ def asof_join_multi(
     """
     import ray.data  # noqa: F401
 
+    keys = [key] if isinstance(key, str) else list(key)
     spine_schema = pa.schema(
         [f for f in _dataset_schema(spine) if not f.name.startswith("__")]
     )
@@ -451,7 +458,7 @@ def asof_join_multi(
             n = tbl.num_rows
             cols = {}
             for f in spine_schema:
-                cols[f.name] = tbl[key] if f.name == key else pa.nulls(n, type=f.type)
+                cols[f.name] = tbl[f.name] if f.name in keys else pa.nulls(n, type=f.type)
             mine = set(m["out"])
             for o in all_out:
                 if o not in mine:
@@ -581,7 +588,7 @@ def asof_join_multi(
 
     return grouped_map(
         both,
-        [key],
+        keys,
         kernel,
         sort_keys=[_T, _SIDE, _CTS],
         num_buckets=num_buckets,

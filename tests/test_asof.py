@@ -241,3 +241,48 @@ def test_multi_view_all_null_agg_segment_yields_null(ray_session):
     for c in ("v_max", "v_min", "v_sum", "v_mean"):
         assert row[c] is None or (isinstance(row[c], float) and np.isnan(row[c])), (c, row[c])
     assert row["n"] == 2  # the match itself exists: count(*) = 2
+
+
+def test_asof_composite_keys(ray_session):
+    """Two-join-key as-of (Entity.join_keys of length 2) vs pandas
+    merge_asof(by=[k1, k2])."""
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n_f, n_s = 400, 150
+    feats = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 5, n_f),
+            "k2": rng.integers(0, 3, n_f),
+            "ts": rng.integers(0, 10_000, n_f).astype("int64"),
+            "fv": rng.normal(size=n_f),
+        }
+    ).drop_duplicates(subset=["k1", "k2", "ts"]).sort_values("ts")
+    spine = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 5, n_s),
+            "k2": rng.integers(0, 3, n_s),
+            "ts": rng.integers(0, 10_000, n_s).astype("int64"),
+            "sid": np.arange(n_s, dtype="int64"),
+        }
+    ).sort_values("ts")
+    got = (
+        asof_join(
+            rd.from_pandas(spine),
+            rd.from_pandas(feats),
+            key=["k1", "k2"],
+            ttl_us=2_000,
+            feature_cols=["fv"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("sid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        spine, feats, on="ts", by=["k1", "k2"], tolerance=2_000, direction="backward"
+    ).sort_values("sid").reset_index(drop=True)
+    assert len(got) == len(want)
+    gv, wv = got["fv"].to_numpy(), want["fv"].to_numpy()
+    assert ((np.isnan(gv) & np.isnan(wv)) | np.isclose(gv, wv, equal_nan=True)).all()
