@@ -867,7 +867,15 @@ def q_streaming_window_features(sf_dir: str):
     """The streaming-ingest path (T3 stateful actor pool) driven as a query:
     events arrive in global ts order in micro-batches; per-conv turn buffers
     emit lag/rolling/session features incrementally.  Output is identical to
-    the batch path, so the SQL twin is the standard window-function oracle."""
+    the batch path, so the SQL twin is the standard window-function oracle.
+
+    DEMO-HARNESS CAVEAT: this query feeds the shard actors from the DRIVER
+    (``iter_batches`` below) so the battery can replay a deterministic
+    stream.  That loop is the test harness, not the design — in production
+    the producers (Kafka consumers, log tailers) are themselves distributed
+    and call ``StreamingTurnPipeline.ingest_async`` directly, or a
+    ``map_batches`` feeder routes shards actor-side; the stateful actor
+    pool is the component under test either way."""
     import pyarrow as pa
 
     from feast_ray.stages.windows import Lag, RollingRows, Sessionize

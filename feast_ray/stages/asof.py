@@ -227,11 +227,18 @@ def _dataset_schema(ds) -> pa.Schema:
 
 class BroadcastAsof:
     """Actor-pool stage: resolve spine batches against a broadcast feature
-    table with ``pandas.merge_asof`` — no shuffle of the spine (J4).
+    table with pure-numpy binary search — no shuffle of the spine (J4), no
+    per-batch pandas round-trip.
 
-    The feature table ref is fetched and sorted ONCE per actor in
-    ``__init__`` (zero-copy read from the local object store); each
-    ``__call__`` handles one spine batch.
+    ``__init__`` (ONCE per actor, zero-copy read from the local object
+    store) sorts the feature side by (key, event_ts, created_ts) and builds
+    a segment-rebased int64 search key: each key's timestamps are rebased
+    to 0 and shifted onto disjoint ranges, so ONE global ``searchsorted``
+    per batch resolves every spine row (clamped queries cannot cross a
+    segment boundary).  Ties on event_ts resolve to max created_ts because
+    equal-ts rows sort created_ts-ascending and the search takes the last
+    match.  Falls back to per-segment searches only if the combined key
+    space would overflow int64.
     """
 
     def __init__(
@@ -249,41 +256,89 @@ class BroadcastAsof:
         import ray
 
         feat_tbl: pa.Table = ray.get(feat_ref) if not isinstance(feat_ref, pa.Table) else feat_ref
-        # merge_asof(by=key) needs the right frame globally sorted on the
-        # time key; equal (key, ts) rows must end with max created_ts so the
-        # scan's last-match-wins implements the tie-break.
-        sort_cols = [feat_ts] + ([created_ts] if created_ts else [])
-        idx = pc.sort_indices(feat_tbl, sort_keys=[(c, "ascending") for c in sort_cols])
-        feat_tbl = feat_tbl.take(idx)
-        cols = [key, feat_ts] + list(feature_cols)
-        self.right = feat_tbl.select(cols).rename_columns(
-            [key, "__fts"] + list(out_names)
-        ).to_pandas()
+        keys_np = feat_tbl[key].to_numpy(zero_copy_only=False)
+        fts = _ts_to_us(
+            feat_tbl[feat_ts].combine_chunks()
+            if isinstance(feat_tbl[feat_ts], pa.ChunkedArray)
+            else feat_tbl[feat_ts]
+        ).to_numpy(zero_copy_only=False)
+        if created_ts is not None:
+            cts = pc.fill_null(
+                _ts_to_us(feat_tbl[created_ts].combine_chunks()), 0
+            ).to_numpy(zero_copy_only=False)
+        else:
+            cts = np.zeros(len(fts), dtype=np.int64)
+        uniq, codes = np.unique(keys_np, return_inverse=True)
+        order = np.lexsort((cts, fts, codes))
+        self.uniq = uniq
+        codes_s = codes[order]
+        self.fts = fts[order]
+        self.values = feat_tbl.select(list(feature_cols)).take(pa.array(order))
+        # segment boundaries per key (codes_s is sorted)
+        self.seg_start = np.searchsorted(codes_s, np.arange(len(uniq)), side="left")
+        seg_end = np.searchsorted(codes_s, np.arange(len(uniq)), side="right")
+        seg_min = self.fts[self.seg_start] if len(self.fts) else np.zeros(0, np.int64)
+        self.seg_min = seg_min
+        ranges = (
+            self.fts[seg_end - 1] - seg_min if len(self.fts) else np.zeros(0, np.int64)
+        )
+        self.ranges = ranges
+        span = float(ranges.astype(np.float64).sum()) + 2.0 * max(len(uniq), 1)
+        self.rebased = span < 2**62
+        if self.rebased:
+            base = np.concatenate(([0], np.cumsum(ranges + 2)))[:-1]
+            self.base = base
+            self.keyed_fts = (self.fts - np.repeat(seg_min, seg_end - self.seg_start)
+                              ) + np.repeat(base, seg_end - self.seg_start)
+        self.seg_end = seg_end
         self.key = key
         self.spine_ts = spine_ts
         self.ttl_us = ttl_us
         self.out_names = list(out_names)
+        self.feature_cols = list(feature_cols)
+
+    def _resolve(self, skeys: np.ndarray, t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(feature row index, valid mask) for each (key, t) query."""
+        slot = np.searchsorted(self.uniq, skeys)
+        slot_c = np.clip(slot, 0, max(len(self.uniq) - 1, 0))
+        found = (
+            (slot < len(self.uniq)) & (self.uniq[slot_c] == skeys)
+            if len(self.uniq)
+            else np.zeros(len(skeys), dtype=bool)
+        )
+        if not len(self.fts):
+            return np.zeros(len(skeys), dtype=np.int64), np.zeros(len(skeys), dtype=bool)
+        if self.rebased:
+            qk = np.clip(t - self.seg_min[slot_c], -1, self.ranges[slot_c]) + self.base[slot_c]
+            idx = np.searchsorted(self.keyed_fts, qk, side="right") - 1
+        else:  # pathological span: per-segment search, vectorized per slot
+            idx = np.empty(len(skeys), dtype=np.int64)
+            for s in np.unique(slot_c):
+                m = slot_c == s
+                lo, hi = self.seg_start[s], self.seg_end[s]
+                idx[m] = lo + np.searchsorted(self.fts[lo:hi], t[m], side="right") - 1
+        valid = found & (idx >= self.seg_start[slot_c])
+        safe = np.clip(idx, 0, len(self.fts) - 1)
+        valid &= self.fts[safe] <= t  # guard clamp artifacts
+        if self.ttl_us is not None:
+            valid &= self.fts[safe] >= t - self.ttl_us
+        return safe, valid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         spine_names = batch.column_names
-        left = batch.to_pandas()
-        left["__row"] = np.arange(len(left))
-        left = left.sort_values([self.spine_ts], kind="stable")
-        tol = pd.Timedelta(microseconds=self.ttl_us) if self.ttl_us is not None else None
-        merged = pd.merge_asof(
-            left,
-            self.right,
-            left_on=self.spine_ts,
-            right_on="__fts",
-            by=self.key,
-            tolerance=tol,
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        merged = merged.sort_values("__row").drop(columns=["__row", "__fts"])
-        out = pa.Table.from_pandas(merged, preserve_index=False)
+        skeys = batch[self.key].to_numpy(zero_copy_only=False)
+        t = _ts_to_us(
+            batch[self.spine_ts].combine_chunks()
+            if isinstance(batch[self.spine_ts], pa.ChunkedArray)
+            else batch[self.spine_ts]
+        ).to_numpy(zero_copy_only=False)
+        safe, valid = self._resolve(skeys, t)
+        take = pa.array(safe, type=pa.int64(), mask=~valid)
+        out = batch
+        for c, o in zip(self.feature_cols, self.out_names):
+            col = self.values[c]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            out = out.append_column(o, pc.take(col, take))
         return out.select(spine_names + self.out_names)
 
 

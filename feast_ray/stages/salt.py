@@ -226,27 +226,24 @@ def salted_window_features(
 
     meta = featured.map_batches(partial_counts, batch_format="pyarrow").to_pandas()
     meta = meta.groupby([key, SALT_COL], as_index=False).sum().sort_values([key, SALT_COL])
-    offsets: dict[str, dict] = {}
+    off_df = meta[[key, SALT_COL]].copy()
     for spec in session_specs:
         col = f"__start_{spec.name}"
-        cum = meta.groupby(key)[col].cumsum() - meta[col]
-        offsets[spec.name] = {
-            (k, s): int(o) for k, s, o in zip(meta[key], meta[SALT_COL], cum)
-        }
-    off_ref = ray.put(offsets)
+        off_df[f"__off_{spec.name}"] = (
+            meta.groupby(key)[col].cumsum() - meta[col]
+        ).astype(np.int64)
+    off_ref = ray.put(off_df)
 
     def finalize(t: pa.Table) -> pa.Table:
         offs = ray.get(off_ref)
-        keys = t[key].to_pandas().to_numpy()
-        salts = t[SALT_COL].to_numpy()
+        # vectorized offset lookup: one hash-join per batch (no per-row dict)
+        left = t.select([key, SALT_COL]).to_pandas()
+        merged = left.merge(offs, on=[key, SALT_COL], how="left")
         out = t
         for spec in session_specs:
             local = out[f"__local_{spec.name}"].to_numpy()
-            o = offs[spec.name]
-            base = np.fromiter(
-                (o.get((kk, ss), 0) for kk, ss in zip(keys, salts)),
-                count=len(keys),
-                dtype=np.int64,
+            base = (
+                merged[f"__off_{spec.name}"].fillna(0).to_numpy(dtype=np.int64)
             )
             out = out.append_column(spec.name, pa.array(base + local))
             out = out.drop_columns([f"__local_{spec.name}", f"__start_{spec.name}"])
