@@ -5,7 +5,10 @@ Mirrors the reference entry point (upstream
 ``infra/offline_stores/dask.py::evaluate_historical_retrieval``): for each
 FeatureView, as-of join its feature table onto the entity spine, iteratively
 composing LEFT joins (J2); optional ``full_feature_names`` prefixes
-(``viewname__feature``, M6); optional terminal on-demand UDF stage (M8).
+(``viewname__feature``, M6); optional terminal on-demand UDF stage (M8) —
+``on_demand_batch_format`` selects the UDF surface: ``"pandas"`` (upstream
+``transform_dataframe``), ``"pyarrow"``, or ``"numpy"`` (dict of arrays —
+the vectorized analog of upstream ``transform_dict`` native mode).
 
 The result is the lazy Dataset itself — the RetrievalJob equivalent;
 ``.to_pandas()`` / ``write_parquet`` are the ``to_df`` / ``persist`` analogs.

@@ -1353,3 +1353,31 @@ ORACLE_SQL["asof_composite_key"] = """
     FROM spine s ASOF LEFT JOIN f
       ON s.user_id = f.user_id AND s.k2 = f.k2 AND f.ts <= s.ts
 """
+
+
+def q_sample_events(sf_dir: str):
+    """Deterministic hash-Bernoulli ~10% sample (O4): keep rows whose mixed
+    event_id lands under the threshold.  Reproducible across runs and
+    cluster shapes — the property that matters for audits at scale — and
+    checkable because the mixer is also expressible in SQL."""
+    from feast_ray.stages.sampling import hash_sample
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    return hash_sample(ds, key_col="event_id", percent=10)
+
+
+QUERIES["sample_events"] = q_sample_events
+# mix64(x) = (x * 0x9E3779B97F4A7C15) mod 2^64, as a HUGEINT split multiply
+# (same technique validated bit-exact in the simhash oracle)
+ORACLE_SQL["sample_events"] = """
+    WITH h AS (
+      SELECT *,
+             ((CAST(event_id AS HUGEINT) % 4294967296) * 2135587861
+              + (((CAST(event_id AS HUGEINT) % 4294967296) * 2654435769
+                  + (CAST(event_id AS HUGEINT) // 4294967296) * 2135587861)
+                 % 4294967296) * 4294967296)
+             % CAST(18446744073709551616 AS HUGEINT) AS hv
+      FROM events)
+    SELECT user_id, event_id, ts, event_type, value
+    FROM h WHERE hv % 100 < 10
+"""

@@ -165,3 +165,37 @@ def test_persist_and_reload_saved_dataset(ray_session, tmp_path, fixture_dir):
     b = re_ds.to_pandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
     assert len(a) == len(b)
     assert set(a.columns) == set(b.columns)
+
+
+def test_historical_udf_numpy_dict_mode(ray_session, fixture_dir):
+    """ODFV native/dict mode analog (upstream transform_dict): the UDF sees
+    a dict of numpy arrays (batch_format='numpy') instead of pandas."""
+    import numpy as np
+
+    view = FeatureView(
+        name="convfeat",
+        join_keys=("conv_id",),
+        source=ParquetSource(
+            path=os.path.join(fixture_dir, "features_numeric.parquet"),
+            timestamp_field="ts",
+            created_timestamp_column="created_ts",
+        ),
+        ttl=TTL,
+        features=("msg_len", "value"),
+    )
+
+    def odfv(batch: dict) -> dict:
+        batch["value_per_char"] = batch["value"] / np.maximum(batch["msg_len"], 1)
+        return batch
+
+    got = get_historical_features(
+        os.path.join(fixture_dir, "spine.parquet"),
+        [view],
+        on_demand_transform=odfv,
+        on_demand_batch_format="numpy",
+        num_buckets=4,
+    ).to_pandas()
+    assert "value_per_char" in got.columns
+    m = got["value"].notna()
+    want = got.loc[m, "value"] / got.loc[m, "msg_len"].clip(lower=1)
+    assert np.allclose(got.loc[m, "value_per_char"], want, equal_nan=True)
