@@ -1381,3 +1381,74 @@ ORACLE_SQL["sample_events"] = """
     SELECT user_id, event_id, ts, event_type, value
     FROM h WHERE hv % 100 < 10
 """
+
+
+def q_interval_join_events(sf_dir: str):
+    """Validity-window (SCD-2 / range) join: each 'view' event opens an
+    interval valid until the user's next view; purchases are joined to the
+    interval covering their timestamp.  One hash exchange (composition over
+    the as-of kernel with end-of-validity invalidation) — the analog of the
+    warehouse ``BETWEEN``-template range joins Feast emits."""
+    from feast_ray.stages.asof import interval_join
+    from feast_ray.stages.windows import Lead, add_window_features
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    views = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).select(
+            ["user_id", "event_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    iv = add_window_features(
+        views,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[Lead("ts", 1, name="valid_to")],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "valid_from": t["ts"],
+                "valid_to": t["valid_to"],
+                "view_value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    spine = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["user_id", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return interval_join(
+        spine,
+        iv,
+        key="user_id",
+        spine_ts="ts",
+        start_col="valid_from",
+        end_col="valid_to",
+        feature_cols=["view_value"],
+        matched_start_name="view_ts",
+    )
+
+
+QUERIES["interval_join_events"] = q_interval_join_events
+ORACLE_SQL["interval_join_events"] = """
+    WITH v AS (
+      SELECT user_id, ts AS vf,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+             value AS view_value
+      FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts,
+           v.view_value,
+           v.vf AS view_ts
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id AND v.vf <= p.ts
+         AND (v.vt IS NULL OR p.ts < v.vt)
+"""

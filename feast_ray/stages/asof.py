@@ -648,3 +648,91 @@ def asof_join_multi(
         sort_keys=[_T, _SIDE, _CTS],
         num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Validity-window (range / SCD-2) join
+# ---------------------------------------------------------------------------
+
+_IVL_END = "__ivl_end"
+
+
+def interval_join(
+    spine,
+    intervals,
+    *,
+    key: str | Sequence[str],
+    spine_ts: str = "ts",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    feature_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    matched_start_name: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """LEFT join each spine row to the interval covering its timestamp:
+    ``start <= ts < end`` (closed-open; a NULL ``end`` means still valid).
+
+    This is the validity-window / SCD-2 range join ("feature value valid
+    from X until superseded at Y") the reference expresses as warehouse SQL
+    ``BETWEEN`` templates.  CONTRACT: a key's intervals must be
+    NON-OVERLAPPING (at most one interval covers any instant) — the SCD-2
+    shape; with overlap the latest-starting covering interval wins and
+    earlier still-open intervals are NOT consulted.
+
+    Implementation is a composition over the one-shuffle as-of machinery:
+    as-of on ``start`` with ``end`` as the tie-break (so a zero-length
+    interval loses a start-tie to the live one), then matches whose ``end``
+    has passed are nulled back out.  Cost = exactly one hash exchange, same
+    as :func:`asof_join`.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    iv_schema = _dataset_schema(intervals)
+    if feature_cols is None:
+        skip = set(keys) | {start_col, end_col}
+        feature_cols = [n for n in iv_schema.names if n not in skip]
+    feature_cols = list(feature_cols)
+    out_names = [f"{prefix}__{c}" if prefix else c for c in feature_cols]
+
+    def prep(t: pa.Table) -> pa.Table:
+        end = pc.fill_null(_ts_to_us(t[end_col]), np.iinfo(np.int64).max)
+        cols = {k: t[k] for k in keys}
+        cols[start_col] = t[start_col]
+        for c, o in zip(feature_cols, out_names):
+            cols[o] = t[c]
+        cols[_IVL_END] = end
+        return pa.table(cols)
+
+    iv2 = intervals.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(
+        spine,
+        iv2,
+        key=keys,
+        spine_ts=spine_ts,
+        feat_ts=start_col,
+        created_ts=_IVL_END,
+        feature_cols=out_names + [_IVL_END],
+        matched_ts_name=matched_start_name,
+        num_buckets=num_buckets,
+    )
+    null_cols = list(out_names) + ([matched_start_name] if matched_start_name else [])
+
+    def invalidate(t: pa.Table) -> pa.Table:
+        end = t[_IVL_END].combine_chunks()
+        ts_us = _ts_to_us(
+            t[spine_ts].combine_chunks()
+            if isinstance(t[spine_ts], pa.ChunkedArray)
+            else t[spine_ts]
+        )
+        expired = pc.and_(end.is_valid(), pc.less_equal(end, ts_us))
+        out_cols = {}
+        for name in t.column_names:
+            if name == _IVL_END:
+                continue
+            col = t[name].combine_chunks() if isinstance(t[name], pa.ChunkedArray) else t[name]
+            if name in null_cols:
+                col = pc.if_else(expired, pa.nulls(len(col), type=col.type), col)
+            out_cols[name] = col
+        return pa.table(out_cols)
+
+    return joined.map_batches(invalidate, batch_format="pyarrow", zero_copy_batch=True)

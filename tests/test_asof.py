@@ -286,3 +286,58 @@ def test_asof_composite_keys(ray_session):
     assert len(got) == len(want)
     gv, wv = got["fv"].to_numpy(), want["fv"].to_numpy()
     assert ((np.isnan(gv) & np.isnan(wv)) | np.isclose(gv, wv, equal_nan=True)).all()
+
+
+def test_interval_join_matches_pandas(ray_session):
+    """Validity-window join vs a pandas oracle on SCD-2 style intervals."""
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.asof import interval_join
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for k in range(8):
+        t = 0
+        for ver in range(rng.integers(1, 6)):
+            start = t + int(rng.integers(1, 50))
+            end = start + int(rng.integers(1, 40))
+            rows.append((k, start, end, float(ver)))
+            t = end + int(rng.integers(0, 30))  # gaps between intervals
+    iv = pd.DataFrame(rows, columns=["k", "valid_from", "valid_to", "ver"])
+    # last interval of key 0 open-ended
+    iv.loc[iv[iv.k == 0].index[-1], "valid_to"] = np.nan
+    iv["valid_from"] = iv["valid_from"].astype("int64")
+    spine = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 200),
+            "ts": rng.integers(0, 300, 200).astype("int64"),
+            "sid": np.arange(200, dtype="int64"),
+        }
+    )
+    got = (
+        interval_join(
+            rd.from_pandas(spine),
+            rd.from_pandas(iv),
+            key="k",
+            spine_ts="ts",
+            feature_cols=["ver"],
+            matched_start_name="vf",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("sid")
+        .reset_index(drop=True)
+    )
+
+    def oracle(row):
+        m = iv[(iv.k == row.k) & (iv.valid_from <= row.ts)
+               & (iv.valid_to.isna() | (row.ts < iv.valid_to))]
+        return m["ver"].iloc[-1] if len(m) else np.nan
+
+    want = spine.sort_values("sid").reset_index(drop=True)
+    want_ver = want.apply(oracle, axis=1)
+    gv, wv = got["ver"].to_numpy(), want_ver.to_numpy()
+    assert ((np.isnan(gv) & np.isnan(wv)) | np.isclose(gv, wv, equal_nan=True)).all()
+    # matched start only present when matched
+    assert (got["vf"].notna() == got["ver"].notna()).all()
