@@ -446,3 +446,33 @@ ORACLE_SQL_DOCS["knn_ivf_topk"] = """
     SELECT vec_id, cos_sim FROM scored
     ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
+
+
+def q_frame_sample_docs(sf_dir: str):
+    """Video-style frame sampling on an actor pool: payloads are walked as
+    fixed 256-byte frames, every 2nd full frame sampled up to 5 — one
+    output row per sampled frame (the flat_map shape a real decoder
+    feeds).  The SQL twin checks the frame walk arithmetic; the per-frame
+    byte statistics (not SQL-expressible over blobs) are pinned by the
+    pytest oracle."""
+    from feast_ray.stages.multimodal import add_frame_samples, attach_fake_payloads
+
+    ds = _docs(sf_dir).map_batches(
+        attach_fake_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_frame_samples(ds, id_cols=("doc_id",), concurrency=2, batch_size=64)
+    return out.select_columns(["doc_id", "frame_idx", "frame_off", "frame_len"])
+
+
+QUERIES_DOCS["frame_sample_docs"] = q_frame_sample_docs
+ORACLE_SQL_DOCS["frame_sample_docs"] = """
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) // 256 AS n_full
+               FROM documents),
+    f AS (SELECT doc_id, CAST((u.i - 1) * 2 AS BIGINT) AS frame_idx
+          FROM d, unnest(generate_series(1, CAST(LEAST((n_full + 1) // 2, 5) AS INTEGER))) AS u(i)
+          WHERE n_full >= 1)
+    SELECT doc_id, frame_idx,
+           frame_idx * 256 AS frame_off,
+           CAST(256 AS BIGINT) AS frame_len
+    FROM f
+"""

@@ -141,3 +141,107 @@ def add_media_features(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video-style payloads (one row
+    OUT per sampled frame — the flat_map shape a real decoder feeds).
+
+    The payload is treated as fixed-size frames of ``frame_bytes``; every
+    ``stride``-th full frame is sampled up to ``max_frames``.  A real
+    implementation would seek keyframes via the container index in
+    ``__init__``-held codec state; here the frame walk, offsets and
+    per-frame byte statistics are real and vectorized, the decode is the
+    same deterministic stand-in as :class:`MediaFeatureExtractor`
+    (``mode="pyav"`` is the marked integration point and raises unless the
+    library exists).
+    """
+
+    def __init__(
+        self,
+        *,
+        payload_col: str = "payload",
+        id_cols: Sequence[str] = ("doc_id",),
+        frame_bytes: int = 256,
+        stride: int = 2,
+        max_frames: int = 5,
+        mode: str = "fake",
+    ):
+        self.payload_col = payload_col
+        self.id_cols = list(id_cols)
+        self.frame_bytes = int(frame_bytes)
+        self.stride = int(stride)
+        self.max_frames = int(max_frames)
+        if mode == "pyav":
+            try:
+                import av  # noqa: F401  (absent in this container)
+            except ImportError as e:  # pragma: no cover - marked stub
+                raise NotImplementedError(
+                    "pyav decode requested but the library is not installed; "
+                    "use mode='fake' or add the dependency at deploy time"
+                ) from e
+        elif mode != "fake":
+            raise ValueError(f"unknown decode mode {mode!r}")
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        data, offsets = _flat_binary(tbl[self.payload_col])
+        lens = np.diff(offsets)
+        FB, ST, MF = self.frame_bytes, self.stride, self.max_frames
+        n_full = lens // FB
+        n_samp = np.minimum((n_full + ST - 1) // ST, MF).astype(np.int64)
+        total = int(n_samp.sum())
+        ids_tbl = tbl.select(self.id_cols)
+        if total == 0:
+            out = ids_tbl.slice(0, 0)
+            for name, t in (
+                ("frame_idx", pa.int64()), ("frame_off", pa.int64()),
+                ("frame_len", pa.int64()), ("frame_mean", pa.float64()),
+            ):
+                out = out.append_column(name, pa.array([], type=t))
+            return out
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_samp)
+        csum = np.concatenate(([0], np.cumsum(n_samp)))
+        local = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], n_samp)
+        frame_idx = local * ST
+        frame_off = frame_idx * FB
+        starts = offsets[:-1][row_of] + frame_off
+        d = data.astype(np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(d)))
+        mean = (cs[starts + FB] - cs[starts]) / float(FB)
+        out = ids_tbl.take(pa.array(row_of))
+        out = out.append_column("frame_idx", pa.array(frame_idx))
+        out = out.append_column("frame_off", pa.array(frame_off))
+        out = out.append_column("frame_len", pa.array(np.full(total, FB, dtype=np.int64)))
+        return out.append_column("frame_mean", pa.array(mean))
+
+
+def add_frame_samples(
+    ds,
+    *,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("doc_id",),
+    frame_bytes: int = 256,
+    stride: int = 2,
+    max_frames: int = 5,
+    mode: str = "fake",
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: Optional[int] = 64,
+    num_cpus: float = 1.0,
+):
+    """Frame-sample media payloads on an actor pool (one output row per
+    sampled frame)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={
+            "payload_col": payload_col,
+            "id_cols": id_cols,
+            "frame_bytes": frame_bytes,
+            "stride": stride,
+            "max_frames": max_frames,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

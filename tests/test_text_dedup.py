@@ -354,3 +354,30 @@ def test_embedding_pair_modes_agree(ray_session):
     lsh = embedding_pair_pipeline(ds, mode="lsh", **kw).to_pandas()
     assert key(lsh) <= key(exact)  # exact precision
     assert len(lsh) >= 0.5 * len(exact)  # documented recall on near-dups
+
+
+def test_frame_sampler_means(ray_session, docs_ds, docs_tbl):
+    """Frame walk + per-frame byte means vs a direct numpy oracle."""
+    from feast_ray.stages.multimodal import add_frame_samples, attach_fake_payloads
+
+    ds = docs_ds.map_batches(
+        attach_fake_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    got = add_frame_samples(
+        ds, id_cols=("doc_id",), frame_bytes=64, stride=2, max_frames=4,
+        concurrency=2, batch_size=32,
+    ).to_pandas().sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    texts = {i: t for i, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())}
+    want = []
+    for did, text in texts.items():
+        raw = text.encode("utf-8")
+        n_full = len(raw) // 64
+        idxs = list(range(0, n_full, 2))[:4]
+        for fi in idxs:
+            seg = raw[fi * 64 : fi * 64 + 64]
+            want.append((did, fi, fi * 64, np.frombuffer(seg, np.uint8).mean()))
+    want.sort()
+    assert len(got) == len(want)
+    for (r, (did, fi, off, mean)) in zip(got.itertuples(), want):
+        assert (r.doc_id, r.frame_idx, r.frame_off) == (did, fi, off)
+        assert abs(r.frame_mean - mean) < 1e-9
