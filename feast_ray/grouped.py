@@ -176,6 +176,7 @@ def grouped_map(
     sort_keys: Sequence[str] = (),
     num_buckets: Optional[int] = None,
     drop_bucket: bool = True,
+    engine: str = "exchange",
 ):
     """Run a vectorized multi-group kernel over every entity group.
 
@@ -183,10 +184,28 @@ def grouped_map(
     sorted by ``(*keys, *sort_keys)``, group boundaries are computed, and
     ``kernel(sorted_table, starts)`` is invoked once per bucket — covering
     every group in that bucket in one vectorized call.
+
+    ``engine="exchange"`` (default) runs the shuffle on the fused raw-task
+    exchange (``feast_ray.exchange``): upstream stages execute into object
+    store blocks, map tasks split each block into per-bucket slices, reduce
+    tasks concat + numeric-sort + run the kernel.  Measured 2-4x faster
+    than Ray Data's sort-based ``groupby().map_groups`` on the query
+    battery — the Dataset sort spends most of its wall time orchestrating
+    hundreds of blocks, not sorting (see BASELINE.md).  ``engine="dataset"``
+    keeps the Dataset-native formulation (parity-tested; same kernels).
+    Group ORDER within a bucket differs between engines (hash order vs key
+    order) — row-level results are identical, consumers must not rely on
+    inter-group output order.
     """
     keys = list(keys)
     order = keys + [c for c in sort_keys if c not in keys]
     b = num_buckets or default_num_buckets()
+
+    if engine == "exchange":
+        return _grouped_map_exchange(ds, keys, kernel, order, b)
+    if engine != "dataset":
+        raise ValueError(f"unknown engine {engine!r}")
+
     tagged = add_bucket(ds, keys, b)
 
     def _run(bucket_tbl: pa.Table) -> pa.Table:
@@ -197,6 +216,58 @@ def grouped_map(
         return kernel(t, starts)
 
     return tagged.groupby(BUCKET_COL).map_groups(_run, batch_format="pyarrow")
+
+
+def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
+    """grouped_map on raw Ray tasks: block-wise bucket split + per-bucket
+    reduce, returned as a Dataset over the reduce outputs."""
+    import ray
+    import ray.data as rd
+
+    from feast_ray import exchange as ex
+
+    refs = ds.to_arrow_refs()  # executes upstream stages; blocks stay remote
+    if not refs:
+        return ds  # empty dataset: nothing to group
+    # batch small blocks together so object count stays O(tasks x buckets)
+    max_map_tasks = 64
+    per = max(1, (len(refs) + max_map_tasks - 1) // max_map_tasks)
+    chunks = [refs[i : i + per] for i in range(0, len(refs), per)]
+
+    def _pick(parts):
+        """Non-empty tables, or the widest-schema empty as representative —
+        Ray passes schema-less 0-row source blocks through map stages
+        untouched, and those must not poison the concat."""
+        live = [p for p in parts if p.num_rows > 0]
+        return live if live else [max(parts, key=lambda p: p.num_columns)]
+
+    @ray.remote
+    def map_split(B: int, *tbls):
+        # to_arrow_refs can surface pandas-backed blocks unconverted
+        tbls = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+            for t in tbls
+        ]
+        tbls = _pick(tbls)
+        tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+        return ex._split_by_bucket(tbl, keys, B)
+
+    @ray.remote
+    def reduce_task(*parts: pa.Table):
+        parts = _pick(parts)
+        tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        t, starts = ex._sort_and_group(tbl, keys, order_cols)
+        if t.num_rows == 0:
+            starts = np.array([0], dtype=np.int64)
+        return kernel(t, starts)
+
+    splits = [
+        map_split.options(num_returns=num_buckets).remote(num_buckets, *c) for c in chunks
+    ]
+    if num_buckets == 1:  # num_returns=1 returns the bare ref
+        splits = [[s] for s in splits]
+    outs = [reduce_task.remote(*[s[b] for s in splits]) for b in range(num_buckets)]
+    return rd.from_arrow_refs(outs)
 
 
 # ---------------------------------------------------------------------------

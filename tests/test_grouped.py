@@ -62,3 +62,41 @@ def test_grouped_map_covers_all_groups(ray_session, transcripts_tbl):
     )
     assert (pdf["conv_id"] == want["conv_id"]).all()
     assert (pdf["n_turns"] == want["n_turns"]).all()
+
+
+def test_grouped_map_engines_agree(ray_session):
+    """exchange (raw-task) and dataset (groupby.map_groups) engines produce
+    identical rows for the same kernel."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import numpy as np
+    from feast_ray.grouped import grouped_map
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": [f"g{i}" for i in rng.integers(0, 25, 500)],
+            "ts": rng.integers(0, 1000, 500).astype("int64"),
+            "v": rng.normal(size=500),
+        }
+    )
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        v = t["v"].to_numpy()
+        # per-group running count (order-sensitive => exercises the sort)
+        sizes = np.diff(starts)
+        rc = np.arange(len(v)) - np.repeat(starts[:-1], sizes) + 1
+        return t.append_column("rc", pa.array(rc.astype(np.int64)))
+
+    outs = {}
+    for eng in ("exchange", "dataset"):
+        outs[eng] = (
+            grouped_map(rd.from_pandas(df), ["k"], kernel, sort_keys=["ts"],
+                        num_buckets=4, engine=eng)
+            .to_pandas()
+            .sort_values(["k", "ts", "v"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["exchange"], outs["dataset"])
