@@ -865,17 +865,13 @@ ORACLE_SQL.update(
 
 def q_streaming_window_features(sf_dir: str):
     """The streaming-ingest path (T3 stateful actor pool) driven as a query:
-    events arrive in global ts order in micro-batches; per-conv turn buffers
-    emit lag/rolling/session features incrementally.  Output is identical to
-    the batch path, so the SQL twin is the standard window-function oracle.
-
-    DEMO-HARNESS CAVEAT: this query feeds the shard actors from the DRIVER
-    (``iter_batches`` below) so the battery can replay a deterministic
-    stream.  That loop is the test harness, not the design — in production
-    the producers (Kafka consumers, log tailers) are themselves distributed
-    and call ``StreamingTurnPipeline.ingest_async`` directly, or a
-    ``map_batches`` feeder routes shards actor-side; the stateful actor
-    pool is the component under test either way."""
+    events are replayed DISTRIBUTED (``replay_distributed``): one hash
+    exchange co-locates each entity's rows on its shard, then one feeder
+    TASK per shard streams micro-batches to its pinned stateful actor in
+    event-time order — no driver-side loop anywhere.  Per-conv turn buffers
+    emit lag/rolling/session features incrementally; output is identical to
+    the batch path, so the SQL twin is the standard window-function
+    oracle."""
     import pyarrow as pa
 
     from feast_ray.stages.windows import Lag, RollingRows, Sessionize
@@ -887,20 +883,20 @@ def q_streaming_window_features(sf_dir: str):
         RollingRows("value", 5, aggs=("count", "last")),
         Sessionize(SESSION_GAP_US),
     ]
-    pipe = StreamingTurnPipeline(
-        specs, num_shards=4, key="user_id", order_cols=("ts", "event_id")
+    from feast_ray.state.turn_buffer import replay_distributed
+
+    res = replay_distributed(
+        specs,
+        ds,
+        key="user_id",
+        ts_col="ts",
+        num_shards=4,
+        batch_size=4096,
+        order_cols=("ts", "event_id"),
     )
-    outs = []
-    # simulate the stream: consume the time-ordered events in micro-batches
-    for batch in ds.sort("ts").iter_batches(batch_size=4096, batch_format="pyarrow"):
-        out = pipe.ingest(batch)
-        if out.num_rows:
-            outs.append(out)
-    pipe.shutdown()
-    res = pa.concat_tables(outs)
     # integer-cent rounding for the float sum-free outputs is unnecessary:
     # lag/last are value copies, count is integral, session_id integral
-    return res.select(
+    return res.select_columns(
         ["user_id", "event_id", "ts", "value", "lag1_value", "value_r5_count",
          "value_r5_last", "session_id"]
     )

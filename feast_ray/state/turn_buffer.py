@@ -245,3 +245,74 @@ class StreamingTurnPipeline:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+@ray.remote
+def _shard_feeder(actor, tbl: pa.Table, sort_cols: list, batch_size: int) -> pa.Table:
+    """One shard's replay loop, running AS A RAY TASK (not on the driver):
+    stream the shard's rows to its pinned actor in event-time order as
+    micro-batches, collecting the incremental feature rows."""
+    idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in sort_cols])
+    tbl = tbl.take(idx)
+    outs = []
+    for lo in range(0, tbl.num_rows, batch_size):
+        part = tbl.slice(lo, batch_size).combine_chunks()
+        out = ray.get(actor.ingest.remote(part))
+        if out.num_rows:
+            outs.append(out)
+    return pa.concat_tables(outs) if outs else tbl.slice(0, 0)
+
+
+def replay_distributed(
+    specs,
+    ds,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    num_shards: int = 4,
+    batch_size: int = 4096,
+    **actor_kw,
+):
+    """Distributed replay of a bounded event stream through the stateful
+    shard-actor pool — the production-shaped feed (no driver loop):
+
+    1. one hash exchange co-locates each conversation's rows on its shard
+       (``grouped_map`` identity kernel — same partitioner as the router);
+    2. one FEEDER TASK per shard replays its partition to its pinned actor
+       in event-time order, micro-batch by micro-batch.
+
+    Per-conversation arrival order is (ts, ...) within a shard, which is
+    exactly the stream contract the actors require; cross-shard order is
+    irrelevant (shards share no conversation).  Returns the concatenated
+    incremental outputs as a Dataset.  Unbounded production ingest keeps
+    the same actor pool and replaces the feeders with real consumers.
+    """
+    import ray.data as rd
+
+    from feast_ray.grouped import grouped_map
+
+    pipe = StreamingTurnPipeline(specs, num_shards=num_shards, key=key, **actor_kw)
+
+    # identity kernel: the exchange just co-locates rows by key hash; one
+    # output block per bucket = one replay partition per feeder task
+    shards = grouped_map(
+        ds, [key], lambda t, starts: t, num_buckets=num_shards
+    )
+    refs = shards.to_arrow_refs()
+    if not refs:
+        return ds
+    # global (ts, order_cols) sort per shard => per-conv stream order
+    sort_cols = [ts_col] + [
+        c for c in actor_kw.get("order_cols", ("ts", "turn_idx")) if c != ts_col
+    ]
+    # route each co-located block to a DISTINCT actor: blocks are per-bucket,
+    # so a conversation appears in exactly one block
+    out_refs = [
+        _shard_feeder.remote(pipe.actors[i % num_shards], r, sort_cols, batch_size)
+        for i, r in enumerate(refs)
+    ]
+    outs = [t for t in ray.get(out_refs) if t.num_rows]
+    pipe.shutdown()
+    if not outs:
+        return shards.limit(0)
+    return rd.from_arrow(pa.concat_tables(outs))

@@ -103,3 +103,54 @@ def test_eviction_requires_gap_cover(ray_session):
     with pytest.raises(Exception):
         ray.get(a.stats.remote())  # constructor error surfaces on first call
     ray.kill(a)
+
+
+def test_replay_distributed_equals_driver_feed(ray_session, transcripts_tbl):
+    """The distributed per-shard feeders must produce exactly the driver-fed
+    router's output (same actors, same stream contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import Lag, RollingRows, Sessionize
+    from feast_ray.state.turn_buffer import StreamingTurnPipeline, replay_distributed
+
+    specs = [Lag("msg_len", 1), RollingRows("msg_len", 3, aggs=("count", "last")),
+             Sessionize(1800 * 1_000_000)]
+    tbl = transcripts_tbl.append_column(
+        "msg_len",
+        pa.array([len(s) for s in transcripts_tbl["text"].to_pylist()], pa.int64()),
+    )
+    dist = (
+        replay_distributed(
+            specs, rd.from_arrow(tbl), key="conv_id", ts_col="ts",
+            num_shards=3, batch_size=512, order_cols=("ts", "turn_idx"),
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pipe = StreamingTurnPipeline(specs, num_shards=3, key="conv_id",
+                                 order_cols=("ts", "turn_idx"))
+    srt = tbl.take(
+        pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")])
+    )
+    outs = []
+    for lo in range(0, srt.num_rows, 512):
+        out = pipe.ingest(srt.slice(lo, 512).combine_chunks())
+        if out.num_rows:
+            outs.append(out)
+    pipe.shutdown()
+    drv = (
+        pa.concat_tables(outs)
+        .to_pandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(dist) == len(drv)
+    for c in drv.columns:
+        dv, gv = drv[c], dist[c]
+        if pd.api.types.is_float_dtype(dv):
+            import numpy as np
+            assert np.allclose(gv.astype(float), dv.astype(float), equal_nan=True), c
+        else:
+            assert gv.where(gv.notna(), None).tolist() == dv.where(dv.notna(), None).tolist(), c
