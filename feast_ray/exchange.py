@@ -97,9 +97,15 @@ def _sort_and_group(
         ok = True
         for c in reversed(sort_cols):  # lexsort: last key is primary
             col = tbl[c].combine_chunks()
-            if pa.types.is_timestamp(col.type):
-                col = col.cast(pa.timestamp("us", tz=col.type.tz)).cast(pa.int64())
-            a = col.to_numpy(zero_copy_only=False)
+            try:
+                if pa.types.is_timestamp(col.type):
+                    # ns values with sub-us components raise on the safe
+                    # cast; the comparator fallback keeps full precision
+                    col = col.cast(pa.timestamp("us", tz=col.type.tz)).cast(pa.int64())
+                a = col.to_numpy(zero_copy_only=False)
+            except pa.ArrowInvalid:
+                ok = False
+                break
             if not np.issubdtype(a.dtype, np.number):
                 ok = False
                 break

@@ -54,6 +54,23 @@ BUCKET_COL = "__bucket"
 GroupKernel = Callable[[pa.Table, np.ndarray], pa.Table]
 
 
+def dataset_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, robust to pandas-backed blocks (which
+    report object dtype as the python type) and unknown-schema datasets."""
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        raise ValueError(
+            "dataset schema is unknown (empty dataset from a row-filter?); "
+            "materialize a schema first, e.g. filter via map_batches on pyarrow"
+        )
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.string() if t is object or t is str else pa.from_numpy_dtype(t)
+        fields.append(pa.field(n, t))
+    return pa.schema(fields)
+
+
 def hash_backend_id() -> str:
     """Identity of the row-hash implementation (bucket assignment depends on
     it).  Persisted in incremental watermarks: a backend or version change
@@ -228,7 +245,11 @@ def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
 
     refs = ds.to_arrow_refs()  # executes upstream stages; blocks stay remote
     if not refs:
-        return ds  # empty dataset: nothing to group
+        # zero blocks: still emit the KERNEL's output schema (downstream
+        # stages depend on it), by running the kernel on a typed empty
+        empty = dataset_schema(ds).empty_table()
+        out = kernel(empty, np.array([0], dtype=np.int64))
+        return rd.from_arrow(out)
     # batch small blocks together so object count stays O(tasks x buckets)
     max_map_tasks = 64
     per = max(1, (len(refs) + max_map_tasks - 1) // max_map_tasks)

@@ -351,13 +351,19 @@ def backfill_incremental(
         "kernel_version": 2,
     }
     if wm is not None and wm.get("config") != wm_config:
-        old_b = (wm.get("config") or {}).get("num_buckets")
-        if isinstance(old_b, int) and old_b > b:
-            import shutil
+        # remove EVERY part dir >= the new bucket count — the old count may
+        # be unknown (pre-config watermark), so glob instead of trusting it
+        import glob as _glob
+        import shutil
 
-            from feast_ray.state.manifest import manifest_path, partition_dir
+        from feast_ray.state.manifest import manifest_path, partition_dir
 
-            for pid in range(b, old_b):
+        for pdir in _glob.glob(os.path.join(out_dir, "part=*")):
+            try:
+                pid = int(os.path.basename(pdir).split("=", 1)[1])
+            except ValueError:
+                continue
+            if pid >= b:
                 shutil.rmtree(partition_dir(out_dir, pid), ignore_errors=True)
                 mp = manifest_path(out_dir, pid)
                 if os.path.exists(mp):

@@ -216,13 +216,9 @@ def asof_join(
 
 
 def _dataset_schema(ds) -> pa.Schema:
-    sch = ds.schema(fetch_if_missing=True)
-    if sch is None:
-        raise ValueError(
-            "dataset schema is unknown (empty dataset from a row-filter?); "
-            "materialize a schema first, e.g. filter via map_batches on pyarrow"
-        )
-    return pa.schema(list(zip(sch.names, sch.types)))
+    from feast_ray.grouped import dataset_schema
+
+    return dataset_schema(ds)
 
 
 class BroadcastAsof:
@@ -460,7 +456,7 @@ def asof_join_multi(
         else:
             cols = v.feature_cols
             if cols is None:
-                skip = {key, v.feat_ts}
+                skip = set(keys) | {v.feat_ts}
                 if v.created_ts:
                     skip.add(v.created_ts)
                 cols = [n for n in fsch.names if n not in skip]

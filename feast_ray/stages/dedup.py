@@ -271,7 +271,10 @@ def jaccard_pair_pipeline(
     # co-partitioned join (:func:`_join_pair_sizes`) keeps the driver free
     # of O(n_docs) state.
     broadcast_max_docs = 2_000_000  # ~32 MB broadcast ceiling
-    n_docs = ds.count()
+    # strategy pick from the materialized grams (cheap map + count), NOT a
+    # re-scan of the source documents; partial size rows over-count docs
+    # (one per doc per block), so this errs toward copartition — safe
+    n_docs = sizes.count()
     if n_docs is not None and n_docs <= broadcast_max_docs:
         import ray
 

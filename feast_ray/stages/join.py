@@ -29,16 +29,9 @@ _SIDE = "__fj_side"
 
 
 def _dataset_schema(ds) -> pa.Schema:
-    sch = ds.schema(fetch_if_missing=True)
-    if sch is None:
-        raise ValueError("left dataset schema is unknown (empty dataset?)")
-    fields = []
-    for n, t in zip(sch.names, sch.types):
-        if not isinstance(t, pa.DataType):
-            # pandas-backed blocks report object dtype as the python type
-            t = pa.string() if t is object or t is str else pa.from_numpy_dtype(t)
-        fields.append(pa.field(n, t))
-    return pa.schema(fields)
+    from feast_ray.grouped import dataset_schema
+
+    return dataset_schema(ds)
 
 
 def filter_join(
@@ -52,7 +45,15 @@ def filter_join(
     """Keep left rows whose ``keys`` appear (semi) / don't appear (anti) in
     ``right``.  Duplicate right keys are fine (presence test only); left
     row multiplicity is preserved exactly (no join fan-out).
+
+    NULL keys follow SQL ``EXISTS`` / ``NOT EXISTS`` semantics: a left row
+    with any NULL key matches nothing (dropped by semi, kept by anti), and
+    right rows with NULL keys assert nothing.  Those rows never enter the
+    shuffle — NULL-key left rows are split off before bucketing and, for
+    anti, unioned back onto the output.
     """
+    import pyarrow.compute as pc
+
     if mode not in ("semi", "anti"):
         raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
     keys = list(keys)
@@ -62,12 +63,21 @@ def filter_join(
             raise ValueError(f"join key {k!r} not in left schema {left_schema.names}")
     union_schema = pa.schema(list(left_schema) + [pa.field(_SIDE, pa.int8())])
 
+    def _keys_valid(t: pa.Table):
+        m = None
+        for k in keys:
+            v = t[k].is_valid() if not isinstance(t[k], pa.ChunkedArray) else t[k].combine_chunks().is_valid()
+            m = v if m is None else pc.and_(m, v)
+        return m
+
     def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(_keys_valid(t))  # NULL-key rows can never match
         cols = {f.name: t[f.name].cast(f.type) for f in left_schema}
         cols[_SIDE] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
         return pa.table({f.name: cols[f.name] for f in union_schema})
 
     def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(_keys_valid(t))  # NULL-key right rows assert nothing
         n = t.num_rows
         cols = {}
         for f in left_schema:
@@ -92,7 +102,18 @@ def filter_join(
         keep = (side == 0) & (has_right[gidx] == want_present)
         return t.filter(pa.array(keep)).drop_columns([_SIDE])
 
-    return grouped_map(both, keys, kernel, num_buckets=num_buckets)
+    out = grouped_map(both, keys, kernel, num_buckets=num_buckets)
+    if mode == "anti":
+        null_left = left.map_batches(
+            lambda t: pa.table(
+                {f.name: t.filter(pc.invert(_keys_valid(t)))[f.name].cast(f.type)
+                 for f in left_schema}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = out.union(null_left)
+    return out
 
 
 def semi_join(left, right, *, keys, num_buckets=None):

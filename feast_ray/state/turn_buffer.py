@@ -291,28 +291,31 @@ def replay_distributed(
 
     from feast_ray.grouped import grouped_map
 
-    pipe = StreamingTurnPipeline(specs, num_shards=num_shards, key=key, **actor_kw)
-
-    # identity kernel: the exchange just co-locates rows by key hash; one
-    # output block per bucket = one replay partition per feeder task
-    shards = grouped_map(
-        ds, [key], lambda t, starts: t, num_buckets=num_shards
+    pipe = StreamingTurnPipeline(
+        specs, num_shards=num_shards, key=key, ts_col=ts_col, **actor_kw
     )
-    refs = shards.to_arrow_refs()
-    if not refs:
-        return ds
-    # global (ts, order_cols) sort per shard => per-conv stream order
-    sort_cols = [ts_col] + [
-        c for c in actor_kw.get("order_cols", ("ts", "turn_idx")) if c != ts_col
-    ]
-    # route each co-located block to a DISTINCT actor: blocks are per-bucket,
-    # so a conversation appears in exactly one block
-    out_refs = [
-        _shard_feeder.remote(pipe.actors[i % num_shards], r, sort_cols, batch_size)
-        for i, r in enumerate(refs)
-    ]
-    outs = [t for t in ray.get(out_refs) if t.num_rows]
-    pipe.shutdown()
+    try:
+        # identity kernel: the exchange just co-locates rows by key hash;
+        # one output block per bucket = one replay partition per feeder task
+        shards = grouped_map(
+            ds, [key], lambda t, starts: t, num_buckets=num_shards
+        )
+        refs = shards.to_arrow_refs()
+        if not refs:
+            return shards
+        # global (ts, order_cols) sort per shard => per-conv stream order
+        sort_cols = [ts_col] + [
+            c for c in actor_kw.get("order_cols", ("ts", "turn_idx")) if c != ts_col
+        ]
+        # route each co-located block to a DISTINCT actor: blocks are
+        # per-bucket, so a conversation appears in exactly one block
+        out_refs = [
+            _shard_feeder.remote(pipe.actors[i % num_shards], r, sort_cols, batch_size)
+            for i, r in enumerate(refs)
+        ]
+        outs = [t for t in ray.get(out_refs) if t.num_rows]
+    finally:
+        pipe.shutdown()
     if not outs:
         return shards.limit(0)
     return rd.from_arrow(pa.concat_tables(outs))

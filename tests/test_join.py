@@ -70,3 +70,16 @@ def test_bad_args(sides):
         filter_join(lds, rds, keys=["k"], mode="inner")
     with pytest.raises(ValueError, match="join key"):
         filter_join(lds, rds, keys=["nope"], mode="semi")
+
+
+def test_null_keys_follow_sql_semantics(ray_session):
+    """SQL EXISTS/NOT EXISTS: NULL keys never match — semi drops NULL-key
+    left rows, anti keeps them; NULL right keys assert nothing."""
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                         "name": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64")})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    semi = _run(semi_join(lds, rds, keys=["k"], num_buckets=2))
+    anti = _run(anti_join(lds, rds, keys=["k"], num_buckets=2))
+    assert semi["name"].tolist() == ["b"]
+    assert sorted(anti["name"].tolist()) == ["a", "c", "d"]
