@@ -110,13 +110,16 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
     # must run the IDENTICAL job (same exchange shape) at every parallelism
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "128"))
     carry_text = os.environ.get("BENCH_CARRY_TEXT", "1") == "1"
+    # BENCH_TEXT_LAYOUT=carried|none|sidecar overrides the carry flag
+    text_layout = os.environ.get("BENCH_TEXT_LAYOUT") or None
     metrics = None
     for rep in range(2):  # rep 0 warms; rep 1 is the steady-state measurement
         out_dir = f"/tmp/feast_ray_bench/out_cpu{num_cpus}_r{rep}"
         shutil.rmtree(out_dir, ignore_errors=True)
         subprocess.run(["sync"], check=False)  # warm-rep writeback off the books
         metrics = backfill_transcripts(
-            tr_path, out_dir, num_buckets=n_buckets, resume=False, carry_text=carry_text
+            tr_path, out_dir, num_buckets=n_buckets, resume=False,
+            carry_text=carry_text, text_layout=text_layout,
         )
 
     qtimes = {}

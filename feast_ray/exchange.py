@@ -148,6 +148,7 @@ def exchange_grouped(
     columns: Optional[Sequence[str]] = None,
     files_per_task: int = 1,
     skip_buckets: Optional[set[int]] = None,
+    map_fn_takes_paths: bool = False,
 ) -> list:
     """Run the fused exchange over parquet files; returns per-bucket results
     (``sink_fn`` metrics dicts if given, else reduced Arrow tables)."""
@@ -164,7 +165,7 @@ def exchange_grouped(
         tbls = [pq.read_table(p, columns=list(columns) if columns else None) for p in paths]
         tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
         if map_fn is not None:
-            tbl = map_fn(tbl)
+            tbl = map_fn(tbl, paths) if map_fn_takes_paths else map_fn(tbl)
         return _split_by_bucket(tbl, keys, B)
 
     @ray.remote

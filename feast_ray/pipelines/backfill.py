@@ -128,6 +128,43 @@ def transcript_feature_dataset(
     )
 
 
+def _write_text_sidecar(tbl: pa.Table, text_dir: str, paths) -> None:
+    """Write one input chunk's turn text to the sidecar layout, atomically
+    and idempotently (content-addressed by the chunk's path list, so a
+    resumed or retried map task overwrites with identical bytes)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    digest = hashlib.sha256("\x00".join(sorted(paths)).encode()).hexdigest()[:16]
+    os.makedirs(text_dir, exist_ok=True)
+    final = os.path.join(text_dir, f"part-{digest}.parquet")
+    if os.path.exists(final):
+        return
+    cols = ["conv_id", "turn_idx", "text"] + (["tool"] if "tool" in tbl.column_names else [])
+    fd, tmp = tempfile.mkstemp(dir=text_dir, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(
+            tbl.select(cols), tmp,
+            compression="zstd", compression_level=1,
+            write_statistics=["conv_id"],
+        )
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_text_sidecar(out_dir: str):
+    """Dataset over the sidecar text written by ``text_layout='sidecar'`` —
+    join to feature partitions on ``(conv_id, turn_idx)``."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out_dir, "text"))
+
+
 def _resolve_files(input_path) -> list[str]:
     import glob as _glob
 
@@ -148,6 +185,7 @@ def backfill_transcripts(
     num_buckets: Optional[int] = None,
     resume: bool = True,
     carry_text: bool = True,
+    text_layout: Optional[str] = None,
     files_per_task: int = 1,
     skip_buckets: Optional[set] = None,
 ) -> dict:
@@ -158,12 +196,30 @@ def backfill_transcripts(
 
     Runs on the fused raw-task exchange (``feast_ray.exchange``) — measured
     3-5x faster than the Dataset groupby path for this shuffle-dominated
-    job.  ``carry_text=False`` drops the wide ``text``/``tool`` columns from
-    the shuffle and the output (features reference turns by
-    ``(conv_id, turn_idx)``) — the narrow path for feature-only consumers.
+    job.
+
+    ``text_layout`` (overrides the legacy ``carry_text`` flag):
+
+    - ``"carried"``: text/tool ride through the shuffle into the feature
+      partitions (self-contained output; text bytes dominate the exchange).
+    - ``"none"``: features only; readers fetch turn text from the source by
+      ``(conv_id, turn_idx)``.
+    - ``"sidecar"``: map tasks write text to ``out_dir/text/`` DIRECTLY
+      (input-shard partitioned, NO SHUFFLE — text bytes never enter the
+      exchange) and the feature exchange runs narrow.  Text co-location is
+      never needed: features reference turns by ``(conv_id, turn_idx)``, so
+      the wide payload can skip the all-to-all entirely — this is the
+      text-preserving layout that scales like the narrow path (the wide
+      path's 8→32 wall in BASELINE.md is exactly the text bytes on the
+      shared memory bus).  Sidecar writes are idempotent per input chunk
+      (content-addressed file names) so resume re-runs are safe.
     """
     from feast_ray.exchange import exchange_grouped
 
+    if text_layout is None:
+        text_layout = "carried" if carry_text else "none"
+    if text_layout not in ("carried", "none", "sidecar"):
+        raise ValueError(f"unknown text_layout {text_layout!r}")
     files = _resolve_files(input_path)
     b = num_buckets or default_num_buckets()
     fingerprint = config_fingerprint(
@@ -173,7 +229,7 @@ def backfill_transcripts(
             "roll_turns": roll_turns,
             "roll_time_s": roll_time_s,
             "num_buckets": b,
-            "carry_text": carry_text,
+            "text_layout": text_layout,
             "kernel_version": 2,
         }
     )
@@ -188,10 +244,13 @@ def backfill_transcripts(
         "conv_id", "turn_idx", "ts", "role",
         "msg_len", "is_user", "is_assistant", "is_tool", "has_tool_call",
     ]
+    text_dir = os.path.join(out_dir, "text")
 
-    def map_fn(tbl: pa.Table) -> pa.Table:
+    def map_fn(tbl: pa.Table, paths) -> pa.Table:
         tbl = _derive_turn_columns(tbl)
-        if not carry_text:
+        if text_layout == "sidecar":
+            _write_text_sidecar(tbl, text_dir, paths)
+        if text_layout != "carried":
             tbl = tbl.select(narrow_cols)
         return tbl
 
@@ -225,6 +284,7 @@ def backfill_transcripts(
         reduce_kernel=reduce_kernel,
         num_buckets=b,
         map_fn=map_fn,
+        map_fn_takes_paths=True,
         sink_fn=sink_fn,
         files_per_task=files_per_task,
         skip_buckets=done,

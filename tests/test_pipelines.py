@@ -199,3 +199,62 @@ def test_historical_udf_numpy_dict_mode(ray_session, fixture_dir):
     m = got["value"].notna()
     want = got.loc[m, "value"] / got.loc[m, "msg_len"].clip(lower=1)
     assert np.allclose(got.loc[m, "value_per_char"], want, equal_nan=True)
+
+
+def test_backfill_sidecar_text_layout(ray_session, fixture_dir, transcripts_tbl, tmp_path):
+    """text_layout='sidecar': features equal the narrow run; the sidecar
+    holds every turn's text exactly once (text never entered the shuffle)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from feast_ray.pipelines.backfill import backfill_transcripts, load_text_sidecar
+
+    inp = os.path.join(fixture_dir, "transcripts.parquet")
+    out_sc = str(tmp_path / "sidecar")
+    out_nw = str(tmp_path / "narrow")
+    backfill_transcripts(inp, out_sc, num_buckets=6, text_layout="sidecar")
+    backfill_transcripts(inp, out_nw, num_buckets=6, text_layout="none")
+
+    def read_parts(d):
+        files = sorted(glob.glob(os.path.join(d, "part=*", "data.parquet")))
+        return (
+            pa.concat_tables([pq.read_table(f) for f in files])
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    sc, nw = read_parts(out_sc), read_parts(out_nw)
+    assert list(sc.columns) == list(nw.columns)  # no text columns in features
+    assert "text" not in sc.columns
+    assert len(sc) == len(nw) == transcripts_tbl.num_rows
+    for c in nw.columns:
+        a, b = sc[c], nw[c]
+        if a.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float), equal_nan=True), c
+        else:
+            assert a.where(a.notna(), None).tolist() == b.where(b.notna(), None).tolist(), c
+
+    # sidecar text: exactly the input turns' text
+    side = (
+        load_text_sidecar(out_sc)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        transcripts_tbl.select(["conv_id", "turn_idx", "text", "tool"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(side) == len(want)
+    assert (side["text"] == want["text"]).all()
+
+    # resume idempotence: re-run skips everything, sidecar files unchanged
+    before = sorted(glob.glob(os.path.join(out_sc, "text", "*.parquet")))
+    r = backfill_transcripts(inp, out_sc, num_buckets=6, text_layout="sidecar")
+    assert r["partitions_written"] == 0
+    assert sorted(glob.glob(os.path.join(out_sc, "text", "*.parquet"))) == before
