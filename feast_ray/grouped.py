@@ -282,11 +282,12 @@ def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
             starts = np.array([0], dtype=np.int64)
         return kernel(t, starts)
 
+    # num_returns=1 would hand reducers the unsplit LIST (Ray only unpacks
+    # multi-return); 2 buckets is the minimum exchange shape anyway
+    num_buckets = max(2, num_buckets)
     splits = [
         map_split.options(num_returns=num_buckets).remote(num_buckets, *c) for c in chunks
     ]
-    if num_buckets == 1:  # num_returns=1 returns the bare ref
-        splits = [[s] for s in splits]
     outs = [reduce_task.remote(*[s[b] for s in splits]) for b in range(num_buckets)]
     return rd.from_arrow_refs(outs)
 

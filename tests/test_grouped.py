@@ -100,3 +100,23 @@ def test_grouped_map_engines_agree(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs["exchange"], outs["dataset"])
+
+
+def test_grouped_map_single_bucket(ray_session):
+    """num_buckets=1 is clamped to the minimum exchange shape and still
+    groups correctly (Ray does not unpack single-return lists)."""
+    import pandas as pd
+    import pyarrow as pa
+    import numpy as np
+    import ray.data as rd
+
+    from feast_ray.grouped import grouped_map
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+
+    def kern(t, starts):
+        sizes = np.diff(starts)
+        return t.append_column("n", pa.array(np.repeat(sizes, sizes).astype(np.int64)))
+
+    out = grouped_map(rd.from_pandas(df), ["k"], kern, num_buckets=1).to_pandas()
+    assert sorted(out["n"].tolist()) == [1, 2, 2, 2, 2]
