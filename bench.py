@@ -142,7 +142,21 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
         "backfill_rows": metrics["rows"],
         "turns_per_sec": round(metrics["turns_per_sec"], 1),
         "backfill_partitions": metrics["partitions_written"],
+        "host_probe_s": _host_probe_s(),
     }
+
+
+def _host_probe_s() -> float:
+    """Single-core 200 MB memory sweep, seconds.  ~0.05-0.1 s on this VM
+    when healthy; this host intermittently enters contention windows where
+    it measures 30-100x slower (see BASELINE.md) — recording it beside the
+    timings lets a reader discard runs that landed in such a window."""
+    import numpy as _np
+
+    x = _np.ones(25_000_000, dtype=_np.float64)
+    t0 = time.perf_counter()
+    float((x * 1.0000001).sum())
+    return round(time.perf_counter() - t0, 3)
 
 
 def run_subprocess(num_cpus: int, backfill_only: bool = False, n_turns: int | None = None) -> dict:
