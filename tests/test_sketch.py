@@ -1,0 +1,48 @@
+"""HyperLogLog approx-distinct: error bound vs exact, merge correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from feast_ray.stages.sketch import approx_distinct
+
+
+@pytest.mark.parametrize("card", [50, 5000, 60000])
+def test_error_bound(ray_session, card):
+    rng = np.random.default_rng(card)
+    n = card * 3
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, n),
+            "v": rng.integers(0, card, n),  # ~card distinct per group
+        }
+    )
+    got = approx_distinct(rd.from_pandas(df), "g", "v", p=12, num_buckets=2).to_pandas()
+    exact = df.groupby("g")["v"].nunique()
+    rel_bound = 4 * 1.04 / np.sqrt(2**12)  # 4 sigma
+    for r in got.itertuples():
+        e = exact[r.g]
+        assert abs(r.approx_distinct - e) <= max(rel_bound * e, 4), (r.g, r.approx_distinct, e)
+
+
+def test_merge_across_blocks_matches_single_block(ray_session):
+    """A group's values split across many input blocks must merge to the
+    same sketch as one block (register max is the merge)."""
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 10000, 30000)
+    df = pd.DataFrame({"g": np.zeros(len(vals), dtype=np.int64), "v": vals})
+    one = approx_distinct(rd.from_pandas(df), "g", "v", p=12).to_pandas()
+    many = approx_distinct(
+        rd.from_pandas(df).repartition(16), "g", "v", p=12
+    ).to_pandas()
+    assert one["approx_distinct"].iloc[0] == many["approx_distinct"].iloc[0]
+
+
+def test_bad_p(ray_session):
+    with pytest.raises(ValueError, match="p must be"):
+        approx_distinct(rd.from_items([{"g": 1, "v": 2}]), "g", "v", p=4)
