@@ -1448,3 +1448,73 @@ ORACLE_SQL["interval_join_events"] = """
       ON p.user_id = v.user_id AND v.vf <= p.ts
          AND (v.vt IS NULL OR p.ts < v.vt)
 """
+
+
+def q_join_orders_customers(sf_dir: str):
+    """General distributed equi-join (J-core): orders INNER JOIN customer on
+    custkey, both payloads carried, duplicate-key fan-out vectorized
+    (``stages.join.equi_join``).  Reference analog: the LEFT JOIN composition
+    Feast's SQL offline stores template per feature view (upstream
+    ``offline_store.py``); here it is one co-partitioned hash shuffle."""
+    import ray.data as rd
+
+    from feast_ray.stages.join import equi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return equi_join(orders, cust, keys=["custkey"], how="inner")
+
+
+def q_left_join_orders_building(sf_dir: str):
+    """LEFT equi-join with real misses: every order, joined to its customer
+    only when that customer is in the BUILDING segment (right side filtered
+    at the read) — unmatched orders carry NULL customer columns, exercising
+    the SQL LEFT JOIN null path of ``equi_join``."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from feast_ray.stages.join import equi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_name"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return equi_join(orders, cust, keys=["custkey"], how="left")
+
+
+QUERIES["join_orders_customers"] = q_join_orders_customers
+QUERIES["left_join_orders_building"] = q_left_join_orders_building
+ORACLE_SQL["join_orders_customers"] = """
+    SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+ORACLE_SQL["left_join_orders_building"] = """
+    SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c.c_name
+    FROM orders o LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                             WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+"""

@@ -1,19 +1,21 @@
-"""Distributed semi / anti join (SURVEY §2 J5).
+"""Distributed semi / anti / general equi joins (SURVEY §2 J5 + J-core).
 
 Feast's offline stores express entity filtering as SQL ``WHERE EXISTS`` /
-``NOT EXISTS`` subqueries pushed to the warehouse (upstream
-``offline_store.py`` templating); here it is one co-partitioned hash
-shuffle: both sides are tagged, unioned, bucketed by the join keys, and a
-vectorized kernel keeps left rows whose key group does (semi) / does not
-(anti) contain a right row.
+``NOT EXISTS`` subqueries and feature composition as LEFT JOINs pushed to
+the warehouse (upstream ``offline_store.py`` templating); here each is one
+co-partitioned hash shuffle: both sides are tagged, unioned, bucketed by
+the join keys, and a vectorized kernel resolves matches bucket-locally.
 
 Scale notes:
-- ONE all-to-all over left + the right KEY COLUMNS only (the right side's
-  payload never moves).  When the right side is known-small, prefer a
-  broadcast ``ray.put`` set + ``map_batches`` filter instead — this module
-  is the general path with no size assumption on either side.
-- The kernel is O(rows) per bucket: group membership via one bincount,
-  row filtering via one boolean mask.  No per-group Python loop.
+- Semi/anti: ONE all-to-all over left + the right KEY COLUMNS only (the
+  right side's payload never moves).  When the right side is known-small,
+  prefer a broadcast ``ray.put`` set + ``map_batches`` filter instead —
+  this module is the general path with no size assumption on either side.
+- ``equi_join``: both sides' payloads shuffle once; the match fan-out is
+  produced by pure index arithmetic (repeat/tile over group offsets), so a
+  hot key costs O(matches) vectorized ``take``, never a Python loop.  For
+  a small right side use the broadcast as-of/interval machinery or
+  pre-filter instead of this all-to-all.
 """
 
 from __future__ import annotations
@@ -122,3 +124,143 @@ def semi_join(left, right, *, keys, num_buckets=None):
 
 def anti_join(left, right, *, keys, num_buckets=None):
     return filter_join(left, right, keys=keys, mode="anti", num_buckets=num_buckets)
+
+
+def equi_join(
+    left,
+    right,
+    *,
+    keys: Sequence[str],
+    how: str = "inner",
+    right_cols: Optional[Sequence[str]] = None,
+    num_buckets: Optional[int] = None,
+):
+    """General hash equi-join returning left columns + right payload columns.
+
+    SQL semantics (mirrors ``LEFT [OUTER] | INNER JOIN ... ON l.k = r.k``):
+    duplicate keys fan out to the full cross product within the key group;
+    NULL join keys match nothing (inner drops them, left emits them with
+    NULL right columns — those rows never enter the shuffle).
+
+    ``keys`` must exist under the same names on both sides (rename first via
+    ``map_batches`` — the engine's M1 field-mapping stage).  ``right_cols``
+    selects the right payload (default: every non-key right column); payload
+    names must not clash with left columns.
+
+    One all-to-all of both sides; per-bucket kernel sorts by ``(keys, side)``
+    so each key group is a contiguous [left rows | right rows] block and the
+    match expansion is three numpy index ops + vectorized ``take``.
+    """
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = list(keys)
+    left_schema = _dataset_schema(left)
+    right_schema = _dataset_schema(right)
+    for k in keys:
+        if k not in left_schema.names:
+            raise ValueError(f"join key {k!r} not in left schema {left_schema.names}")
+        if k not in right_schema.names:
+            raise ValueError(f"join key {k!r} not in right schema {right_schema.names}")
+    if right_cols is None:
+        right_cols = [n for n in right_schema.names if n not in keys]
+    right_cols = list(right_cols)
+    clash = set(right_cols) & set(left_schema.names)
+    if clash:
+        raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
+    payload_fields = [right_schema.field(c) for c in right_cols]
+    union_schema = pa.schema(
+        list(left_schema) + payload_fields + [pa.field(_SIDE, pa.int8())]
+    )
+
+    def _keys_valid(t: pa.Table):
+        m = None
+        for k in keys:
+            col = t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray) else t[k]
+            v = col.is_valid()
+            m = v if m is None else pc.and_(m, v)
+        return m
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(_keys_valid(t))
+        n = t.num_rows
+        cols = {f.name: t[f.name].cast(f.type) for f in left_schema}
+        for f in payload_fields:
+            cols[f.name] = pa.nulls(n, type=f.type)
+        cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table({f.name: cols[f.name] for f in union_schema})
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(_keys_valid(t))
+        n = t.num_rows
+        cols = {}
+        for f in left_schema:
+            if f.name in keys:
+                cols[f.name] = t[f.name].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        for f in payload_fields:
+            cols[f.name] = t[f.name].cast(f.type)
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table({f.name: cols[f.name] for f in union_schema})
+
+    both = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    out_names = [f.name for f in left_schema] + right_cols
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        side = t[_SIDE].combine_chunks().to_numpy(zero_copy_only=False)
+        n_groups = len(starts) - 1
+        gidx = starts_to_group_index(starts)
+        nl = np.bincount(gidx[side == 0], minlength=n_groups)
+        nr = np.bincount(gidx[side == 1], minlength=n_groups)
+        # sorted by (keys, side): group g = [left block | right block];
+        # right block of group g begins at starts[g] + nl[g]
+        right_start = starts[:-1] + nl
+        left_pos = np.flatnonzero(side == 0)
+        g_of_left = gidx[left_pos]
+        rep = nr[g_of_left]  # matches per left row
+        total = int(rep.sum())
+        left_take = np.repeat(left_pos, rep)
+        offs = np.repeat(np.cumsum(rep) - rep, rep)
+        within = np.arange(total, dtype=np.int64) - offs
+        right_take = np.repeat(right_start[g_of_left], rep) + within
+
+        lt = pa.array(left_take)
+        rt = pa.array(right_take)
+        cols = {f.name: pc.take(t[f.name].combine_chunks(), lt) for f in left_schema}
+        for c in right_cols:
+            cols[c] = pc.take(t[c].combine_chunks(), rt)
+        matched = pa.table({n: cols[n] for n in out_names})
+        if how == "inner":
+            return matched
+        miss_pos = left_pos[rep == 0]
+        mp = pa.array(miss_pos)
+        mcols = {f.name: pc.take(t[f.name].combine_chunks(), mp) for f in left_schema}
+        for f in payload_fields:
+            mcols[f.name] = pa.nulls(len(miss_pos), type=f.type)
+        misses = pa.table({n: mcols[n] for n in out_names})
+        return pa.concat_tables([matched, misses])
+
+    out = grouped_map(both, keys, kernel, sort_keys=[_SIDE], num_buckets=num_buckets)
+    if how == "left":
+        null_left = left.map_batches(
+            lambda t: _null_key_left(t, left_schema, payload_fields, out_names, _keys_valid),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = out.union(null_left)
+    return out
+
+
+def _null_key_left(t, left_schema, payload_fields, out_names, keys_valid):
+    import pyarrow.compute as pc
+
+    kept = t.filter(pc.invert(keys_valid(t)))
+    cols = {f.name: kept[f.name].cast(f.type) for f in left_schema}
+    for f in payload_fields:
+        cols[f.name] = pa.nulls(kept.num_rows, type=f.type)
+    return pa.table({n: cols[n] for n in out_names})

@@ -83,3 +83,83 @@ def test_null_keys_follow_sql_semantics(ray_session):
     anti = _run(anti_join(lds, rds, keys=["k"], num_buckets=2))
     assert semi["name"].tolist() == ["b"]
     assert sorted(anti["name"].tolist()) == ["a", "c", "d"]
+
+
+class TestEquiJoin:
+    @pytest.fixture()
+    def ec_sides(self, ray_session):
+        rng = np.random.default_rng(11)
+        n_l, n_r = 400, 150
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, n_l).astype(float),
+                "lval": rng.normal(size=n_l),
+                "lname": [f"L{i}" for i in range(n_l)],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(25, 75, n_r).astype(float),  # dup keys + misses
+                "rval": rng.normal(size=n_r),
+            }
+        )
+        # NULL join keys on both sides: match nothing
+        left.loc[left.index[:7], "k"] = np.nan
+        right.loc[right.index[:5], "k"] = np.nan
+        return left, right
+
+    @staticmethod
+    def _canon(df, cols):
+        return (
+            df[cols]
+            .sort_values(cols, kind="stable")
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_matches_pandas_merge(self, ec_sides, how):
+        from feast_ray.stages.join import equi_join
+
+        left, right = ec_sides
+        got = equi_join(
+            rd.from_pandas(left), rd.from_pandas(right), keys=["k"], how=how
+        ).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        # pandas merges NaN keys with each other; SQL (and equi_join) don't
+        if how == "inner":
+            want = want[want["k"].notna()]
+        else:
+            nan_l = left[left["k"].isna()].copy()
+            nan_l["rval"] = np.nan
+            want = pd.concat([want[want["k"].notna()], nan_l], ignore_index=True)
+        cols = ["k", "lval", "lname", "rval"]
+        assert list(got.columns) == cols
+        g, w = self._canon(got, cols), self._canon(want, cols)
+        assert len(g) == len(w)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+    def test_payload_clash_raises(self, ec_sides):
+        from feast_ray.stages.join import equi_join
+
+        left, right = ec_sides
+        right = right.rename(columns={"rval": "lval"})
+        with pytest.raises(ValueError, match="clash"):
+            equi_join(rd.from_pandas(left), rd.from_pandas(right), keys=["k"])
+
+    def test_right_cols_subset_and_empty_groups(self, ray_session):
+        from feast_ray.stages.join import equi_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+        right = pd.DataFrame({"k": [2, 2, 9], "b": [1.0, 2.0, 3.0], "c": ["x", "y", "z"]})
+        got = (
+            equi_join(
+                rd.from_pandas(left), rd.from_pandas(right), keys=["k"], how="left",
+                right_cols=["b"],
+            )
+            .to_pandas()
+            .sort_values(["k", "b"])
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["k", "a", "b"]
+        assert got["k"].tolist() == [1, 2, 2, 3]
+        assert got["b"].fillna(-1).tolist() == [-1.0, 1.0, 2.0, -1.0]
