@@ -476,3 +476,56 @@ ORACLE_SQL_DOCS["frame_sample_docs"] = """
            CAST(256 AS BIGINT) AS frame_len
     FROM f
 """
+
+
+def q_dedup_cluster_docs(sf_dir: str):
+    """Duplicate-CLUSTER assignment: exact Jaccard near-dup pairs become an
+    edge list, distributed min-label-propagation connected components
+    (``stages.cc``) labels every member with its cluster's min doc_id, and
+    singletons (docs in no pair) cluster as themselves via one LEFT
+    equi-join.  Beyond the reference: Feast has no transitive-closure
+    operator; this is the dedup-group step of an LLM-corpus pipeline."""
+    from feast_ray.stages.cc import connected_components
+    from feast_ray.stages.dedup import jaccard_pair_pipeline
+    from feast_ray.stages.join import equi_join
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    pairs = jaccard_pair_pipeline(
+        _docs(sf_dir), k=JACCARD_K, tau=JACCARD_TAU
+    ).select_columns(["doc_a", "doc_b"])
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", node_col="doc_id", comp_col="comp"
+    )
+    joined = equi_join(docs, labels, keys=["doc_id"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        comp = t["comp"].combine_chunks()
+        own = t["doc_id"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": own,
+                "cluster_id": pc.coalesce(comp, own),
+                "is_cluster_head": pc.equal(pc.coalesce(comp, own), own),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["dedup_cluster_docs"] = q_dedup_cluster_docs
+ORACLE_SQL_DOCS["dedup_cluster_docs"] = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    e AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE j >= {JACCARD_TAU}
+          UNION SELECT doc_b, doc_a FROM jac WHERE j >= {JACCARD_TAU}),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
+            FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_cluster_head
+    FROM documents d LEFT JOIN lab l USING (doc_id)
+"""
