@@ -529,3 +529,30 @@ ORACLE_SQL_DOCS["dedup_cluster_docs"] = f"""
            COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_cluster_head
     FROM documents d LEFT JOIN lab l USING (doc_id)
 """
+
+
+TOP_TOKENS_K = 50
+
+
+def q_top_tokens_docs(sf_dir: str):
+    """Exact corpus-wide top-50 token frequencies (vocabulary / heavy
+    hitters): per-batch ``value_counts`` map-side combiner, one grouped
+    exchange of (token, partial count), per-block local top-k, final sort
+    over <= k x blocks rows (``stages.text.token_count_topk``)."""
+    from feast_ray.stages.text import token_count_topk
+
+    return token_count_topk(_docs(sf_dir, columns=("text",)), k=TOP_TOKENS_K)
+
+
+QUERIES_DOCS["top_tokens_docs"] = q_top_tokens_docs
+ORACLE_SQL_DOCS["top_tokens_docs"] = f"""
+    WITH toks AS (
+      SELECT u.t AS token
+      FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT {TOP_TOKENS_K}
+"""

@@ -273,3 +273,76 @@ def add_fingerprints(ds, *, text_col: str = "text", id_cols: Sequence[str] = ("d
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Token frequency / vocabulary (heavy hitters, exact)
+# ---------------------------------------------------------------------------
+
+SPLIT_RE = r"[^a-z0-9]+"
+
+
+def tokenize_batch(
+    t: pa.Table, *, text_col: str = "text", pattern: str = SPLIT_RE
+) -> pa.Array:
+    """Lowercase + regex-split one batch's text column to a flat token
+    array — all Arrow kernels (utf8_lower / split_pattern_regex /
+    list_flatten), no Python per row.  Null text contributes nothing."""
+    col = t[text_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(arr), pattern))
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def token_count_topk(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    pattern: str = SPLIT_RE,
+    num_buckets=None,
+):
+    """EXACT top-k most frequent tokens across the corpus, ties broken by
+    token ascending.  The classic vocabulary/heavy-hitter step of a
+    training-data pipeline (beyond the reference — Feast has no text ops).
+
+    Shape: per-batch ``value_counts`` acts as the map-side combiner (the
+    shuffle carries one row per DISTINCT token per batch, not per
+    occurrence), one grouped exchange sums counts int64-exact, each reduce
+    block keeps a local top-k, and the final global sort runs over at most
+    k x n_blocks rows — never the vocabulary."""
+    from feast_ray.grouped import grouped_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_batch(t, text_col=text_col, pattern=pattern)
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        firsts = starts[:-1]
+        tok = t["token"].combine_chunks().take(pa.array(firsts))
+        return pa.table(
+            {"token": tok, "cnt": pa.array(np.add.reduceat(cnt, firsts))}
+        )
+
+    counts = grouped_map(partials, ["token"], sum_kernel, num_buckets=num_buckets)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("token", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    pruned = counts.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
