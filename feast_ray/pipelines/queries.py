@@ -1518,3 +1518,103 @@ ORACLE_SQL["left_join_orders_building"] = """
                              WHERE c_mktsegment = 'BUILDING') c
       ON o.o_custkey = c.c_custkey
 """
+
+
+def _events_cents(sf_dir: str, columns):
+    """events with an exact fixed-point cents column ``c`` (values are
+    2-decimal doubles; ROUND(v*100) never lands on a .5 tie)."""
+    ds = _events(sf_dir, columns)
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column("c", pa.array(np.round(v * 100).astype(np.int64)))
+
+    return ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quantile_value_per_user(sf_dir: str):
+    """Exact per-entity order statistics (beyond Feast's declared agg set):
+    median (SQL ``quantile_cont`` interpolation) and p90 (SQL
+    ``quantile_disc`` rank ceil(q*n)) of value per user, computed in exact
+    integer cents inside one grouped shuffle — the bucket arrives sorted by
+    (key, value) so every group's quantiles are index arithmetic
+    (``stages.stats.grouped_quantile``)."""
+    from feast_ray.stages.stats import grouped_quantile
+
+    ds = _events_cents(sf_dir, ["user_id", "value"])
+    out = grouped_quantile(
+        ds.select_columns(["user_id", "c"]),
+        ["user_id"],
+        "c",
+        {"p50_c": (0.5, "cont"), "p90_c": (0.9, "disc")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "p50_value": pc.divide(t["p50_c"], pa.scalar(100.0)),
+                "p90_value": pc.divide(t["p90_c"], pa.scalar(100.0)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-entity z-score normalization (feature-scaling stage): exact int64
+    sum/sum-of-squares per user, fixed SQL-reproducible float schedule
+    (``stages.stats.add_group_zscore``); single-event or zero-variance
+    groups emit NULL."""
+    from feast_ray.stages.stats import add_group_zscore
+
+    ds = _events_cents(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = add_group_zscore(ds, "user_id", "c")
+    return out.select_columns(["user_id", "event_id", "ts", "zscore"])
+
+
+def q_pivot_events_user(sf_dir: str):
+    """Categorical pivot to wide (per-user behavior profile): one count
+    column per event type via per-batch bincount combiner + int64-exact
+    grouped sum (``stages.stats.pivot_counts``) — SQL ``COUNT(*) FILTER``."""
+    from feast_ray.stages.stats import pivot_counts
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return pivot_counts(
+        ds, ["user_id"], "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+QUERIES["quantile_value_per_user"] = q_quantile_value_per_user
+QUERIES["zscore_events"] = q_zscore_events
+QUERIES["pivot_events_user"] = q_pivot_events_user
+ORACLE_SQL["quantile_value_per_user"] = """
+    WITH e AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+    SELECT user_id,
+           median(c) / 100.0 AS p50_value,
+           quantile_disc(c, 0.9) / 100.0 AS p90_value
+    FROM e GROUP BY user_id
+"""
+ORACLE_SQL["zscore_events"] = """
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+    SELECT user_id, event_id, ts,
+           CASE WHEN cnt > 1 AND vr > 0 THEN (c - mn) / sqrt(vr) END AS zscore
+    FROM (SELECT user_id, event_id, ts, c,
+                 COUNT(*) OVER w AS cnt,
+                 (SUM(c) OVER w * 1.0) / COUNT(*) OVER w AS mn,
+                 ((SUM(c * c) OVER w * COUNT(*) OVER w
+                   - SUM(c) OVER w * SUM(c) OVER w) * 1.0)
+                   / (COUNT(*) OVER w * COUNT(*) OVER w) AS vr
+          FROM e WINDOW w AS (PARTITION BY user_id))
+"""
+ORACLE_SQL["pivot_events_user"] = """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+"""

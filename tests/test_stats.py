@@ -1,0 +1,124 @@
+"""Grouped quantiles / z-score / pivot counts vs pandas-numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from feast_ray.stages.stats import add_group_zscore, grouped_quantile, pivot_counts
+
+
+@pytest.fixture()
+def ev(ray_session):
+    rng = np.random.default_rng(3)
+    n = 2000
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n),
+            "c": rng.integers(-500, 10_000, n),
+            "cat": rng.choice(["a", "b", "c", "zz"], n),
+        }
+    )
+
+
+def _disc(vals, q):
+    v = np.sort(vals)
+    return v[max(int(np.ceil(q * len(v))), 1) - 1]
+
+
+def _cont(vals, q):
+    v = np.sort(vals)
+    pos = q * (len(v) - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, len(v) - 1)
+    return v[lo] + (v[hi] - v[lo]) * (pos - lo)
+
+
+def test_grouped_quantile_matches_numpy(ev):
+    got = (
+        grouped_quantile(
+            rd.from_pandas(ev[["k", "c"]]),
+            ["k"],
+            "c",
+            {"med": (0.5, "cont"), "p90": (0.9, "disc"), "p0": (0.0, "disc"),
+             "p100": (1.0, "disc")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k, grp in ev.groupby("k"):
+        assert got.loc[k, "med"] == _cont(grp["c"].to_numpy(), 0.5)
+        assert got.loc[k, "p90"] == _disc(grp["c"].to_numpy(), 0.9)
+        assert got.loc[k, "p0"] == grp["c"].min()
+        assert got.loc[k, "p100"] == grp["c"].max()
+
+
+def test_grouped_quantile_nulls_excluded(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2], "c": [5.0, np.nan, 1.0, np.nan, np.nan]})
+    tbl = rd.from_pandas(df)
+    got = (
+        grouped_quantile(tbl, ["k"], "c", {"med": (0.5, "cont")})
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert got.loc[1, "med"] == 3.0  # mean of 1 and 5
+    assert np.isnan(got.loc[2, "med"])  # all-null group
+
+
+def test_zscore_matches_pandas(ev):
+    got = (
+        add_group_zscore(rd.from_pandas(ev[["k", "c"]]), "k", "c", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "c"])
+        .reset_index(drop=True)
+    )
+    want = ev[["k", "c"]].copy()
+    g = want.groupby("k")["c"]
+    want["z"] = (want["c"] - g.transform("mean")) / g.transform(lambda s: s.std(ddof=0))
+    want = want.sort_values(["k", "c"]).reset_index(drop=True)
+    assert np.allclose(got["zscore"], want["z"], atol=1e-9)
+
+
+def test_zscore_degenerate_groups_null(ray_session):
+    df = pd.DataFrame({"k": [1, 2, 2, 3, 3], "c": [7, 4, 4, 1, 2]})
+    got = add_group_zscore(rd.from_pandas(df), "k", "c").to_pandas()
+    by_k = got.groupby("k")["zscore"]
+    assert by_k.apply(lambda s: s.isna().all())[1]  # n=1
+    assert by_k.apply(lambda s: s.isna().all())[2]  # zero variance
+    assert by_k.apply(lambda s: s.notna().all())[3]
+
+
+def test_pivot_counts_matches_crosstab(ev):
+    cats = ["a", "b", "c"]  # 'zz' deliberately excluded -> ignored
+    got = (
+        pivot_counts(rd.from_pandas(ev[["k", "cat"]]), ["k"], "cat", cats, num_buckets=4)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    want = pd.crosstab(ev["k"], ev["cat"]).reindex(columns=cats, fill_value=0)
+    for c in cats:
+        assert (got[f"n_{c}"] == want[c].reindex(got.index)).all()
+
+
+def test_pivot_composite_key(ray_session):
+    df = pd.DataFrame(
+        {
+            "k1": ["x", "x", "y", "y", "y"],
+            "k2": [1, 1, 1, 2, 2],
+            "cat": ["a", "b", "a", "a", "a"],
+        }
+    )
+    got = (
+        pivot_counts(rd.from_pandas(df), ["k1", "k2"], "cat", ["a", "b"])
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert got[["n_a", "n_b"]].to_numpy().tolist() == [[1, 1], [1, 0], [2, 0]]
