@@ -556,3 +556,44 @@ ORACLE_SQL_DOCS["top_tokens_docs"] = f"""
     ORDER BY cnt DESC, token
     LIMIT {TOP_TOKENS_K}
 """
+
+
+def q_tfidf_top_docs(sf_dir: str):
+    """Per-doc top TF-IDF term (keyword extraction): batch-local tf rows,
+    grouped df count, token-co-partitioned tf x df join, vectorized per-doc
+    argmax (``stages.text.tfidf_top_term``); docs with no tokens join back
+    NULL.  Output carries the integer tf/df evidence, not the float score —
+    the SQL twin reproduces the identical argmax."""
+    import pyarrow.parquet as pq
+
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.text import tfidf_top_term
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    best = tfidf_top_term(_docs(sf_dir), n_docs=n_docs)
+    ids = _docs(sf_dir, columns=("doc_id",))
+    return equi_join(ids, best, keys=["doc_id"], how="left")
+
+
+QUERIES_DOCS["tfidf_top_docs"] = q_tfidf_top_docs
+ORACLE_SQL_DOCS["tfidf_top_docs"] = """
+    WITH toks AS (
+      SELECT doc_id, u.t AS token
+      FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    best AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((SELECT nd FROM n) * 1.0 / df.df) DESC,
+                        tf.token) AS rn
+      FROM tf JOIN df USING (token))
+    SELECT d.doc_id, b.token AS top_token, b.tf, b.df
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""

@@ -346,3 +346,118 @@ def token_count_topk(
 
     pruned = counts.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_term(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int,
+    pattern: str = SPLIT_RE,
+    num_buckets=None,
+):
+    """Per-document top TF-IDF term: the token maximizing
+    ``tf * ln(n_docs / df)`` (ties broken by token ascending), with its tf
+    and df.  The keyword-extraction step of a corpus pipeline (beyond the
+    reference — Feast has no text ops).
+
+    Pipeline shape (three narrow shuffles, document text never re-shuffles):
+    per-batch (doc, token, tf) rows — a document is one row, so tf is
+    batch-local and exact; df = grouped count of that table by token;
+    tf x df co-partitioned equi-join on token; per-doc vectorized argmax.
+    ``n_docs`` is passed in (a parquet-metadata count) so the pipeline
+    stays one pass.  Documents with no tokens are absent — callers left-join
+    if they need total coverage.  The score itself is not emitted: tf/df are
+    integers, and the argmax is invariant to last-ulp ln() differences
+    unless two distinct (tf, df) pairs collide to ~1e-15 relative.
+    """
+    from feast_ray.grouped import grouped_map, starts_to_group_index
+    from feast_ray.stages.join import equi_join
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        doc_of = pc.take(ids, pa.array(np.repeat(np.arange(len(lens)), lens)))
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc_of = doc_of.filter(keep)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        # count per (doc, token) within the batch — each doc is one input
+        # row, so these tf values are final
+        import pandas as pd
+
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays(
+                [doc_of.to_numpy(zero_copy_only=False), flat.to_numpy(zero_copy_only=False)]
+            ),
+            sort=False,
+        )
+        tf = np.bincount(codes)
+        _, first_idx = np.unique(codes, return_index=True)
+        take = pa.array(first_idx.astype(np.int64))
+        return pa.table(
+            {
+                id_col: pc.take(doc_of, take).cast(pa.int64()),
+                "token": pc.take(flat, take),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    tf_tbl = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        return pa.table(
+            {
+                "token": pc.take(t["token"].combine_chunks(), pa.array(firsts)),
+                "df": pa.array(np.diff(starts).astype(np.int64)),
+            }
+        )
+
+    df_tbl = grouped_map(tf_tbl, ["token"], df_kernel, num_buckets=num_buckets)
+    joined = equi_join(tf_tbl, df_tbl, keys=["token"], how="inner", num_buckets=num_buckets)
+
+    def argmax_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "top_token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * np.log(float(n_docs) / dfv)
+        firsts = starts[:-1]
+        gidx = starts_to_group_index(starts)
+        gmax = np.maximum.reduceat(score, firsts)
+        hits = np.flatnonzero(score == gmax[gidx])
+        # bucket sorted by (doc, token): first hit per group = min token
+        _, first_of = np.unique(gidx[hits], return_index=True)
+        take = pa.array(hits[first_of])
+        return pa.table(
+            {
+                id_col: pc.take(t[id_col].combine_chunks(), take),
+                "top_token": pc.take(t["token"].combine_chunks(), take),
+                "tf": pc.take(t["tf"].combine_chunks(), take),
+                "df": pc.take(t["df"].combine_chunks(), take),
+            }
+        )
+
+    return grouped_map(
+        joined, [id_col], argmax_kernel, sort_keys=["token"], num_buckets=num_buckets
+    )

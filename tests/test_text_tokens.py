@@ -48,3 +48,32 @@ def test_k_larger_than_vocab(corpus):
     got = token_count_topk(rd.from_pandas(corpus), k=1000).to_pandas()
     want = _oracle(corpus["text"], 1000)
     assert list(zip(got["token"], got["cnt"])) == want
+
+
+def test_tfidf_top_term_matches_python(corpus):
+    import math
+    from feast_ray.stages.text import tfidf_top_term
+
+    n_docs = len(corpus)
+    # python oracle
+    tf: dict[tuple[int, str], int] = {}
+    df = Counter()
+    for _, row in corpus.iterrows():
+        toks = [t for t in re.split(r"[^a-z0-9]+", (row["text"] or "").lower()) if t]
+        for t in toks:
+            tf[(row["doc_id"], t)] = tf.get((row["doc_id"], t), 0) + 1
+        df.update(set(toks))
+    want = {}
+    for (d, t), f in tf.items():
+        score = f * math.log(n_docs / df[t])
+        cur = want.get(d)
+        if cur is None or score > cur[0] or (score == cur[0] and t < cur[1]):
+            want[d] = (score, t, f, df[t])
+    got = tfidf_top_term(
+        rd.from_pandas(corpus), n_docs=n_docs, num_buckets=3
+    ).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(want)
+    for d, (_, t, f, dfv) in want.items():
+        assert got.loc[d, "top_token"] == t
+        assert got.loc[d, "tf"] == f
+        assert got.loc[d, "df"] == dfv
