@@ -1618,3 +1618,58 @@ ORACLE_SQL["pivot_events_user"] = """
            CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
     FROM events GROUP BY user_id
 """
+
+
+def q_rank_events_user(sf_dir: str):
+    """SQL ranking family per entity (rank / dense_rank / percent_rank /
+    ntile) over value within each user — run-detection + cumulative index
+    arithmetic over the exchange's sorted buckets
+    (``stages.stats.add_group_rank``); ntile row order made unique with
+    event_id so tiles are engine-independent."""
+    from feast_ray.stages.stats import add_group_rank
+
+    ds = _events_cents(sf_dir, ["user_id", "event_id", "value"])
+    out = add_group_rank(
+        ds.select_columns(["user_id", "event_id", "c"]),
+        "user_id",
+        "c",
+        tiebreak=["event_id"],
+        ntile=4,
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "rank", "dense_rank", "percent_rank", "ntile_4"]
+    )
+
+
+def q_histogram_values(sf_dir: str):
+    """Global fixed-width histogram of value in cents over [0, 50000) x 25
+    bins — per-batch bincount combiner, one tiny grouped sum
+    (``stages.stats.fixed_histogram``); pure integer binning so the SQL twin
+    is exact."""
+    from feast_ray.stages.stats import fixed_histogram
+
+    ds = _events_cents(sf_dir, ["value"])
+    return fixed_histogram(ds.select_columns(["c"]), "c", lo=0, hi=50_000, n_bins=25)
+
+
+QUERIES["rank_events_user"] = q_rank_events_user
+QUERIES["histogram_values"] = q_histogram_values
+ORACLE_SQL["rank_events_user"] = """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+    SELECT user_id, event_id,
+           CAST(RANK() OVER (PARTITION BY user_id ORDER BY c) AS BIGINT) AS rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY c) AS BIGINT)
+             AS dense_rank,
+           PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY c) AS percent_rank,
+           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY c, event_id) AS BIGINT)
+             AS ntile_4
+    FROM e
+"""
+ORACLE_SQL["histogram_values"] = """
+    WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+    SELECT (c - 0) * 25 // (50000 - 0) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM e WHERE c >= 0 AND c < 50000
+    GROUP BY bin
+"""

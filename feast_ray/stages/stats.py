@@ -208,3 +208,126 @@ def pd_factorize_frame(df) -> np.ndarray:
         return codes
     codes, _ = pd.factorize(pd.MultiIndex.from_frame(df), sort=False)
     return codes
+
+
+def add_group_rank(
+    ds,
+    key: str | Sequence[str],
+    col: str,
+    *,
+    tiebreak: Sequence[str] = (),
+    ntile: Optional[int] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Append SQL ranking functions over ``col`` ascending within each key
+    group: ``rank`` (peers share the min rank), ``dense_rank``,
+    ``percent_rank`` = (rank-1)/(n-1) (0.0 for single-row groups), and —
+    when ``ntile`` is set — ``ntile_<b>`` (first n%b tiles one row larger,
+    row order ``(col, *tiebreak)``; pass a unique tiebreak for
+    engine-independent tiles).
+
+    One grouped shuffle; the bucket arrives sorted by ``(keys, col,
+    tiebreak)``, so ranks are run-detection + cumulative index arithmetic
+    over the whole bucket (no per-group pass).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            out = t
+            for c in ["rank", "dense_rank", "percent_rank"] + (
+                [f"ntile_{ntile}"] if ntile else []
+            ):
+                typ = pa.float64() if c == "percent_rank" else pa.int64()
+                out = out.append_column(c, pa.array([], typ))
+            return out
+        v = t[col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        gpos = np.arange(n, dtype=np.int64)
+        gstart_row = np.repeat(starts[:-1], np.diff(starts))
+        pos = gpos - gstart_row
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (v[1:] != v[:-1]) | (gpos[1:] == gstart_row[1:])
+        run_start = np.maximum.accumulate(np.where(newrun, gpos, -1))
+        rank = run_start - gstart_row + 1
+        cum = np.cumsum(newrun)
+        dense = cum - cum[gstart_row] + 1
+        sizes = np.diff(starts)
+        n_g = np.repeat(sizes, sizes)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(n_g > 1, (rank - 1) / np.maximum(n_g - 1, 1), 0.0)
+        out = (
+            t.append_column("rank", pa.array(rank))
+            .append_column("dense_rank", pa.array(dense))
+            .append_column("percent_rank", pa.array(pr))
+        )
+        if ntile:
+            b = int(ntile)
+            size = n_g // b
+            rem = n_g % b
+            big_span = rem * (size + 1)
+            small = np.maximum(size, 1)
+            tile = np.where(
+                pos < big_span, pos // (size + 1), rem + (pos - big_span) // small
+            )
+            out = out.append_column(f"ntile_{b}", pa.array((tile + 1).astype(np.int64)))
+        return out
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=[col, *tiebreak], num_buckets=num_buckets
+    )
+
+
+def fixed_histogram(
+    ds,
+    col: str,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    num_buckets: Optional[int] = None,
+):
+    """Global fixed-width histogram of an integer column over ``[lo, hi)``:
+    bin = (x - lo) * n_bins // (hi - lo), rows outside the range dropped.
+    Pure integer arithmetic — a SQL twin reproduces it exactly.
+
+    Per-batch ``bincount`` is the map-side combiner (the shuffle carries at
+    most ``n_bins`` rows per batch); one grouped int64 sum finishes.  Empty
+    bins are absent from the output (join a bin spine if needed).
+    """
+    span = hi - lo
+    if span <= 0 or n_bins <= 0:
+        raise ValueError("need hi > lo and n_bins > 0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        x = x[(x >= lo) & (x < hi)]
+        if len(x) == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        b = (x - lo) * n_bins // span
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "cnt": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        firsts = starts[:-1]
+        c = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pc.take(t["bin"].combine_chunks(), pa.array(firsts)),
+                "cnt": pa.array(np.add.reduceat(c, firsts)),
+            }
+        )
+
+    return grouped_map(partials, ["bin"], sum_kernel, num_buckets=num_buckets)

@@ -122,3 +122,50 @@ def test_pivot_composite_key(ray_session):
         .reset_index(drop=True)
     )
     assert got[["n_a", "n_b"]].to_numpy().tolist() == [[1, 1], [1, 0], [2, 0]]
+
+
+def test_rank_family_matches_pandas(ev):
+    from feast_ray.stages.stats import add_group_rank
+
+    df = ev[["k", "c"]].copy()
+    df["tb"] = np.arange(len(df))  # unique tiebreak for ntile
+    got = (
+        add_group_rank(rd.from_pandas(df), "k", "c", tiebreak=["tb"], ntile=3,
+                       num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "tb"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "tb"]).reset_index(drop=True)
+    g = want.groupby("k")["c"]
+    assert (got["rank"] == g.rank(method="min").astype(int)).all()
+    assert (got["dense_rank"] == g.rank(method="dense").astype(int)).all()
+    n_g = want.groupby("k")["c"].transform("size")
+    pr = np.where(n_g > 1, (got["rank"] - 1) / np.maximum(n_g - 1, 1), 0.0)
+    assert np.array_equal(got["percent_rank"].to_numpy(), pr)
+    # ntile: per group, tile sizes differ by at most 1 and are ordered
+    for _, grp in got.sort_values(["k", "c", "tb"]).groupby("k"):
+        tiles = grp["ntile_3"].to_numpy()
+        assert (np.diff(tiles) >= 0).all()
+        sizes = np.bincount(tiles)[1:]
+        sizes = sizes[sizes > 0]
+        assert sizes.max() - sizes.min() <= 1
+        assert (sorted(sizes, reverse=True) == list(sizes)).__bool__()
+
+
+def test_fixed_histogram_matches_numpy(ev):
+    from feast_ray.stages.stats import fixed_histogram
+
+    got = (
+        fixed_histogram(rd.from_pandas(ev[["c"]]), "c", lo=0, hi=10_000, n_bins=10,
+                        num_buckets=3)
+        .to_pandas()
+        .set_index("bin")["cnt"]
+        .sort_index()
+    )
+    x = ev["c"].to_numpy()
+    x = x[(x >= 0) & (x < 10_000)]  # negatives dropped
+    want = np.bincount(x * 10 // 10_000, minlength=10)
+    for b in range(10):
+        assert got.get(b, 0) == want[b]
+    assert got.sum() == len(x) < len(ev)  # out-of-range rows were dropped
