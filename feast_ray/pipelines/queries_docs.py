@@ -485,31 +485,15 @@ def q_dedup_cluster_docs(sf_dir: str):
     singletons (docs in no pair) cluster as themselves via one LEFT
     equi-join.  Beyond the reference: Feast has no transitive-closure
     operator; this is the dedup-group step of an LLM-corpus pipeline."""
-    from feast_ray.stages.cc import connected_components
-    from feast_ray.stages.dedup import jaccard_pair_pipeline
-    from feast_ray.stages.join import equi_join
-
-    docs = _docs(sf_dir, columns=("doc_id",))
-    pairs = jaccard_pair_pipeline(
-        _docs(sf_dir), k=JACCARD_K, tau=JACCARD_TAU
-    ).select_columns(["doc_a", "doc_b"])
-    labels = connected_components(
-        pairs, src="doc_a", dst="doc_b", node_col="doc_id", comp_col="comp"
-    )
-    joined = equi_join(docs, labels, keys=["doc_id"], how="left")
-
     def finish(t: pa.Table) -> pa.Table:
-        comp = t["comp"].combine_chunks()
-        own = t["doc_id"].combine_chunks()
-        return pa.table(
-            {
-                "doc_id": own,
-                "cluster_id": pc.coalesce(comp, own),
-                "is_cluster_head": pc.equal(pc.coalesce(comp, own), own),
-            }
+        return t.append_column(
+            "is_cluster_head",
+            pc.equal(t["cluster_id"].combine_chunks(), t["doc_id"].combine_chunks()),
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return cluster_labels(sf_dir).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 QUERIES_DOCS["dedup_cluster_docs"] = q_dedup_cluster_docs
@@ -596,4 +580,128 @@ ORACLE_SQL_DOCS["tfidf_top_docs"] = """
       FROM tf JOIN df USING (token))
     SELECT d.doc_id, b.token AS top_token, b.tf, b.df
     FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
+def _quality_cte() -> str:
+    """The quality-score computation as reusable CTEs ending in
+    ``qual(doc_id, quality_score)`` — same arithmetic as ``_quality_sql``."""
+    stop_pat = stopword_pattern(EN_STOPWORDS)
+    return f"""
+      qc AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{ALPHA_RE}')) AS DOUBLE) AS n_alpha,
+               CAST(len(regexp_extract_all(lower(text), '{stop_pat}')) AS DOUBLE) AS n_stop
+        FROM documents),
+      qual AS (
+        SELECT doc_id,
+               least(n_tokens / 64.0, 1.0) * 0.4
+                 + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END) * 0.4
+                 + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END)
+                         * 4.0, 1.0) * 0.2 AS quality_score
+        FROM qc)
+"""
+
+
+def cluster_labels(sf_dir: str):
+    """(doc_id, cluster_id) for every doc: Jaccard pairs -> connected
+    components; singletons cluster as themselves (shared by the cluster and
+    keep-best queries)."""
+    from feast_ray.stages.cc import connected_components
+    from feast_ray.stages.dedup import jaccard_pair_pipeline
+    from feast_ray.stages.join import equi_join
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    pairs = jaccard_pair_pipeline(
+        _docs(sf_dir), k=JACCARD_K, tau=JACCARD_TAU
+    ).select_columns(["doc_a", "doc_b"])
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", node_col="doc_id", comp_col="comp"
+    )
+    joined = equi_join(docs, labels, keys=["doc_id"], how="left")
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pc.coalesce(
+                    t["comp"].combine_chunks(), t["doc_id"].combine_chunks()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_dedup_keep_best_docs(sf_dir: str):
+    """End-to-end corpus-dedup policy: near-dup clusters (Jaccard pairs ->
+    connected components) x quality scoring, keeping the highest-quality doc
+    per cluster (ties: min doc_id).  Composition of four engine operators —
+    pair generation, transitive closure, scalar scoring, grouped argmax —
+    with every float compared bit-exactly against the SQL twin."""
+    from feast_ray.grouped import grouped_map, starts_to_group_index
+    from feast_ray.stages.join import equi_join
+
+    quality = add_text_quality(_docs(sf_dir)).select_columns(
+        ["doc_id", "quality_score"]
+    )
+    joined = equi_join(
+        cluster_labels(sf_dir), quality, keys=["doc_id"], how="inner"
+    )
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "quality_score": pa.array([], pa.float64()),
+                    "kept": pa.array([], pa.bool_()),
+                }
+            )
+        score = t["quality_score"].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        gmax = np.maximum.reduceat(score, starts[:-1])
+        hits = np.flatnonzero(score == gmax[gidx])
+        _, first_of = np.unique(gidx[hits], return_index=True)
+        kept = np.zeros(t.num_rows, dtype=bool)
+        kept[hits[first_of]] = True  # doc_id-sorted groups: first hit = min id
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": t["cluster_id"],
+                "quality_score": t["quality_score"],
+                "kept": pa.array(kept),
+            }
+        )
+
+    return grouped_map(joined, ["cluster_id"], kernel, sort_keys=["doc_id"])
+
+
+QUERIES_DOCS["dedup_keep_best_docs"] = q_dedup_keep_best_docs
+ORACLE_SQL_DOCS["dedup_keep_best_docs"] = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    e AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE j >= {JACCARD_TAU}
+          UNION SELECT doc_b, doc_a FROM jac WHERE j >= {JACCARD_TAU}),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
+            FROM reach GROUP BY u),
+    {_quality_cte()},
+    m AS (SELECT d.doc_id,
+                 COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                 q.quality_score
+          FROM documents d
+          LEFT JOIN lab l USING (doc_id)
+          JOIN qual q USING (doc_id)),
+    best AS (SELECT doc_id, cluster_id, quality_score,
+                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality_score DESC, doc_id) AS rn
+             FROM m)
+    SELECT doc_id, cluster_id, quality_score, rn = 1 AS kept FROM best
 """
