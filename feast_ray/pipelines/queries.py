@@ -1673,3 +1673,32 @@ ORACLE_SQL["histogram_values"] = """
     FROM e WHERE c >= 0 AND c < 50000
     GROUP BY bin
 """
+
+
+def q_serialize_user_events(sf_dir: str):
+    """Per-entity ordered serialization (the conversation-rendering op of an
+    LLM data pipeline): each user's event_type sequence joined into one
+    string in (ts, event_id) order via a single vectorized binary_join over
+    the exchange's sorted buckets (``stages.serialize.grouped_concat``) —
+    SQL ``string_agg(... ORDER BY ...)``."""
+    from feast_ray.stages.serialize import grouped_concat
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    return grouped_concat(
+        ds,
+        ["user_id"],
+        "event_type",
+        sep="|",
+        sort_keys=["ts", "event_id"],
+        out_col="behavior_seq",
+        count_col="n_events",
+    )
+
+
+QUERIES["serialize_user_events"] = q_serialize_user_events
+ORACLE_SQL["serialize_user_events"] = """
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS behavior_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""
