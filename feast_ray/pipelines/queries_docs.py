@@ -705,3 +705,54 @@ ORACLE_SQL_DOCS["dedup_keep_best_docs"] = f"""
              FROM m)
     SELECT doc_id, cluster_id, quality_score, rn = 1 AS kept FROM best
 """
+
+
+def q_repetition_docs(sf_dir: str):
+    """Within-doc repetition signals (Gopher/RefinedWeb-style quality
+    filters): exact per-doc token totals, distinct tokens, top-token count,
+    total/distinct bigrams — one embarrassingly-parallel vectorized map
+    (``stages.text.repetition_batch``), integer outputs only so the SQL
+    twin is bit-exact."""
+    from feast_ray.stages.text import add_repetition
+
+    out = add_repetition(_docs(sf_dir))
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_tok_cnt",
+            "n_bigrams",
+            "n_distinct_bigrams",
+        ]
+    )
+
+
+QUERIES_DOCS["repetition_docs"] = q_repetition_docs
+ORACLE_SQL_DOCS["repetition_docs"] = """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS tok FROM lt),
+    tok_counts AS (SELECT doc_id, tok, COUNT(*) AS c
+                   FROM toks GROUP BY doc_id, tok),
+    tok_stats AS (SELECT doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                         CAST(MAX(c) AS BIGINT) AS top_tok_cnt
+                  FROM tok_counts GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  CAST(len(l) AS BIGINT) AS n_tokens,
+                  CAST(GREATEST(len(l) - 1, 0) AS BIGINT) AS n_bigrams,
+                  CAST(len(list_distinct(
+                    list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])))
+                    AS BIGINT) AS n_distinct_bigrams
+           FROM lt)
+    SELECT bg.doc_id, bg.n_tokens,
+           COALESCE(tok_stats.n_distinct_tokens, 0) AS n_distinct_tokens,
+           COALESCE(tok_stats.top_tok_cnt, 0) AS top_tok_cnt,
+           bg.n_bigrams, bg.n_distinct_bigrams
+    FROM bg LEFT JOIN tok_stats USING (doc_id)
+"""

@@ -461,3 +461,92 @@ def tfidf_top_term(
     return grouped_map(
         joined, [id_col], argmax_kernel, sort_keys=["token"], num_buckets=num_buckets
     )
+
+
+def repetition_batch(
+    t: pa.Table, *, text_col: str = "text", pattern: str = SPLIT_RE
+) -> pa.Table:
+    """Within-document repetition signals (the Gopher/RefinedWeb-style
+    quality filters an LLM corpus pipeline applies before training): per
+    doc, exact token totals, distinct-token count, the count of the single
+    most frequent token, and total/distinct bigram counts.  All-integer
+    outputs so a SQL twin reproduces them bit-exact; the duplicate-bigram
+    FRACTION is one float division away downstream.
+
+    Beyond the reference (Feast has no text operators).  Doc-local by
+    construction — a document is one row — so this is an embarrassingly
+    parallel map: no shuffle, no state.  Vectorized across the whole batch:
+    one regex split, one dictionary-encode, then numpy lexsort/reduceat
+    over (doc, code) and (doc, bigram-code) pair arrays — no Python loop
+    over rows or tokens.
+    """
+    col = t[text_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # '+'-quantified split only yields '' at string edges, so dropping them
+    # never changes interior adjacency (bigrams stay faithful)
+    codes_arr = flat.dictionary_encode()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = parent[keep]
+    codes = codes[keep]
+    n = t.num_rows
+
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+
+    out = {
+        "n_tokens": n_tokens,
+        "n_distinct_tokens": np.zeros(n, dtype=np.int64),
+        "top_tok_cnt": np.zeros(n, dtype=np.int64),
+        "n_bigrams": np.maximum(n_tokens - 1, 0),
+        "n_distinct_bigrams": np.zeros(n, dtype=np.int64),
+    }
+    if len(codes):
+        # distinct tokens + max single-token count, per doc
+        order = np.lexsort((codes, parent))
+        p_s, c_s = parent[order], codes[order]
+        new_run = np.empty(len(c_s), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_starts, len(c_s)))
+        run_doc = p_s[run_starts]
+        out["n_distinct_tokens"] = np.bincount(run_doc, minlength=n).astype(np.int64)
+        doc_first_run = np.searchsorted(run_doc, np.arange(n))
+        has = n_tokens > 0
+        safe = np.minimum(doc_first_run, len(run_len) - 1)
+        top = np.zeros(n, dtype=np.int64)
+        if len(run_len):
+            top[has] = np.maximum.reduceat(run_len, safe[has])
+        out["top_tok_cnt"] = top
+
+        # bigrams: adjacent token pairs within the same doc
+        adj = parent[:-1] == parent[1:]
+        if adj.any():
+            vocab = int(codes.max()) + 1
+            bg = codes[:-1][adj] * vocab + codes[1:][adj]
+            bg_doc = parent[:-1][adj]
+            order2 = np.lexsort((bg, bg_doc))
+            pd_s, bg_s = bg_doc[order2], bg[order2]
+            new2 = np.empty(len(bg_s), dtype=bool)
+            new2[0] = True
+            new2[1:] = (pd_s[1:] != pd_s[:-1]) | (bg_s[1:] != bg_s[:-1])
+            out["n_distinct_bigrams"] = np.bincount(
+                pd_s[new2], minlength=n
+            ).astype(np.int64)
+
+    cols = {name: t[name] for name in t.column_names if name != text_col}
+    cols.update({k: pa.array(v) for k, v in out.items()})
+    return pa.table(cols)
+
+
+def add_repetition(ds, *, text_col: str = "text", pattern: str = SPLIT_RE):
+    """Repetition-signal columns for every document (see
+    :func:`repetition_batch`)."""
+    return ds.map_batches(
+        lambda t: repetition_batch(t, text_col=text_col, pattern=pattern),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -77,3 +77,24 @@ def test_tfidf_top_term_matches_python(corpus):
         assert got.loc[d, "top_token"] == t
         assert got.loc[d, "tf"] == f
         assert got.loc[d, "df"] == dfv
+
+
+def test_repetition_signals_match_counter(corpus):
+    from feast_ray.stages.text import add_repetition
+
+    out = (
+        add_repetition(rd.from_pandas(corpus))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        text = corpus["text"].iloc[int(row["doc_id"])]
+        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        bigrams = list(zip(toks, toks[1:]))
+        c = Counter(toks)
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct_tokens"] == len(c)
+        assert row["top_tok_cnt"] == (max(c.values()) if c else 0)
+        assert row["n_bigrams"] == max(len(toks) - 1, 0)
+        assert row["n_distinct_bigrams"] == len(set(bigrams))
