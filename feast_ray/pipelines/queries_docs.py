@@ -756,3 +756,45 @@ ORACLE_SQL_DOCS["repetition_docs"] = """
            bg.n_bigrams, bg.n_distinct_bigrams
     FROM bg LEFT JOIN tok_stats USING (doc_id)
 """
+
+
+def q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id % 20 != 0) sharing
+    any 4-token shingle with the eval split (doc_id % 20 == 0), with the
+    distinct shared-shingle count as evidence — shingle map + co-partitioned
+    semi-join + grouped distinct count (``stages.decontam.decontaminate``)."""
+    from feast_ray.stages.decontam import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def split(keep_eval):
+        def f(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if keep_eval else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    ev = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(train, ev, w=4)
+
+
+QUERIES_DOCS["decontam_docs"] = q_decontam_docs
+ORACLE_SQL_DOCS["decontam_docs"] = """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                         l[i+3])) AS s
+      FROM lt WHERE len(l) >= 4),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+    SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared
+    FROM sh WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM ev)
+    GROUP BY doc_id
+"""
