@@ -1702,3 +1702,33 @@ ORACLE_SQL["serialize_user_events"] = """
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
 """
+
+
+def q_stratified_sample_events(sf_dir: str):
+    """Per-entity quota sampling: the 5 events with the largest mixed
+    event_id hash per user (``stages.sampling.stratified_sample``) —
+    deterministic on any cluster shape, skew-capped, SQL-checkable because
+    the mixer is the engine's HUGEINT-expressible splitmix multiply."""
+    from feast_ray.stages.sampling import stratified_sample
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    return stratified_sample(ds, group_keys="user_id", key_col="event_id", k=5)
+
+
+QUERIES["stratified_sample_events"] = q_stratified_sample_events
+ORACLE_SQL["stratified_sample_events"] = """
+    WITH h AS (
+      SELECT *,
+             ((CAST(event_id AS HUGEINT) % 4294967296) * 2135587861
+              + (((CAST(event_id AS HUGEINT) % 4294967296) * 2654435769
+                  + (CAST(event_id AS HUGEINT) // 4294967296) * 2135587861)
+                 % 4294967296) * 4294967296)
+             % CAST(18446744073709551616 AS HUGEINT) AS hv
+      FROM events),
+    r AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hv DESC)
+                  AS BIGINT) AS sample_rank
+      FROM h)
+    SELECT * FROM r WHERE sample_rank <= 5
+"""

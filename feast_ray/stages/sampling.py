@@ -39,3 +39,46 @@ def hash_sample(ds, *, key_col: str, percent: int, modulus: int = 100):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds,
+    *,
+    group_keys,
+    key_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+    num_buckets=None,
+):
+    """Deterministic fixed-size per-group sample: the ``k`` rows with the
+    largest ``mix64(key)`` per group (SQL ``ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY hv DESC) <= k``), rank 1 = largest.
+
+    The per-group analog of :func:`hash_sample` — stratification caps every
+    group at ``k`` rows regardless of skew, which is what training-data
+    pipelines need for per-source / per-entity quota sampling.  The mixer is
+    a mod-2^64 bijection, so ranks are total (no ties) and the sample is
+    identical on any cluster shape.  One grouped exchange; the tail-k
+    selection is the vectorized multi-group kernel shared with
+    latest/top-k-per-entity.
+    """
+    from feast_ray.stages.latest import topk_per_entity
+
+    group_keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__hv", pa.array([], type=pa.uint64()))
+        kv = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__hv", pa.array(mix64(kv)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk_per_entity(
+        tagged,
+        keys=group_keys,
+        ts_col="__hv",
+        k=k,
+        rank_col=rank_col,
+        num_buckets=num_buckets,
+    )
+    return out.drop_columns(["__hv"])

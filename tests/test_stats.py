@@ -169,3 +169,32 @@ def test_fixed_histogram_matches_numpy(ev):
     for b in range(10):
         assert got.get(b, 0) == want[b]
     assert got.sum() == len(x) < len(ev)  # out-of-range rows were dropped
+
+
+def test_stratified_sample_matches_pandas(ev):
+    from feast_ray.stages.sampling import mix64, stratified_sample
+
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    out = (
+        stratified_sample(
+            rd.from_pandas(df), group_keys="k", key_col="rid", k=7
+        )
+        .to_pandas()
+        .sort_values(["k", "sample_rank"])
+        .reset_index(drop=True)
+    )
+    df2 = df.copy()
+    df2["hv"] = mix64(df2["rid"].to_numpy())
+    want = (
+        df2.sort_values("hv", ascending=False)
+        .groupby("k")
+        .head(7)
+        .sort_values(["k", "hv"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    assert (out["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    # rank 1 = largest hash, dense 1..k per group
+    assert (
+        out.groupby("k")["sample_rank"].apply(lambda s: list(s) == list(range(1, len(s) + 1))).all()
+    )
