@@ -1732,3 +1732,37 @@ ORACLE_SQL["stratified_sample_events"] = """
       FROM h)
     SELECT * FROM r WHERE sample_rank <= 5
 """
+
+
+def q_expanding_distinct_events(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user in (ts, event_id) order
+    (cumulative behavioral vocabulary —
+    ``stages.stats.add_group_expanding_distinct``): first-occurrence marks
+    via np.unique over (group, code) pair keys + one rebased cumsum."""
+    from feast_ray.stages.stats import add_group_expanding_distinct
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    out = add_group_expanding_distinct(
+        ds,
+        "user_id",
+        "event_type",
+        order_cols=["ts", "event_id"],
+        out_col="n_distinct_types",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "n_distinct_types"])
+
+
+QUERIES["expanding_distinct_events"] = q_expanding_distinct_events
+ORACLE_SQL["expanding_distinct_events"] = """
+    WITH f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events)
+    SELECT user_id, event_id, ts,
+           CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types
+    FROM f
+"""

@@ -331,3 +331,51 @@ def fixed_histogram(
         )
 
     return grouped_map(partials, ["bin"], sum_kernel, num_buckets=num_buckets)
+
+
+def add_group_expanding_distinct(
+    ds,
+    key: str | Sequence[str],
+    cat_col: str,
+    *,
+    order_cols: Sequence[str],
+    out_col: str = "n_distinct_so_far",
+    num_buckets: Optional[int] = None,
+):
+    """Running COUNT(DISTINCT cat) per entity in event-time order — the
+    cumulative-vocabulary / behavioral-novelty feature (SQL spells it as a
+    first-occurrence flag summed over an expanding window; there is no
+    native distinct window aggregate).
+
+    Kernel over the exchange's sorted buckets: dictionary-encode the
+    category, form (group, code) pair keys, ``np.unique(return_index)``
+    marks each pair's EARLIEST row (buckets are time-ordered within group),
+    then one cumsum rebased at group starts.  O(n log n) vectorized, no
+    per-group Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        codes = (
+            t[cat_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        vocab = int(codes.max()) + 1
+        _, first_idx = np.unique(gidx * vocab + codes, return_index=True)
+        is_first = np.zeros(n, dtype=np.int64)
+        is_first[first_idx] = 1
+        cum = np.cumsum(is_first)
+        base = np.repeat(cum[starts[:-1]] - is_first[starts[:-1]], sizes)
+        return t.append_column(out_col, pa.array(cum - base))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )

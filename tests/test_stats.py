@@ -198,3 +198,26 @@ def test_stratified_sample_matches_pandas(ev):
     assert (
         out.groupby("k")["sample_rank"].apply(lambda s: list(s) == list(range(1, len(s) + 1))).all()
     )
+
+
+def test_expanding_distinct_matches_pandas(ev):
+    from feast_ray.stages.stats import add_group_expanding_distinct
+
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    out = (
+        add_group_expanding_distinct(
+            rd.from_pandas(df), "k", "cat", order_cols=["c", "rid"], out_col="nd"
+        )
+        .to_pandas()
+        .sort_values(["k", "c", "rid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "c", "rid"])
+        .groupby("k")["cat"]
+        .transform(lambda s: (~s.duplicated()).cumsum())
+        .to_numpy()
+    )
+    ordered = df.sort_values(["k", "c", "rid"]).reset_index(drop=True)
+    assert (out["rid"].to_numpy() == ordered["rid"].to_numpy()).all()
+    assert (out["nd"].to_numpy() == want).all()
