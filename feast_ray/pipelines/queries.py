@@ -1766,3 +1766,45 @@ ORACLE_SQL["expanding_distinct_events"] = """
              AS n_distinct_types
     FROM f
 """
+
+
+def q_corr_events_user(sf_dir: str):
+    """Per-entity Pearson correlation between the event value (cents) and
+    the request-payload field props.k (``stages.stats.grouped_corr``):
+    int64-exact moment sums, fixed SQL-reproducible float schedule."""
+    from feast_ray.stages.stats import grouped_corr
+
+    ds = _events(sf_dir, ["user_id", "value", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(st, "k").cast(pa.int64())
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "c": c, "k": k})
+
+    ex = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_corr(ex, "user_id", "c", "k", out_col="corr_vk", count_col="n")
+
+
+QUERIES["corr_events_user"] = q_corr_events_user
+ORACLE_SQL["corr_events_user"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+      FROM events),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c) AS sx, SUM(k) AS sy,
+             SUM(c * c) AS sxx, SUM(k * k) AS syy, SUM(c * k) AS sxy
+      FROM e GROUP BY user_id)
+    SELECT user_id,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr_vk,
+           n
+    FROM m
+"""

@@ -379,3 +379,59 @@ def add_group_expanding_distinct(
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
     )
+
+
+def grouped_corr(
+    ds,
+    key: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    out_col: str = "corr",
+    count_col: Optional[str] = "n",
+    num_buckets: Optional[int] = None,
+):
+    """One row per key group with the exact Pearson correlation of two
+    integer columns (SQL ``corr(x, y)`` restated over exact sums).
+
+    Both columns must be exact integers (fixed-point upstream) so the five
+    moment sums accumulate exactly in int64 and the result is independent
+    of accumulation order.  The float schedule is fixed and
+    SQL-reproducible:
+
+        corr = float(n*Sxy - Sx*Sy)
+               / (sqrt(float(n*Sxx - Sx^2)) * sqrt(float(n*Syy - Sy^2)))
+
+    NULL when n < 2 or either variance term is 0.  Overflow guard: each
+    int64 product (n * sum of squares) must stay below 2^63 — holds for
+    values up to ~1e4 with ~1e5 rows per entity; salt hotter groups first.
+    One grouped exchange, reduceat kernel, no per-group Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take_first = pa.array(firsts)
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), take_first) for k in keys
+        }
+        x = t[x_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(starts)
+        sx = np.add.reduceat(x, firsts) if len(x) else np.zeros(0, np.int64)
+        sy = np.add.reduceat(y, firsts) if len(y) else np.zeros(0, np.int64)
+        sxx = np.add.reduceat(x * x, firsts) if len(x) else np.zeros(0, np.int64)
+        syy = np.add.reduceat(y * y, firsts) if len(y) else np.zeros(0, np.int64)
+        sxy = np.add.reduceat(x * y, firsts) if len(x) else np.zeros(0, np.int64)
+        cov = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / (np.sqrt(vx) * np.sqrt(vy))
+        bad = (n < 2) | (vx <= 0) | (vy <= 0)
+        cols[out_col] = pa.array(r, mask=bad)
+        if count_col is not None:
+            cols[count_col] = pa.array(n.astype(np.int64))
+        return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, num_buckets=num_buckets)

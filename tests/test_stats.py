@@ -221,3 +221,40 @@ def test_expanding_distinct_matches_pandas(ev):
     ordered = df.sort_values(["k", "c", "rid"]).reset_index(drop=True)
     assert (out["rid"].to_numpy() == ordered["rid"].to_numpy()).all()
     assert (out["nd"].to_numpy() == want).all()
+
+
+def test_grouped_corr_matches_numpy(ev):
+    from feast_ray.stages.stats import grouped_corr
+
+    df = ev.copy()
+    rng = np.random.default_rng(5)
+    df["y"] = df["c"] // 3 + rng.integers(0, 50, len(df))
+    out = (
+        grouped_corr(rd.from_pandas(df), "k", "c", "y", out_col="r", count_col="n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        g = df[df["k"] == row["k"]]
+        assert row["n"] == len(g)
+        if len(g) < 2 or g["c"].nunique() == 1 or g["y"].nunique() == 1:
+            assert pd.isna(row["r"])
+        else:
+            want = np.corrcoef(g["c"], g["y"])[0, 1]
+            assert abs(row["r"] - want) < 1e-9
+
+
+def test_grouped_corr_degenerate_groups(ray_session):
+    from feast_ray.stages.stats import grouped_corr
+
+    df = pd.DataFrame(
+        {"k": [1, 2, 2, 3, 3, 3], "x": [5, 1, 1, 1, 2, 3], "y": [7, 4, 9, 1, 1, 1]}
+    )
+    out = (
+        grouped_corr(rd.from_pandas(df), "k", "x", "y", out_col="r")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out["r"]).tolist() == [True, True, True]  # n<2, vx=0, vy=0
