@@ -798,3 +798,56 @@ ORACLE_SQL_DOCS["decontam_docs"] = """
     FROM sh WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM ev)
     GROUP BY doc_id
 """
+
+
+def q_pack_docs(sf_dir: str):
+    """Greedy sequence packing for training-batch construction: shard docs
+    by doc_id % 16, order by doc_id within each shard, pack token counts
+    into 256-token bins (``stages.pack.greedy_pack``) — the kernel walks
+    bins, not rows (one searchsorted over group-rebased prefix sums closes
+    a bin in every active shard per step)."""
+    from feast_ray.stages.pack import greedy_pack
+    from feast_ray.stages.text import add_repetition
+
+    docs = add_repetition(_docs(sf_dir)).select_columns(["doc_id", "n_tokens"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("shard", pa.array((ids % 16).astype(np.int64)))
+
+    sharded = docs.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+    out = greedy_pack(
+        sharded,
+        group_keys="shard",
+        size_col="n_tokens",
+        order_cols=["doc_id"],
+        budget=256,
+        bin_col="bin",
+    )
+    return out.select_columns(["doc_id", "shard", "n_tokens", "bin"])
+
+
+QUERIES_DOCS["pack_docs"] = q_pack_docs
+ORACLE_SQL_DOCS["pack_docs"] = """
+    WITH RECURSIVE lt AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM lt),
+    p AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             n_tokens AS acc, CAST(0 AS BIGINT) AS bin
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+             CASE WHEN p.acc + r.n_tokens > 256 THEN r.n_tokens
+                  ELSE p.acc + r.n_tokens END,
+             CASE WHEN p.acc + r.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END
+      FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+    SELECT doc_id, shard, n_tokens, bin FROM p
+"""
