@@ -56,6 +56,7 @@ def connected_components(
     comp_col: str = "comp",
     num_buckets: Optional[int] = None,
     max_rounds: int = 30,
+    small_graph_threshold: int = 2_000_000,
 ):
     """Label every node of an undirected edge list with its component's
     minimum node id.  Returns a Dataset ``(node_col: int64, comp_col:
@@ -64,6 +65,16 @@ def connected_components(
 
     ``edges``: Dataset with int64-castable columns ``src``/``dst``;
     direction and duplicate edges are irrelevant.
+
+    Near-dup pair lists are orders of magnitude smaller than the corpus
+    that produced them, and every distributed round costs 3+ cluster-wide
+    executions just to move an O(V) int64 label table — so when the
+    materialized edge list holds at most ``small_graph_threshold`` edge
+    rows (metadata count, free) the closure is solved in one vectorized
+    local pass (scatter-min + pointer jumping over index labels, the same
+    algorithm) and only the tiny (node, comp) result re-enters the engine.
+    The distributed loop is the correctness path for graphs above the
+    threshold; set ``small_graph_threshold=0`` to force it.
     """
 
     def _both(t: pa.Table) -> pa.Table:
@@ -74,6 +85,10 @@ def connected_components(
         return pa.table({"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])})
 
     e = edges.map_batches(_both, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # each input edge became two rows in e
+    if e.count() <= 2 * small_graph_threshold:
+        return _local_components(e, node_col, comp_col, max_rounds)
 
     # initial labels: one row per distinct endpoint, lab = own id
     def _self_lab(t: pa.Table, starts: np.ndarray) -> pa.Table:
@@ -233,3 +248,45 @@ def _count_changed(new_lab) -> int:
     flagged = new_lab.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
     s = flagged.sum("chg")
     return int(s or 0)
+
+
+def _local_components(e, node_col: str, comp_col: str, max_rounds: int):
+    """Small-graph fast path: the doubled edge list fits the driver, so run
+    the SAME min-label + pointer-jump iteration vectorized over index
+    labels (labels are indices into the sorted node array, so index order
+    == id order and scatter-min is one ``np.minimum.at``)."""
+    import ray as _ray
+    import ray.data as rd
+
+    tbls = _ray.get(e.to_arrow_refs())
+    empty = pa.table(
+        {node_col: pa.array([], pa.int64()), comp_col: pa.array([], pa.int64())}
+    )
+    tbls = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+        for t in tbls
+    ]
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(
+        [pa.table({"u": x["u"], "v": x["v"]}) for x in tbls]
+    ).combine_chunks()
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(u)  # e is doubled, so u alone covers every endpoint
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_rounds):
+        new = lab.copy()
+        np.minimum.at(new, iv, lab[iu])  # neighbor-min over all edges
+        new = np.minimum(new, new[new])  # pointer jump (path halving)
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:  # pragma: no cover - safety bound
+        raise RuntimeError(f"local components did not converge in {max_rounds} rounds")
+    return rd.from_arrow(
+        pa.table({node_col: pa.array(nodes), comp_col: pa.array(nodes[lab])})
+    )
