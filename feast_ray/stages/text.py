@@ -415,7 +415,12 @@ def tfidf_top_term(
             }
         )
 
-    tf_tbl = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice (df count + join left side): materialize so the
+    # tokenize/factorize pass runs once — O(corpus tokens) int64+token rows
+    # in the object store, which spills rather than recomputing at scale
+    tf_tbl = ds.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def df_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         firsts = starts[:-1]
