@@ -1808,3 +1808,43 @@ ORACLE_SQL["corr_events_user"] = """
            n
     FROM m
 """
+
+
+def q_asof_next_purchase(sf_dir: str):
+    """Forward as-of join (label generation): for every click, the EARLIEST
+    purchase by the same user within the next 7 days — time negation over
+    the one-shuffle backward kernel (``stages.asof.asof_join_forward``);
+    ties on purchase ts break to the smallest event_id."""
+    from feast_ray.stages.asof import asof_join_forward
+
+    clicks = _typed_events(sf_dir, "click", ["user_id", "event_id", "ts"])
+    purchases = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts", "value"])
+    purchases = purchases.map_batches(
+        lambda t: t.rename_columns(["user_id", "p_event_id", "ts", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        tie_col="p_event_id",
+        lookahead_us=7 * 24 * 3600 * 1_000_000,
+        feature_cols=["value"],
+        prefix="next",
+        matched_ts_name="next_ts",
+    )
+
+
+QUERIES["asof_next_purchase"] = q_asof_next_purchase
+ORACLE_SQL["asof_next_purchase"] = """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, c.ts, n.next__value, n.next_ts
+    FROM c LEFT JOIN LATERAL (
+      SELECT p.value AS next__value, p.ts AS next_ts
+      FROM p
+      WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        AND p.ts <= c.ts + INTERVAL 7 DAY
+      ORDER BY p.ts, p.event_id LIMIT 1) n ON TRUE
+"""

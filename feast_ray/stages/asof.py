@@ -732,3 +732,99 @@ def interval_join(
         return pa.table(out_cols)
 
     return joined.map_batches(invalidate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join_forward(
+    spine,
+    features,
+    *,
+    key: str | Sequence[str],
+    spine_ts: str = "ts",
+    feat_ts: str = "ts",
+    tie_col: Optional[str] = None,
+    lookahead_us: Optional[int] = None,
+    feature_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    matched_ts_name: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Forward as-of LEFT join: for each spine row at time ``t``, the
+    EARLIEST feature row with ``feat_ts >= t`` (bounded by ``t +
+    lookahead_us`` when given; miss => NULLs).
+
+    The label-generation primitive of a training pipeline (time-to-next-
+    event targets: next purchase after a click, next failure after an
+    alert) — the mirror of the point-in-time join, which Feast only defines
+    backward (upstream ``dask.py::evaluate_historical_retrieval`` filters
+    ``feat_ts <= entity_ts``).  Implemented by time NEGATION over the same
+    one-shuffle sort-merge kernel: on the negated axis "latest <= -t
+    within ttl" is exactly "earliest >= t within lookahead", so every
+    backward code path (composite keys, TTL, miss-null, broadcast parity)
+    is reused rather than re-derived.
+
+    Ties on ``feat_ts`` break toward the SMALLEST ``tie_col`` (pass a
+    unique id for determinism); its negation rides the kernel's
+    created-ts-descending rule.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    NEG_T, NEG_C, NEG_M = "__fwd_negts", "__fwd_negtie", "__fwd_negmatch"
+
+    def neg_col(name_in: str):
+        def f(t: pa.Table) -> pa.Table:
+            ts_us = _ts_to_us(
+                t[name_in].combine_chunks()
+                if isinstance(t[name_in], pa.ChunkedArray)
+                else t[name_in]
+            )
+            out = t.append_column(NEG_T, pc.negate(ts_us))
+            return out
+
+        return f
+
+    def neg_tie(t: pa.Table) -> pa.Table:
+        c = t[tie_col].combine_chunks() if isinstance(t[tie_col], pa.ChunkedArray) else t[tie_col]
+        return t.append_column(NEG_C, pc.negate(c.cast(pa.int64())))
+
+    left = spine.map_batches(neg_col(spine_ts), batch_format="pyarrow", zero_copy_batch=True)
+    right = features.map_batches(neg_col(feat_ts), batch_format="pyarrow", zero_copy_batch=True)
+    if tie_col is not None:
+        right = right.map_batches(neg_tie, batch_format="pyarrow", zero_copy_batch=True)
+
+    if feature_cols is None:
+        skip = set(keys) | {feat_ts}
+        if tie_col is not None:
+            skip.add(tie_col)
+        feature_cols = [n for n in _dataset_schema(features).names if n not in skip]
+
+    joined = asof_join(
+        left,
+        right,
+        key=keys,
+        spine_ts=NEG_T,
+        feat_ts=NEG_T,
+        created_ts=NEG_C if tie_col is not None else None,
+        ttl_us=lookahead_us,
+        feature_cols=list(feature_cols),
+        prefix=prefix,
+        matched_ts_name=NEG_M if matched_ts_name else None,
+        num_buckets=num_buckets,
+    )
+
+    feat_ts_type = _dataset_schema(features).field(feat_ts).type
+
+    def restore(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            if name in (NEG_T, NEG_C):
+                continue
+            col = t[name].combine_chunks() if isinstance(t[name], pa.ChunkedArray) else t[name]
+            if name == NEG_M:
+                m = pc.negate(col)
+                if pa.types.is_timestamp(feat_ts_type):
+                    m = m.cast(pa.timestamp("us", tz=feat_ts_type.tz))
+                cols[matched_ts_name] = m
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    return joined.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)

@@ -341,3 +341,67 @@ def test_interval_join_matches_pandas(ray_session):
     assert ((np.isnan(gv) & np.isnan(wv)) | np.isclose(gv, wv, equal_nan=True)).all()
     # matched start only present when matched
     assert (got["vf"].notna() == got["ver"].notna()).all()
+
+
+def test_asof_forward_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n_s, n_f = 800, 600
+    spine = pd.DataFrame(
+        {
+            "k": rng.integers(0, 17, n_s),
+            "ts": rng.integers(0, 100_000, n_s).astype("datetime64[us]"),
+            "sid": np.arange(n_s),
+        }
+    )
+    feats = pd.DataFrame(
+        {
+            "k": rng.integers(0, 17, n_f),
+            "ts": rng.integers(0, 100_000, n_f).astype("datetime64[us]"),
+            "fid": np.arange(n_f),
+            "x": rng.normal(size=n_f),
+        }
+    )
+    from feast_ray.stages.asof import asof_join_forward
+
+    look = 20_000
+    out = (
+        asof_join_forward(
+            rd.from_pandas(spine),
+            rd.from_pandas(feats),
+            key="k",
+            tie_col="fid",
+            lookahead_us=look,
+            feature_cols=["x"],
+            matched_ts_name="m_ts",
+        )
+        .to_pandas()
+        .sort_values("sid")
+        .reset_index(drop=True)
+    )
+    # oracle: earliest feature with ts >= spine ts (<= ts+look), min fid tie
+    f_sorted = feats.sort_values(["k", "ts", "fid"])
+    want_x, want_m = [], []
+    for _, row in spine.sort_values("sid").iterrows():
+        cand = f_sorted[
+            (f_sorted["k"] == row["k"])
+            & (f_sorted["ts"] >= row["ts"])
+            & (f_sorted["ts"] <= row["ts"] + pd.Timedelta(microseconds=look))
+        ]
+        if len(cand):
+            want_x.append(cand.iloc[0]["x"])
+            want_m.append(cand.iloc[0]["ts"])
+        else:
+            want_x.append(np.nan)
+            want_m.append(pd.NaT)
+    assert len(out) == n_s
+    got_x = out["x"].to_numpy()
+    wx = np.array(want_x)
+    assert ((np.isnan(got_x) & np.isnan(wx)) | (got_x == wx)).all()
+    assert (
+        out["m_ts"].astype("datetime64[us]").fillna(pd.Timestamp(0)).to_numpy()
+        == pd.Series(want_m).astype("datetime64[us]").fillna(pd.Timestamp(0)).to_numpy()
+    ).all()
