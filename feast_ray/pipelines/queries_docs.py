@@ -851,3 +851,34 @@ ORACLE_SQL_DOCS["pack_docs"] = """
       FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
     SELECT doc_id, shard, n_tokens, bin FROM p
 """
+
+
+def q_dup_shingles_docs(sf_dir: str):
+    """Cross-document duplicate-shingle evidence per doc (the corpus-level
+    duplicate-n-gram signal): distinct 4-token shingles and how many occur
+    in >= 2 docs (``stages.decontam.crossdoc_shingle_stats``)."""
+    from feast_ray.stages.decontam import crossdoc_shingle_stats
+
+    return crossdoc_shingle_stats(_docs(sf_dir), w=4)
+
+
+QUERIES_DOCS["dup_shingles_docs"] = q_dup_shingles_docs
+ORACLE_SQL_DOCS["dup_shingles_docs"] = """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                         l[i+3])) AS s
+      FROM lt WHERE len(l) >= 4),
+    cnt AS (SELECT s, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE cnt.c >= 2) AS BIGINT) AS n_dup_shingles
+    FROM sh JOIN cnt USING (s)
+    GROUP BY sh.doc_id
+"""

@@ -148,3 +148,68 @@ def decontaminate(
     return grouped_map(
         shared, [id_col], count_distinct, sort_keys=["shingle"], num_buckets=num_buckets
     )
+
+
+def crossdoc_shingle_stats(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 4,
+    pattern: str = SPLIT_RE,
+    num_buckets: Optional[int] = None,
+):
+    """Per-document corpus-duplication evidence: ``n_shingles`` (the doc's
+    distinct w-token shingles) and ``n_dup_shingles`` (those also present
+    in at least one OTHER document) — the cross-document duplicate-n-gram
+    signal corpus-quality pipelines threshold on (duplicate fraction =
+    n_dup/n).  All-integer output so the SQL twin is bit-exact.
+
+    Three bounded exchanges over ``(shingle, doc)`` int64/string rows, no
+    driver state: (1) distinct pairs — grouped first-row by (doc, shingle);
+    (2) per-shingle distinct-doc flag shuffled by shingle, re-emitting each
+    pair tagged dup iff its shingle's group spans >= 2 docs; (3) per-doc
+    counts.  Document text leaves the pipeline after the shingle map.
+    """
+
+    def first_row(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        return pa.table(
+            {
+                id_col: pc.take(t[id_col].combine_chunks(), firsts),
+                "shingle": pc.take(t["shingle"].combine_chunks(), firsts),
+            }
+        )
+
+    pairs = grouped_map(
+        shingle_table(docs, text_col=text_col, id_col=id_col, w=w, pattern=pattern),
+        [id_col, "shingle"],
+        first_row,
+        num_buckets=num_buckets,
+    )
+
+    def tag_dup(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        # grouped by shingle: pairs are distinct, so group size = doc count
+        sizes = np.diff(starts)
+        dup = np.repeat(sizes >= 2, sizes)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "dup": pa.array(dup.astype(np.int64)),
+            }
+        )
+
+    tagged = grouped_map(pairs, ["shingle"], tag_dup, num_buckets=num_buckets)
+
+    def count_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        dup = t["dup"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pc.take(t[id_col].combine_chunks(), pa.array(firsts)),
+                "n_shingles": pa.array(np.diff(starts).astype(np.int64)),
+                "n_dup_shingles": pa.array(np.add.reduceat(dup, firsts)),
+            }
+        )
+
+    return grouped_map(tagged, [id_col], count_kernel, num_buckets=num_buckets)

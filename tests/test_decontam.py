@@ -71,3 +71,29 @@ def test_decontaminate_matches_python(corpora):
             want[row["doc_id"]] = len(shared)
     assert dict(zip(out["doc_id"], out["n_shared"])) == want
     assert want  # the fixture does produce contamination
+
+
+def test_crossdoc_shingle_stats_matches_python(corpora, ray_session):
+    from feast_ray.stages.decontam import crossdoc_shingle_stats
+
+    train, ev = corpora
+    docs = pd.concat([train, ev], ignore_index=True)
+    out = (
+        crossdoc_shingle_stats(rd.from_pandas(docs), w=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    per_doc = {int(r["doc_id"]): _shingles(r["text"], 3) for _, r in docs.iterrows()}
+    from collections import Counter
+
+    owner_count = Counter()
+    for sh in per_doc.values():
+        for s in sh:
+            owner_count[s] += 1
+    for _, row in out.iterrows():
+        sh = per_doc[int(row["doc_id"])]
+        assert row["n_shingles"] == len(sh)
+        assert row["n_dup_shingles"] == sum(1 for s in sh if owner_count[s] >= 2)
+    # docs with no shingles are absent
+    assert set(out["doc_id"]) == {d for d, sh in per_doc.items() if sh}
