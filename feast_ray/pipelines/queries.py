@@ -1848,3 +1848,105 @@ ORACLE_SQL["asof_next_purchase"] = """
         AND p.ts <= c.ts + INTERVAL 7 DAY
       ORDER BY p.ts, p.event_id LIMIT 1) n ON TRUE
 """
+
+
+def q_daily_user_events(sf_dir: str):
+    """Tumbling calendar-window aggregate (the time-bucketed rollup every
+    monitoring/feature pipeline runs): per user per UTC day — event count,
+    exact value sum in cents, distinct event types.  Day bucket derived
+    in-map (integer floor-div of epoch micros), then ONE grouped exchange
+    on (user, day); distinct via run detection over the bucket's local
+    sort."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pa.array(day),
+                "event_type": t["event_type"],
+                "c": c,
+            }
+        )
+
+    dv = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes = (
+            t["event_type"]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        new_run = np.empty(len(codes), dtype=bool)
+        if len(codes):
+            new_run[0] = True
+            new_run[1:] = codes[1:] != codes[:-1]
+            new_run[firsts] = True
+        gidx = np.repeat(np.arange(len(firsts)), np.diff(starts))
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), take),
+                "day": pc.take(t["day"].combine_chunks(), take),
+                "n_events": pa.array(np.diff(starts).astype(np.int64)),
+                "sum_cents": pa.array(np.add.reduceat(c, firsts)),
+                "n_types": pa.array(
+                    np.bincount(gidx[new_run], minlength=len(firsts)).astype(np.int64)
+                ),
+            }
+        )
+
+    return grouped_map(dv, ["user_id", "day"], kernel, sort_keys=["event_type"])
+
+
+QUERIES["daily_user_events"] = q_daily_user_events
+ORACLE_SQL["daily_user_events"] = """
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id, day
+"""
+
+
+def q_approx_quantile_value(sf_dir: str):
+    """Histogram-sketch per-user quantiles (the scale path for entities too
+    big to co-locate): p50/p90 of value cents to 500-cent bin resolution —
+    per-batch (user, bin, count) partials bound the shuffle to n_bins rows
+    per user per batch (``stages.stats.approx_group_quantile``); output is
+    exactly quantile_disc over bin-floored values, so the twin is
+    bit-exact."""
+    from feast_ray.stages.stats import approx_group_quantile
+
+    ds = _events_cents(sf_dir, ["user_id", "value"])
+    return approx_group_quantile(
+        ds.select_columns(["user_id", "c"]),
+        "user_id",
+        "c",
+        {"p50_bin": 0.5, "p90_bin": 0.9},
+        lo=0,
+        hi=50_000,
+        n_bins=100,
+    )
+
+
+QUERIES["approx_quantile_value"] = q_approx_quantile_value
+ORACLE_SQL["approx_quantile_value"] = """
+    WITH e AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+    b AS (SELECT user_id,
+                 0 + LEAST(GREATEST((c - 0) * 100 // (50000 - 0), 0), 99) * 500 AS v
+          FROM e)
+    SELECT user_id,
+           CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_bin,
+           CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_bin
+    FROM b GROUP BY user_id
+"""

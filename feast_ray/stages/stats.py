@@ -435,3 +435,92 @@ def grouped_corr(
         return pa.table(cols)
 
     return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
+
+
+def approx_group_quantile(
+    ds,
+    key: str | Sequence[str],
+    int_col: str,
+    quantiles: dict[str, float],
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    num_buckets: Optional[int] = None,
+):
+    """Histogram-sketch quantiles per entity — the SCALE path for groups too
+    large to co-locate (the exact ``grouped_quantile`` docstring points
+    here): per-batch (key, bin, count) partials bound the shuffle to
+    ``n_bins`` rows per key per batch regardless of group size, and the
+    answer is exact "to the bin": each output is the LOWER EDGE of the bin
+    holding rank ``ceil(q*n)`` — i.e. precisely ``quantile_disc`` over the
+    bin-floored values, so a SQL twin reproduces it bit-exactly and the
+    error bound is the bin width.
+
+    Values are clamped into the edge bins; NULLs are dropped; ``hi - lo``
+    must divide by ``n_bins`` so the integer bin algebra matches SQL.  One
+    grouped exchange; the rank lookup is a single searchsorted over
+    group-rebased cumulative counts.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if hi <= lo or n_bins <= 0 or (hi - lo) % n_bins != 0:
+        raise ValueError("need hi > lo and (hi - lo) divisible by n_bins")
+    width = (hi - lo) // n_bins
+    for out, q in quantiles.items():
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"{out!r}: q must be in [0, 1], got {q}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: pa.array([], t[k].type) for k in keys}
+        cols["bin"] = pa.array([], pa.int64())
+        cols["cnt"] = pa.array([], pa.int64())
+        arr = t[int_col].combine_chunks()
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return pa.table(cols)
+        sub = t.filter(pa.array(valid))
+        v = sub[int_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) * n_bins // (hi - lo), 0, n_bins - 1)
+        import pandas as pd
+
+        kf = pd.DataFrame({k: sub[k].combine_chunks().to_pandas() for k in keys})
+        kf["bin"] = b
+        codes, uniq = pd.factorize(pd.MultiIndex.from_frame(kf), sort=False)
+        cnt = np.bincount(codes)
+        _, first_idx = np.unique(codes, return_index=True)
+        take = pa.array(first_idx.astype(np.int64))
+        out_cols = {k: pc.take(sub[k].combine_chunks(), take) for k in keys}
+        out_cols["bin"] = pa.array(b[first_idx])
+        out_cols["cnt"] = pa.array(cnt.astype(np.int64))
+        return pa.table(out_cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), take) for k in keys
+        }
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        bins = t["bin"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_groups = len(firsts)
+        if t.num_rows == 0:
+            for out in quantiles:
+                cols[out] = pa.array([], pa.int64())
+            return pa.table(cols)
+        cum = np.cumsum(cnt)
+        base = np.where(firsts > 0, cum[np.maximum(firsts - 1, 0)], 0)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+        rebased = cum - base[gidx]
+        totals = rebased[starts[1:] - 1]
+        offset = int(totals.max()) + 1
+        skey = gidx * offset + rebased
+        for out, q in quantiles.items():
+            rank = np.maximum(np.ceil(q * totals), 1).astype(np.int64)
+            idx = np.searchsorted(skey, np.arange(n_groups) * offset + rank, side="left")
+            cols[out] = pa.array(lo + bins[idx] * width)
+        return pa.table(cols)
+
+    return grouped_map(parts, keys, kernel, sort_keys=["bin"], num_buckets=num_buckets)

@@ -258,3 +258,63 @@ def test_grouped_corr_degenerate_groups(ray_session):
         .reset_index(drop=True)
     )
     assert pd.isna(out["r"]).tolist() == [True, True, True]  # n<2, vx=0, vy=0
+
+
+def test_approx_group_quantile_matches_binned_oracle(ev):
+    from feast_ray.stages.stats import approx_group_quantile
+
+    lo, hi, n_bins = -500, 10_000, 70  # width 150
+    out = (
+        approx_group_quantile(
+            rd.from_pandas(ev[["k", "c"]]),
+            "k",
+            "c",
+            {"p50": 0.5, "p90": 0.9},
+            lo=lo,
+            hi=hi,
+            n_bins=n_bins,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    width = (hi - lo) // n_bins
+    for _, row in out.iterrows():
+        vals = ev.loc[ev["k"] == row["k"], "c"].to_numpy()
+        floored = lo + np.clip((vals - lo) * n_bins // (hi - lo), 0, n_bins - 1) * width
+        for col, q in (("p50", 0.5), ("p90", 0.9)):
+            assert row[col] == _disc(floored, q)
+            # error bound: within one bin width of the exact quantile
+            assert abs(row[col] - _disc(vals, q)) <= width
+
+
+def test_approx_group_quantile_rejects_bad_bins(ev):
+    from feast_ray.stages.stats import approx_group_quantile
+
+    with pytest.raises(ValueError):
+        approx_group_quantile(
+            rd.from_pandas(ev[["k", "c"]]), "k", "c", {"p": 0.5},
+            lo=0, hi=1000, n_bins=7,
+        )
+
+
+def test_daily_rollup_query_matches_pandas(ray_session):
+    import ray.data as _rd
+
+    from feast_ray.pipelines.queries import q_daily_user_events
+
+    sf = "/root/testdata/sf0.001"
+    out = q_daily_user_events(sf).to_pandas()
+    ev2 = _rd.read_parquet(f"{sf}/events.parquet").to_pandas()
+    ev2["day"] = (ev2["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000)
+    ev2["c"] = (ev2["value"] * 100).round().astype("int64")
+    want = (
+        ev2.groupby(["user_id", "day"])
+        .agg(n_events=("c", "size"), sum_cents=("c", "sum"), n_types=("event_type", "nunique"))
+        .reset_index()
+    )
+    got = out.sort_values(["user_id", "day"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "day"]).reset_index(drop=True)
+    assert got[["user_id", "day", "n_events", "sum_cents", "n_types"]].equals(
+        want[["user_id", "day", "n_events", "sum_cents", "n_types"]]
+    )
