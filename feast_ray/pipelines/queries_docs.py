@@ -882,3 +882,36 @@ ORACLE_SQL_DOCS["dup_shingles_docs"] = """
     FROM sh JOIN cnt USING (s)
     GROUP BY sh.doc_id
 """
+
+
+def q_mix_corpus_docs(sf_dir: str):
+    """Deterministic corpus mixing by language weight (keep 80% of en, 30%
+    of everything else, decided by the bijective doc_id mixer —
+    ``stages.sampling.weighted_mix_sample``): the dataset-reweighting step
+    of corpus assembly, reproducible on any cluster shape."""
+    from feast_ray.stages.sampling import weighted_mix_sample
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang", "source"))
+    return weighted_mix_sample(
+        docs,
+        group_col="lang",
+        key_col="doc_id",
+        percents={"en": 80},
+        default_percent=30,
+    )
+
+
+QUERIES_DOCS["mix_corpus_docs"] = q_mix_corpus_docs
+ORACLE_SQL_DOCS["mix_corpus_docs"] = """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             ((CAST(doc_id AS HUGEINT) % 4294967296) * 2135587861
+              + (((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435769
+                  + (CAST(doc_id AS HUGEINT) // 4294967296) * 2135587861)
+                 % 4294967296) * 4294967296)
+             % CAST(18446744073709551616 AS HUGEINT) AS hv
+      FROM documents)
+    SELECT doc_id, lang, source
+    FROM h
+    WHERE hv % 100 < CASE WHEN lang = 'en' THEN 80 ELSE 30 END
+"""

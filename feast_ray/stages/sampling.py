@@ -82,3 +82,44 @@ def stratified_sample(
         num_buckets=num_buckets,
     )
     return out.drop_columns(["__hv"])
+
+
+def weighted_mix_sample(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    percents: dict,
+    default_percent: int,
+    modulus: int = 100,
+):
+    """Deterministic corpus mixing: keep each row with a per-group rate
+    (``percents[group]``/``modulus``, else ``default_percent``) decided by
+    the same bijective mixer as :func:`hash_sample` — the dataset-reweighting
+    step of LLM corpus assembly (upweight one language/source, downsample
+    another) made reproducible on any cluster shape and SQL-checkable.
+
+    Embarrassingly parallel: the per-row threshold comes from a
+    dictionary-encode + lookup over the (small) distinct group values of
+    the batch; no shuffle, no state.
+    """
+    for g, p in percents.items():
+        if not (0 <= p <= modulus):
+            raise ValueError(f"percent for {g!r} must be in [0, {modulus}]")
+    if not (0 <= default_percent <= modulus):
+        raise ValueError("default_percent out of range")
+
+    def filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        thresholds = np.array(
+            [percents.get(v.as_py(), default_percent) for v in enc.dictionary],
+            dtype=np.uint64,
+        )
+        per_row = thresholds[enc.indices.to_numpy(zero_copy_only=False)]
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (mix64(k) % np.uint64(modulus)) < per_row
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -318,3 +318,21 @@ def test_daily_rollup_query_matches_pandas(ray_session):
     assert got[["user_id", "day", "n_events", "sum_cents", "n_types"]].equals(
         want[["user_id", "day", "n_events", "sum_cents", "n_types"]]
     )
+
+
+def test_weighted_mix_sample_matches_python(ev):
+    from feast_ray.stages.sampling import mix64, weighted_mix_sample
+
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    out = weighted_mix_sample(
+        rd.from_pandas(df),
+        group_col="cat",
+        key_col="rid",
+        percents={"a": 90, "zz": 0},
+        default_percent=25,
+    ).to_pandas()
+    hv = mix64(df["rid"].to_numpy()) % np.uint64(100)
+    thr = df["cat"].map({"a": 90, "zz": 0}).fillna(25).to_numpy(dtype=np.uint64)
+    want = df[hv < thr]
+    assert sorted(out["rid"]) == sorted(want["rid"])
+    assert (out["cat"] != "zz").all()
