@@ -1950,3 +1950,108 @@ ORACLE_SQL["approx_quantile_value"] = """
            CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_bin
     FROM b GROUP BY user_id
 """
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-hop star join (TPC-H Q5 flavor): lineitem x orders x customer
+    x nation, 1996 order year, exact integer revenue units
+    (cents x (100 - discount pct)) summed per nation — three co-partitioned
+    ``equi_join`` hops composed with one grouped aggregate, every read
+    column-pruned and the date filter applied at the read edge."""
+    import ray.data as rd
+
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd_ts_us("1996-01-01"))
+        hi = pa.scalar(pd_ts_us("1997-01-01"))
+        d = t["o_orderdate"].combine_chunks().cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        sub = t.filter(keep)
+        return pa.table({"orderkey": sub["o_orderkey"], "custkey": sub["o_custkey"]})
+
+    orders = orders.map_batches(ord_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = equi_join(li, orders, keys=["orderkey"], how="inner")
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"custkey": t["c_custkey"], "nationkey": t["c_nationkey"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = equi_join(
+        j1.select_columns(["custkey", "rev"]), cust, keys=["custkey"], how="inner"
+    )
+
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"nationkey": t["n_nationkey"].cast(pa.int64()), "n_name": t["n_name"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j3 = equi_join(
+        j2.select_columns(["nationkey", "rev"]), nation, keys=["nationkey"], how="inner"
+    )
+    return grouped_aggregate(
+        j3.select_columns(["n_name", "rev"]),
+        ["n_name"],
+        {"n_items": ("count", None), "revenue_units": ("sum", "rev")},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_items": t["n_items"].cast(pa.int64()),
+                "revenue_units": t["revenue_units"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def pd_ts_us(s: str) -> int:
+    import pandas as pd
+
+    return int(pd.Timestamp(s).value // 1000)
+
+
+QUERIES["revenue_by_nation"] = q_revenue_by_nation
+ORACLE_SQL["revenue_by_nation"] = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
