@@ -2055,3 +2055,60 @@ ORACLE_SQL["revenue_by_nation"] = """
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name
 """
+
+
+def q_hopping_window_events(sf_dir: str):
+    """Hopping-window aggregate (Feast ``Aggregation(time_window=1h,
+    slide_interval=15m)`` made executable): per user per window start,
+    event count + exact cents sum — vectorized k-fold expansion then one
+    grouped exchange (``stages.windows.hopping_window_agg``)."""
+    from feast_ray.stages.windows import hopping_window_agg
+
+    ds = _events_cents(sf_dir, ["user_id", "ts", "value"])
+    return hopping_window_agg(
+        ds.select_columns(["user_id", "ts", "c"]),
+        "user_id",
+        "ts",
+        "c",
+        window_us=3_600_000_000,
+        slide_us=900_000_000,
+    )
+
+
+QUERIES["hopping_window_events"] = q_hopping_window_events
+ORACLE_SQL["hopping_window_events"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+    x AS (SELECT user_id, c,
+                 ((us // 900000000) - j) * 900000000 AS wstart
+          FROM e, unnest(range(0, 4)) AS t(j))
+    SELECT user_id, wstart,
+           CAST(COUNT(*) AS BIGINT) AS w_count,
+           CAST(SUM(c) AS BIGINT) AS w_sum
+    FROM x GROUP BY user_id, wstart
+"""
+
+
+def q_minmax_scale_events(sf_dir: str):
+    """Per-entity min-max feature scaling of value cents to [0,1]
+    (``stages.stats.add_group_minmax_scale``); constant-valued users emit
+    NULL."""
+    from feast_ray.stages.stats import add_group_minmax_scale
+
+    ds = _events_cents(sf_dir, ["user_id", "event_id", "value"])
+    out = add_group_minmax_scale(
+        ds.select_columns(["user_id", "event_id", "c"]), "user_id", "c"
+    )
+    return out.select_columns(["user_id", "event_id", "scaled"])
+
+
+QUERIES["minmax_scale_events"] = q_minmax_scale_events
+ORACLE_SQL["minmax_scale_events"] = """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+    SELECT user_id, event_id,
+           CASE WHEN MAX(c) OVER w > MIN(c) OVER w
+                THEN (c - MIN(c) OVER w) * 1.0 / (MAX(c) OVER w - MIN(c) OVER w)
+           END AS scaled
+    FROM e WINDOW w AS (PARTITION BY user_id)
+"""

@@ -524,3 +524,31 @@ def approx_group_quantile(
         return pa.table(cols)
 
     return grouped_map(parts, keys, kernel, sort_keys=["bin"], num_buckets=num_buckets)
+
+
+def add_group_minmax_scale(
+    ds,
+    key: str | Sequence[str],
+    int_col: str,
+    *,
+    out_col: str = "scaled",
+    num_buckets: Optional[int] = None,
+):
+    """Per-entity min-max normalization of an exact integer column to
+    [0, 1]: ``(x - min) / (max - min)`` with ONE float division per row in
+    a fixed order (SQL-reproducible bit-exactly); constant groups emit
+    NULL.  Same one-exchange reduceat shape as the z-score kernel."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        x = t[int_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        firsts = starts[:-1]
+        gmin = np.minimum.reduceat(x, firsts) if len(x) else np.zeros(0, np.int64)
+        gmax = np.maximum.reduceat(x, firsts) if len(x) else np.zeros(0, np.int64)
+        gidx = starts_to_group_index(starts)
+        span = (gmax - gmin)[gidx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (x - gmin[gidx]).astype(np.float64) / span.astype(np.float64)
+        return t.append_column(out_col, pa.array(s, mask=span == 0))
+
+    return grouped_map(ds, keys, kernel, num_buckets=num_buckets)

@@ -394,3 +394,73 @@ def add_window_features(
         sort_keys=list(order_cols),
         num_buckets=num_buckets,
     )
+
+
+def hopping_window_agg(
+    ds,
+    key: str | Sequence[str],
+    ts_col: str,
+    int_col: str,
+    *,
+    window_us: int,
+    slide_us: int,
+    out_prefix: str = "w",
+):
+    """Hopping (sliding-interval) window aggregate per entity: count and
+    exact int64 sum of ``int_col`` for every window ``[start, start +
+    window_us)`` with starts at multiples of ``slide_us`` — the executable
+    form of the reference's declared ``Aggregation(time_window,
+    slide_interval)`` (upstream ``aggregation.py::Aggregation`` +
+    ``stream_feature_view.py``; Feast core only declares it and delegates
+    to a stream engine).
+
+    ``window_us`` must be a multiple of ``slide_us``; each event belongs to
+    exactly ``window_us // slide_us`` windows, materialized by one
+    vectorized k-fold expansion in the map stage (np.repeat/tile — the
+    standard replicate-then-group plan), then ONE grouped exchange on
+    (key, window_start) sums int64-exact.  Output rows are windows with at
+    least one event; window_start is emitted in epoch microseconds.
+    Shuffle volume is k x input rows of int64 columns — choose the
+    window/slide ratio with that in mind.
+    """
+    if window_us <= 0 or slide_us <= 0 or window_us % slide_us != 0:
+        raise ValueError("need window_us > 0, slide_us > 0, window_us % slide_us == 0")
+    k = window_us // slide_us
+    keys = [key] if isinstance(key, str) else list(key)
+
+    from feast_ray.grouped import grouped_aggregate
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {kk: pa.array([], t[kk].type) for kk in keys}
+        cols["wstart"] = pa.array([], pa.int64())
+        cols["v"] = pa.array([], pa.int64())
+        if n == 0:
+            return pa.table(cols)
+        us = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[int_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        # windows containing ts: starts slide*(floor(ts/slide) - k + 1 .. floor(ts/slide))
+        base = us // slide_us
+        starts = (
+            np.repeat(base, k) - np.tile(np.arange(k - 1, -1, -1, dtype=np.int64), n)
+        ) * slide_us
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = {kk: pc.take(t[kk].combine_chunks(), idx) for kk in keys}
+        out["wstart"] = pa.array(starts)
+        out["v"] = pa.array(np.repeat(v, k))
+        return pa.table(out)
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        expanded,
+        keys + ["wstart"],
+        {f"{out_prefix}_count": ("count", None), f"{out_prefix}_sum": ("sum", "v")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {n_: t[n_] for n_ in t.column_names}
+        cols[f"{out_prefix}_count"] = t[f"{out_prefix}_count"].cast(pa.int64())
+        cols[f"{out_prefix}_sum"] = t[f"{out_prefix}_sum"].cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

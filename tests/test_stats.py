@@ -336,3 +336,25 @@ def test_weighted_mix_sample_matches_python(ev):
     want = df[hv < thr]
     assert sorted(out["rid"]) == sorted(want["rid"])
     assert (out["cat"] != "zz").all()
+
+
+def test_minmax_scale_matches_numpy(ev):
+    from feast_ray.stages.stats import add_group_minmax_scale
+
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    out = (
+        add_group_minmax_scale(rd.from_pandas(df[["k", "rid", "c"]]), "k", "c")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    src = df.sort_values("rid").reset_index(drop=True)
+    gmin = src.groupby("k")["c"].transform("min")
+    gmax = src.groupby("k")["c"].transform("max")
+    want = (src["c"] - gmin) / (gmax - gmin)
+    got = out["scaled"].to_numpy()
+    w = want.to_numpy()
+    const = (gmax == gmin).to_numpy()
+    assert np.isnan(got[const]).all() if const.any() else True
+    ok = ~const
+    assert (got[ok] == w[ok]).all()

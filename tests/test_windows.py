@@ -220,3 +220,61 @@ def test_salt_and_stream_reject_full_history_specs(ray_session, transcripts_tbl)
     with _pytest.raises(Exception):
         ray.get(a.stats.remote())
     ray.kill(a)
+
+
+def test_hopping_window_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import hopping_window_agg
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 23, n),
+            "ts": rng.integers(0, 10_000_000, n).astype("datetime64[us]"),
+            "v": rng.integers(-50, 500, n),
+        }
+    )
+    W, S = 1_000_000, 250_000
+    out = (
+        hopping_window_agg(rd.from_pandas(df), "k", "ts", "v", window_us=W, slide_us=S)
+        .to_pandas()
+        .sort_values(["k", "wstart"])
+        .reset_index(drop=True)
+    )
+    us = df["ts"].astype("int64")
+    rows = []
+    for j in range(W // S):
+        d = df.assign(wstart=(us // S - j) * S)
+        rows.append(d)
+    want = (
+        pd.concat(rows)
+        .groupby(["k", "wstart"])
+        .agg(w_count=("v", "size"), w_sum=("v", "sum"))
+        .reset_index()
+        .sort_values(["k", "wstart"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    for c in ["k", "wstart", "w_count", "w_sum"]:
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+    # membership property: every window covering an event's ts is present
+    ev = df.iloc[0]
+    base = int(ev["ts"].value // 1000) // S
+    for j in range(W // S):
+        assert ((out["k"] == ev["k"]) & (out["wstart"] == (base - j) * S)).any()
+
+
+def test_hopping_window_rejects_bad_params(ray_session):
+    import pandas as pd
+    import pytest as _pt
+    import ray.data as rd
+
+    from feast_ray.stages.windows import hopping_window_agg
+
+    df = pd.DataFrame({"k": [1], "ts": pd.to_datetime([0]), "v": [1]})
+    with _pt.raises(ValueError):
+        hopping_window_agg(rd.from_pandas(df), "k", "ts", "v", window_us=10, slide_us=3)
