@@ -2,7 +2,16 @@
 entry at a given sf dir via Ray AND its oracle_sql() via DuckDB, then
 compare row count, column set, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir]   (from /root/repo)
+Usage: python tools/check_correctness.py [sf_dir] [only_csv]   (from /root/repo)
+       python tools/check_correctness.py [sf_dir] --chunk N
+
+``--chunk N`` runs the battery as ceil(Q/N) SUBPROCESSES of N queries each,
+one fresh Ray session per chunk.  Purpose: ray 2.49's core worker has an
+intermittent fatal race under long many-dataset sessions (observed twice on
+this box: ``reference_count.cc:581 submitted_task_ref_count > 0`` and
+``task_manager.cc:930 Tried to complete task that was not pending``); a
+crash then loses one chunk, not the whole run, and the chunk is retried
+once before being reported.
 """
 
 from __future__ import annotations
@@ -75,8 +84,32 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     return issues
 
 
+def _chunked_main(sf_dir: str, chunk: int) -> int:
+    import subprocess
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    rc = 0
+    for i in range(0, len(names), chunk):
+        batch = ",".join(names[i : i + chunk])
+        for attempt in (1, 2):
+            p = subprocess.run(
+                [sys.executable, __file__, sf_dir, batch], cwd="/root/repo"
+            )
+            if p.returncode == 0:
+                break
+            print(f"[chunk {i // chunk}] attempt {attempt} rc={p.returncode}")
+        else:
+            rc = 1
+    return rc
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 3 and sys.argv[2] == "--chunk":
+        return _chunked_main(sf_dir, int(sys.argv[3]))
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
     import ray
