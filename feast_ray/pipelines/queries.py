@@ -2112,3 +2112,44 @@ ORACLE_SQL["minmax_scale_events"] = """
            END AS scaled
     FROM e WINDOW w AS (PARTITION BY user_id)
 """
+
+
+def q_join_skew_aware(sf_dir: str):
+    """Skew-aware LEFT join of customer x orders on custkey
+    (``stages.join.skew_join``): customers with >= 12 orders take the
+    broadcast map-side path, the rest the co-partitioned shuffle — same
+    result as the plain join, verified by the same SQL."""
+    import ray.data as rd
+
+    from feast_ray.stages.join import skew_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": t["o_custkey"],
+                "orderkey": t["o_orderkey"],
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return skew_join(cust, orders, keys=["custkey"], how="left", hot_threshold=12)
+
+
+QUERIES["join_skew_aware"] = q_join_skew_aware
+ORACLE_SQL["join_skew_aware"] = """
+    SELECT c_custkey AS custkey, c_mktsegment,
+           o_orderkey AS orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+"""

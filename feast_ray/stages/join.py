@@ -264,3 +264,154 @@ def _null_key_left(t, left_schema, payload_fields, out_names, keys_valid):
     for f in payload_fields:
         cols[f.name] = pa.nulls(kept.num_rows, type=f.type)
     return pa.table({n: cols[n] for n in out_names})
+
+
+def skew_join(
+    left,
+    right,
+    *,
+    keys: Sequence[str],
+    how: str = "inner",
+    right_cols: Optional[Sequence[str]] = None,
+    hot_threshold: int = 100_000,
+    num_buckets: Optional[int] = None,
+):
+    """Skew-aware equi-join: keys whose RIGHT-side row count reaches
+    ``hot_threshold`` take a broadcast map-side path; everything else takes
+    the co-partitioned shuffle (``equi_join``).  Same inner/left semantics
+    and output columns, any row order.
+
+    Why: a hash shuffle sends ALL rows of one key to one reducer — a hot
+    key (a viral entity, a default value) turns the exchange into a
+    straggler.  The standard fix is to split the key space: hot keys'
+    right rows are broadcast once (``ray.put``) and joined batch-locally on
+    the map side (pyarrow's C++ hash join per batch), so the hot left rows
+    never shuffle at all; the cold remainder joins on the normal exchange.
+
+    Hot-key detection is a distributed count (per-batch ``value_counts``
+    combiner + grouped sum — the same map-side-partial shape the engine
+    uses everywhere) and only keys ABOVE the threshold reach the driver,
+    so driver state is O(hot keys), not O(keys).  The broadcast side holds
+    ``hot_keys x right rows per hot key`` — bound it with the threshold
+    and the knowledge that a key hot on BOTH sides is a cross-product no
+    partitioning scheme saves you from.
+    """
+    import ray
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from feast_ray.grouped import grouped_map as _gm
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = list(keys)
+    right_schema = _dataset_schema(right)
+    if right_cols is None:
+        right_cols = [n for n in right_schema.names if n not in keys]
+    right_cols = list(right_cols)
+
+    # distributed right-side key counts; only above-threshold keys collect
+    def partial_counts(t: pa.Table) -> pa.Table:
+        cols = {k: pa.array([], t[k].type) for k in keys}
+        cols["__cnt"] = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        import pandas as pd
+
+        kf = pd.DataFrame({k: t[k].combine_chunks().to_pandas() for k in keys})
+        codes, _ = pd.factorize(pd.MultiIndex.from_frame(kf), sort=False)
+        cnt = np.bincount(codes)
+        _, first_idx = np.unique(codes, return_index=True)
+        take = pa.array(first_idx.astype(np.int64))
+        out = {k: pc.take(t[k].combine_chunks(), take) for k in keys}
+        out["__cnt"] = pa.array(cnt.astype(np.int64))
+        return pa.table(out)
+
+    def sum_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        c = t["__cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        total = np.add.reduceat(c, firsts) if len(c) else np.zeros(0, np.int64)
+        out = {k: pc.take(t[k].combine_chunks(), pa.array(firsts)) for k in keys}
+        out["__cnt"] = pa.array(total)
+        return pa.table(out)
+
+    counts = _gm(
+        right.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys,
+        sum_kernel,
+        num_buckets=num_buckets,
+    )
+    hot_tbl = pa.concat_tables(
+        [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(
+                counts.map_batches(
+                    lambda t: t.filter(
+                        pc.greater_equal(t["__cnt"], pa.scalar(hot_threshold, pa.int64()))
+                    ).select(keys),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+        ]
+    ).combine_chunks()
+
+    if hot_tbl.num_rows == 0:
+        return equi_join(
+            left, right, keys=keys, how=how, right_cols=right_cols, num_buckets=num_buckets
+        )
+
+    hot_ref = ray.put(hot_tbl)
+
+    def splitter(keep_hot: bool):
+        def f(t: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            # the C++ join may reorder, so probe with a rowid and sort back
+            rid = pa.array(np.arange(t.num_rows, dtype=np.int64))
+            probe = pa.Table.from_arrays(
+                [t[k] for k in keys] + [rid], names=keys + ["__rid"]
+            )
+            m = probe.join(
+                hot.append_column("__hot", pa.array(np.ones(hot.num_rows, np.int8))),
+                keys=keys,
+                join_type="left outer",
+            )
+            order = pc.sort_indices(m, sort_keys=[("__rid", "ascending")])
+            is_hot = (
+                pc.take(m["__hot"], order).is_valid().to_numpy(zero_copy_only=False)
+            )
+            return t.filter(pa.array(is_hot if keep_hot else ~is_hot))
+
+        return f
+
+    left_hot = left.map_batches(splitter(True), batch_format="pyarrow", zero_copy_batch=True)
+    left_cold = left.map_batches(splitter(False), batch_format="pyarrow", zero_copy_batch=True)
+    right_hot = right.map_batches(splitter(True), batch_format="pyarrow", zero_copy_batch=True)
+    right_cold = right.map_batches(splitter(False), batch_format="pyarrow", zero_copy_batch=True)
+
+    # broadcast the hot right rows once; join batch-locally on the map side
+    hot_right_tbl = pa.concat_tables(
+        [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(right_hot.to_arrow_refs())
+        ],
+        promote_options="default",
+    ).combine_chunks()
+    hot_right_tbl = pa.table(
+        {k: hot_right_tbl[k] for k in keys + [c for c in right_cols]}
+    )
+    hot_right_ref = ray.put(hot_right_tbl)
+    jt = "inner" if how == "inner" else "left outer"
+    out_names = [f.name for f in _dataset_schema(left)] + right_cols
+
+    def map_join(t: pa.Table) -> pa.Table:
+        r = ray.get(hot_right_ref)
+        joined = t.join(r, keys=keys, join_type=jt)
+        return pa.table({n: joined[n] for n in out_names})
+
+    hot_joined = left_hot.map_batches(map_join, batch_format="pyarrow", zero_copy_batch=True)
+    cold_joined = equi_join(
+        left_cold, right_cold, keys=keys, how=how, right_cols=right_cols, num_buckets=num_buckets
+    )
+    return cold_joined.union(hot_joined)

@@ -163,3 +163,72 @@ class TestEquiJoin:
         assert list(got.columns) == ["k", "a", "b"]
         assert got["k"].tolist() == [1, 2, 2, 3]
         assert got["b"].fillna(-1).tolist() == [-1.0, 1.0, 2.0, -1.0]
+
+
+def test_skew_join_matches_equi_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.join import equi_join, skew_join
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    # key 7 is pathologically hot on the left; keys 1-3 hot-ish on the right
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate([np.full(2000, 7), rng.integers(0, 40, n - 2000)]),
+            "lv": np.arange(n),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.concatenate([np.repeat([1, 2, 3, 7], 60), rng.integers(0, 40, 400)]),
+            "rv": np.arange(640) * 10,
+        }
+    )
+    for how in ("inner", "left"):
+        want = (
+            equi_join(rd.from_pandas(left), rd.from_pandas(right), keys=["k"], how=how)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        got = (
+            skew_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                keys=["k"],
+                how=how,
+                hot_threshold=50,  # keys 1,2,3,7 take the broadcast path
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        assert got[["k", "lv"]].equals(want[["k", "lv"]]), how
+        gr, wr = got["rv"].fillna(-1).to_numpy(), want["rv"].fillna(-1).to_numpy()
+        assert (gr == wr).all(), how
+
+
+def test_skew_join_no_hot_keys_degenerates_to_equi(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.join import equi_join, skew_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500), "lv": np.arange(500)})
+    right = pd.DataFrame({"k": rng.integers(0, 50, 300), "rv": np.arange(300)})
+    want = (
+        equi_join(rd.from_pandas(left), rd.from_pandas(right), keys=["k"], how="inner")
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    got = (
+        skew_join(rd.from_pandas(left), rd.from_pandas(right), keys=["k"],
+                  how="inner", hot_threshold=10**9)
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
