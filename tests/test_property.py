@@ -181,3 +181,66 @@ def test_distinct_gram_hashes_counts_property(texts, k):
     for i, t in enumerate(texts):
         want = len({t[j : j + k] for j in range(len(t) - k + 1)})
         assert got[i] == want, (i, t)
+
+
+@given(
+    sizes=group_sizes,
+    budget=st.integers(min_value=1, max_value=50),
+    data=st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_pack_kernel_property(sizes, budget, data):
+    from feast_ray.stages.pack import pack_kernel
+
+    starts = _starts(sizes)
+    n = int(starts[-1])
+    toks = data.draw(
+        st.lists(st.integers(min_value=0, max_value=80), min_size=n, max_size=n)
+    )
+    t = pa.table({"g": np.repeat(np.arange(len(sizes)), sizes), "sz": toks})
+    out = pack_kernel("sz", budget, "bin")(t, starts)
+    bins = out["bin"].to_numpy(zero_copy_only=False)
+    for g in range(len(sizes)):
+        lo, hi = int(starts[g]), int(starts[g + 1])
+        want, acc, b = [], 0, 0
+        for i in range(lo, hi):
+            s = toks[i]
+            if i > lo and acc + s > budget:
+                b += 1
+                acc = s
+            else:
+                acc += s
+            want.append(b)
+        assert list(bins[lo:hi]) == want, (g, toks[lo:hi], budget)
+
+
+@given(
+    sizes=group_sizes,
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_expanding_distinct_kernel_property(sizes, data):
+    import pandas as pd
+
+    starts = _starts(sizes)
+    n = int(starts[-1])
+    cats = data.draw(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n)
+    )
+    # emulate the kernel's core: first-occurrence + rebased cumsum
+    gidx = np.repeat(np.arange(len(sizes)), sizes)
+    codes = pd.factorize(cats)[0].astype(np.int64)
+    vocab = int(codes.max()) + 1 if n else 1
+    _, first_idx = np.unique(gidx * vocab + codes, return_index=True)
+    is_first = np.zeros(n, dtype=np.int64)
+    is_first[first_idx] = 1
+    cum = np.cumsum(is_first)
+    base = np.repeat(cum[starts[:-1]] - is_first[starts[:-1]], sizes)
+    got = cum - base
+    want = []
+    for g in range(len(sizes)):
+        seen = set()
+        for i in range(int(starts[g]), int(starts[g + 1])):
+            seen.add(cats[i])
+            want.append(len(seen))
+    assert list(got) == want
