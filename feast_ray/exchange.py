@@ -136,6 +136,44 @@ def _sort_and_group(
     return t, starts
 
 
+_PACK_KEY = b"__packed_cols_ipc"
+
+
+def _pack_slice(t: pa.Table, cols: Sequence[str]) -> pa.Table:
+    """Move ``cols`` out of the slice's columnar payload into ONE
+    zstd-compressed Arrow IPC blob stashed in the schema metadata.  Purpose:
+    the wide backfill's 8->32 scaling wall is text bytes on the shared
+    memory bus (BASELINE.md phase breakdown); compressible payloads shrink
+    3-5x for ~cheap CPU, and the blob round-trips rows losslessly because
+    IPC preserves order and the reduce side re-attaches BEFORE the concat
+    and sort."""
+    present = [c for c in cols if c in t.column_names]
+    if not present:
+        return t
+    sub = t.select(present)
+    rest = t.drop_columns(present)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(
+        sink, sub.schema, options=pa.ipc.IpcWriteOptions(compression="zstd")
+    ) as w:
+        w.write_table(sub)
+    meta = dict(rest.schema.metadata or {})
+    meta[_PACK_KEY] = sink.getvalue().to_pybytes()
+    return rest.replace_schema_metadata(meta)
+
+
+def _unpack_slice(t: pa.Table) -> pa.Table:
+    meta = dict(t.schema.metadata or {})
+    blob = meta.pop(_PACK_KEY, None)
+    if blob is None:
+        return t
+    sub = pa.ipc.open_stream(pa.BufferReader(blob)).read_all()
+    out = t.replace_schema_metadata(meta or None)
+    for name in sub.column_names:
+        out = out.append_column(name, sub[name].combine_chunks())
+    return out
+
+
 def exchange_grouped(
     input_files: Sequence[str],
     *,
@@ -149,9 +187,15 @@ def exchange_grouped(
     files_per_task: int = 1,
     skip_buckets: Optional[set[int]] = None,
     map_fn_takes_paths: bool = False,
+    pack_cols: Optional[Sequence[str]] = None,
 ) -> list:
     """Run the fused exchange over parquet files; returns per-bucket results
-    (``sink_fn`` metrics dicts if given, else reduced Arrow tables)."""
+    (``sink_fn`` metrics dicts if given, else reduced Arrow tables).
+
+    ``pack_cols``: columns shipped through the shuffle as one
+    zstd-compressed IPC blob per slice instead of raw Arrow buffers (see
+    ``_pack_slice``) — for big compressible payloads (text) whose raw bytes
+    would saturate the transport."""
     import ray
 
     keys = list(keys)
@@ -166,10 +210,15 @@ def exchange_grouped(
         tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
         if map_fn is not None:
             tbl = map_fn(tbl, paths) if map_fn_takes_paths else map_fn(tbl)
-        return _split_by_bucket(tbl, keys, B)
+        parts = _split_by_bucket(tbl, keys, B)
+        if pack_cols:
+            parts = [_pack_slice(p, pack_cols) for p in parts]
+        return parts
 
     @ray.remote
     def reduce_task(b: int, *parts: pa.Table):
+        if pack_cols:
+            parts = [_unpack_slice(p) for p in parts]
         parts = [p for p in parts if p.num_rows > 0]
         if not parts:
             out = None

@@ -218,7 +218,7 @@ def backfill_transcripts(
 
     if text_layout is None:
         text_layout = "carried" if carry_text else "none"
-    if text_layout not in ("carried", "none", "sidecar"):
+    if text_layout not in ("carried", "packed", "none", "sidecar"):
         raise ValueError(f"unknown text_layout {text_layout!r}")
     files = _resolve_files(input_path)
     b = num_buckets or default_num_buckets()
@@ -250,7 +250,7 @@ def backfill_transcripts(
         tbl = _derive_turn_columns(tbl)
         if text_layout == "sidecar":
             _write_text_sidecar(tbl, text_dir, paths)
-        if text_layout != "carried":
+        if text_layout not in ("carried", "packed"):
             tbl = tbl.select(narrow_cols)
         return tbl
 
@@ -288,6 +288,10 @@ def backfill_transcripts(
         sink_fn=sink_fn,
         files_per_task=files_per_task,
         skip_buckets=done,
+        # "packed": carried semantics, but text/tool cross the exchange as
+        # one zstd IPC blob per slice — trades cheap CPU for the shared
+        # memory-bus bytes that wall the wide path's 8->32 scaling
+        pack_cols=["text", "tool"] if text_layout == "packed" else None,
     )
     wall = time.perf_counter() - t0
     rows = sum(r["rows"] for r in results)

@@ -258,3 +258,40 @@ def test_backfill_sidecar_text_layout(ray_session, fixture_dir, transcripts_tbl,
     r = backfill_transcripts(inp, out_sc, num_buckets=6, text_layout="sidecar")
     assert r["partitions_written"] == 0
     assert sorted(glob.glob(os.path.join(out_sc, "text", "*.parquet"))) == before
+
+
+def test_backfill_packed_layout_matches_carried(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from feast_ray.fixtures import gen_transcripts
+    from feast_ray.pipelines.backfill import backfill_transcripts
+
+    tbl = gen_transcripts(n_convs=150, mean_turns=25, seed=9)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        part = tbl.slice(i * 1500, 1500)
+        if part.num_rows:
+            pq.write_table(part, src / f"p{i}.parquet")
+
+    outs = {}
+    for layout in ("carried", "packed"):
+        od = tmp_path / f"out_{layout}"
+        backfill_transcripts(
+            str(src), str(od), num_buckets=3, resume=False, text_layout=layout
+        )
+        t = pa.concat_tables(
+            [pq.read_table(p) for p in sorted(glob.glob(str(od) + "/part=*/**/*.parquet", recursive=True))]
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        outs[layout] = t.take(idx)
+    a, b = outs["carried"], outs["packed"]
+    assert a.num_rows == b.num_rows
+    assert sorted(a.column_names) == sorted(b.column_names)
+    assert a.equals(b.select(a.column_names))
