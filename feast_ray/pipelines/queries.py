@@ -2153,3 +2153,110 @@ ORACLE_SQL["join_skew_aware"] = """
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
 """
+
+
+def q_session_day_overlap(sf_dir: str):
+    """Interval-overlap join (``stages.join.overlap_join``): each user
+    session (gap 30m) paired with every UTC day window it touches —
+    session intervals from the sessionize + grouped min/max path, day
+    windows from the daily rollup's distinct (user, day); one co-partitioned
+    shuffle, pairs via two searchsorteds over group-rebased bounds."""
+    from feast_ray.grouped import grouped_aggregate, grouped_map
+    from feast_ray.stages.join import overlap_join
+    from feast_ray.stages.windows import Sessionize, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    sess = add_window_features(
+        ds, key="user_id", ts_col="ts", order_cols=["ts", "event_id"],
+        specs=[Sessionize(SESSION_GAP_US)],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        tus = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "session_id": t["session_id"], "tus": tus}
+        )
+
+    iv = grouped_aggregate(
+        sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "session_id"],
+        {"t0": ("min", "tus"), "t1": ("max", "tus")},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_id": t["session_id"],
+                "s0": t["t0"].cast(pa.int64()),
+                # closed [t0, t1] -> half-open [t0, t1 + 1)
+                "s1": pc.add(t["t1"].cast(pa.int64()), 1),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    DAY = 86_400_000_000
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // DAY)}
+        )
+
+    def first_row(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), firsts),
+                "day": pc.take(t["day"].combine_chunks(), firsts),
+            }
+        )
+
+    days = grouped_map(
+        ds.map_batches(day_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"],
+        first_row,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "d0": pc.multiply(t["day"].combine_chunks(), DAY),
+                "d1": pc.multiply(
+                    pc.add(t["day"].combine_chunks(), 1), DAY
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    out = overlap_join(
+        iv, days, keys=["user_id"], l_start="s0", l_end="s1", r_start="d0", r_end="d1"
+    )
+    return out.select_columns(["user_id", "session_id", "day"])
+
+
+QUERIES["session_day_overlap"] = q_session_day_overlap
+ORACLE_SQL["session_day_overlap"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+                           THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM e),
+    iv AS (SELECT user_id, session_id,
+                  epoch_us(MIN(ts)) AS s0, epoch_us(MAX(ts)) + 1 AS s1
+           FROM s GROUP BY 1, 2),
+    d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+    SELECT iv.user_id, iv.session_id, d.day
+    FROM iv JOIN d ON iv.user_id = d.user_id
+       AND iv.s0 < (d.day + 1) * 86400000000
+       AND d.day * 86400000000 < iv.s1
+"""

@@ -415,3 +415,148 @@ def skew_join(
         left_cold, right_cold, keys=keys, how=how, right_cols=right_cols, num_buckets=num_buckets
     )
     return cold_joined.union(hot_joined)
+
+
+def overlap_join(
+    left,
+    right,
+    *,
+    keys: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    num_buckets: Optional[int] = None,
+):
+    """Interval-overlap join for per-key NON-OVERLAPPING interval sets:
+    emit one row per (left, right) pair of the same key whose HALF-OPEN
+    intervals intersect (``l_start < r_end AND r_start < l_end``) — the
+    session x calendar-window / episode x maintenance-window alignment op
+    (upstream Feast has no interval algebra at all; its closest relative is
+    the validity-window join, ``stages.asof.interval_join``).
+
+    The non-overlap contract (each SIDE's intervals are disjoint within a
+    key — true for sessions, calendar buckets, SCD-2 validity ranges) is
+    what makes this one shuffle + pure index arithmetic: disjoint sorted
+    intervals have sorted ends, so the rights overlapping a left form ONE
+    contiguous run located by two searchsorteds over group-rebased bounds,
+    and the pair fan-out is the same repeat/arange used by ``equi_join``.
+    The contract is VERIFIED per bucket (clear error, not silent wrong
+    answers).  Output = all left columns + all right columns (names must
+    not clash); inner semantics (pairs only).
+    """
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    ls = _dataset_schema(left)
+    rs = _dataset_schema(right)
+    l_cols = [n for n in ls.names if n not in keys]
+    r_cols = [n for n in rs.names if n not in keys]
+    clash = set(l_cols) & set(r_cols)
+    if clash:
+        raise ValueError(f"left/right column names clash: {sorted(clash)}")
+    union_schema = pa.schema(
+        [ls.field(k) for k in keys]
+        + [ls.field(c) for c in l_cols]
+        + [rs.field(c) for c in r_cols]
+        + [pa.field(_SIDE, pa.int8())]
+    )
+
+    def tag(side_val: int, schema_in, own_cols, other_cols, other_schema):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {k: t[k].cast(union_schema.field(k).type) for k in keys}
+            for c in own_cols:
+                cols[c] = t[c].cast(union_schema.field(c).type)
+            for c in other_cols:
+                cols[c] = pa.nulls(n, type=union_schema.field(c).type)
+            cols[_SIDE] = pa.array(np.full(n, side_val, dtype=np.int8))
+            return pa.table({f.name: cols[f.name] for f in union_schema})
+
+        return f
+
+    both = left.map_batches(
+        tag(0, ls, l_cols, r_cols, rs), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            tag(1, rs, r_cols, l_cols, ls), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def to_us(arr):
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_timestamp(a.type):
+            a = a.cast(pa.timestamp("us", tz=a.type.tz))
+        return a.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+
+    out_names = keys + l_cols + r_cols
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        empty = union_schema.empty_table().select(out_names)
+        if t.num_rows == 0:
+            return empty
+        side = t[_SIDE].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        n_groups = len(starts) - 1
+        is_l = side == 0
+        # sorted by (keys, side, start within side) is NOT guaranteed by the
+        # exchange (sort key = side only), so locate and sort each side here
+        lpos = np.flatnonzero(is_l)
+        rpos = np.flatnonzero(~is_l)
+        lsv = to_us(t[l_start])[lpos]
+        lev = to_us(t[l_end])[lpos]
+        rsv = to_us(t[r_start])[rpos]
+        rev = to_us(t[r_end])[rpos]
+        lg = gidx[lpos]
+        rg = gidx[rpos]
+        lo_ = np.lexsort((lsv, lg))
+        ro_ = np.lexsort((rsv, rg))
+        lpos, lsv, lev, lg = lpos[lo_], lsv[lo_], lev[lo_], lg[lo_]
+        rpos, rsv, rev, rg = rpos[ro_], rsv[ro_], rev[ro_], rg[ro_]
+        # verify the per-key non-overlap contract on both sides
+        for nm, sv, ev, gv in (("left", lsv, lev, lg), ("right", rsv, rev, rg)):
+            if len(sv) > 1:
+                same = gv[1:] == gv[:-1]
+                if (same & (sv[1:] < ev[:-1])).any():
+                    raise ValueError(
+                        f"overlap_join: {nm} intervals overlap within a key — "
+                        "the non-overlap contract does not hold for this input"
+                    )
+        if len(lpos) == 0 or len(rpos) == 0:
+            return empty
+        # group-rebase bounds so ONE global searchsorted serves every group
+        r_group_starts = np.searchsorted(rg, np.arange(n_groups))
+        r_group_ends = np.searchsorted(rg, np.arange(n_groups), side="right")
+        base = np.zeros(n_groups, dtype=np.int64)
+        has_r = r_group_ends > r_group_starts
+        base[has_r] = rsv[r_group_starts[np.flatnonzero(has_r)]]
+        span = np.zeros(n_groups, dtype=np.int64)
+        span[has_r] = rev[r_group_ends[np.flatnonzero(has_r)] - 1] - base[has_r]
+        offset = int(span.max()) + 2 if len(span) else 2
+        if n_groups * offset >= 2**62:
+            raise ValueError("interval spans too large for the packed key space")
+        rs_key = rg * offset + np.clip(rsv - base[rg], 0, offset - 1)
+        re_key = rg * offset + np.clip(rev - base[rg], 0, offset - 1)
+        ql = lg * offset + np.clip(lsv - base[lg], 0, offset - 1)
+        qh = lg * offset + np.clip(lev - base[lg], 0, offset - 1)
+        lo = np.searchsorted(re_key, ql, side="right")
+        hi = np.searchsorted(rs_key, qh, side="left")
+        # groups without rights: both bounds land at the same position
+        rep = np.maximum(hi - lo, 0)
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        l_take = np.repeat(lpos, rep)
+        offs = np.repeat(np.cumsum(rep) - rep, rep)
+        within = np.arange(total, dtype=np.int64) - offs
+        r_take = rpos[np.repeat(lo, rep) + within]
+        cols = {}
+        for k in keys:
+            cols[k] = pc.take(t[k].combine_chunks(), pa.array(l_take))
+        for c in l_cols:
+            cols[c] = pc.take(t[c].combine_chunks(), pa.array(l_take))
+        for c in r_cols:
+            cols[c] = pc.take(t[c].combine_chunks(), pa.array(r_take))
+        return pa.table({n: cols[n] for n in out_names})
+
+    return grouped_map(both, keys, kernel, sort_keys=[_SIDE], num_buckets=num_buckets)

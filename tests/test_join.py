@@ -232,3 +232,73 @@ def test_skew_join_no_hot_keys_degenerates_to_equi(ray_session):
         .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def _gen_disjoint_intervals(rng, n_keys, max_per_key, lo, hi):
+    import pandas as pd
+
+    rows = []
+    for k in range(n_keys):
+        cuts = np.sort(rng.choice(np.arange(lo, hi), size=2 * rng.integers(0, max_per_key + 1), replace=False))
+        for i in range(0, len(cuts) - 1, 2):
+            rows.append((k, int(cuts[i]), int(cuts[i + 1])))
+    return pd.DataFrame(rows, columns=["k", "s", "e"])
+
+
+def test_overlap_join_matches_python(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.join import overlap_join
+
+    rng = np.random.default_rng(17)
+    left = _gen_disjoint_intervals(rng, 12, 6, 0, 1000).rename(
+        columns={"s": "ls", "e": "le"}
+    )
+    left["lid"] = np.arange(len(left))
+    right = _gen_disjoint_intervals(rng, 12, 6, 0, 1000).rename(
+        columns={"s": "rs", "e": "re"}
+    )
+    right["rid"] = np.arange(len(right))
+    out = (
+        overlap_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            keys=["k"],
+            l_start="ls",
+            l_end="le",
+            r_start="rs",
+            r_end="re",
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    want = set()
+    for _, l in left.iterrows():
+        for _, r in right.iterrows():
+            if l["k"] == r["k"] and l["ls"] < r["re"] and r["rs"] < l["le"]:
+                want.add((l["lid"], r["rid"]))
+    assert set(zip(out["lid"], out["rid"])) == want
+    assert len(out) == len(want)
+    assert want  # fixture produces overlaps
+
+
+def test_overlap_join_rejects_overlapping_side(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.join import overlap_join
+
+    left = pd.DataFrame({"k": [1, 1], "ls": [0, 5], "le": [10, 15], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1], "rs": [3], "re": [7], "rid": [0]})
+    with pytest.raises(Exception):
+        overlap_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            keys=["k"],
+            l_start="ls",
+            l_end="le",
+            r_start="rs",
+            r_end="re",
+        ).to_pandas()
