@@ -2260,3 +2260,50 @@ ORACLE_SQL["session_day_overlap"] = """
        AND iv.s0 < (d.day + 1) * 86400000000
        AND d.day * 86400000000 < iv.s1
 """
+
+
+def q_diff_snapshots_events(sf_dir: str):
+    """Snapshot diff / CDC (``stages.diff.diff_tables``): old = events
+    minus event_id % 11 == 0; new = events minus event_id % 13 == 0 with
+    value bumped one cent for user_id % 10 == 0.  Emits (event_id, status)
+    for added / removed / changed keys — the materialization-diff shape an
+    incremental feature pipeline validates against."""
+    from feast_ray.stages.diff import diff_tables
+
+    base = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def mk(which):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            if which == "old":
+                sub = t.filter(pa.array(ids % 11 != 0))
+                return sub
+            sub = t.filter(pa.array(ids % 13 != 0))
+            users = sub["user_id"].to_numpy(zero_copy_only=False)
+            bump = (users % 10 == 0).astype(np.float64) * 0.01
+            v = pc.add(sub["value"].combine_chunks(), pa.array(bump))
+            return sub.set_column(sub.schema.get_field_index("value"), "value", v)
+
+        return f
+
+    old = base.map_batches(mk("old"), batch_format="pyarrow", zero_copy_batch=True)
+    new = base.map_batches(mk("new"), batch_format="pyarrow", zero_copy_batch=True)
+    return diff_tables(old, new, keys=["event_id"])
+
+
+QUERIES["diff_snapshots_events"] = q_diff_snapshots_events
+ORACLE_SQL["diff_snapshots_events"] = """
+    WITH old AS (SELECT event_id, user_id, ts, event_type, value
+                 FROM events WHERE event_id % 11 <> 0),
+    new AS (SELECT event_id, user_id, ts, event_type,
+                   value + CASE WHEN user_id % 10 = 0 THEN 0.01 ELSE 0 END AS value
+            FROM events WHERE event_id % 13 <> 0)
+    SELECT COALESCE(old.event_id, new.event_id) AS event_id,
+           CASE WHEN old.event_id IS NULL THEN 'added'
+                WHEN new.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new USING (event_id)
+    WHERE old.event_id IS NULL OR new.event_id IS NULL
+       OR old.value <> new.value OR old.user_id <> new.user_id
+       OR old.ts <> new.ts OR old.event_type <> new.event_type
+"""
