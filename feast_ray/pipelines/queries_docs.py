@@ -915,3 +915,27 @@ ORACLE_SQL_DOCS["mix_corpus_docs"] = """
     FROM h
     WHERE hv % 100 < CASE WHEN lang = 'en' THEN 80 ELSE 30 END
 """
+
+
+REDACT_RE = r"\b(customer|spark)\b"
+
+
+def q_redact_docs(sf_dir: str):
+    """Denylist redaction (corpus scrubbing before training): every
+    whole-word 'customer'/'spark' replaced, per-doc match count — two
+    vectorized RE2 kernels per batch (``stages.text.add_redaction``)."""
+    from feast_ray.stages.text import add_redaction
+
+    out = add_redaction(_docs(sf_dir), pattern=REDACT_RE)
+    return out.select_columns(["doc_id", "text_clean", "n_redacted"])
+
+
+QUERIES_DOCS["redact_docs"] = q_redact_docs
+ORACLE_SQL_DOCS["redact_docs"] = r"""
+    SELECT doc_id,
+           regexp_replace(text, '\b(customer|spark)\b', '[REDACTED]', 'g')
+             AS text_clean,
+           CAST(len(regexp_extract_all(text, '\b(customer|spark)\b'))
+                AS BIGINT) AS n_redacted
+    FROM documents
+"""

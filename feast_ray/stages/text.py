@@ -555,3 +555,36 @@ def add_repetition(ds, *, text_col: str = "text", pattern: str = SPLIT_RE):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def redact_batch(
+    t: pa.Table,
+    *,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    count_col: str = "n_redacted",
+) -> pa.Table:
+    """Denylist scrubbing (the corpus-cleaning stage that strips PII /
+    blocked terms before training): replace every match of ``pattern``
+    (RE2) with ``replacement`` and count the matches per document.  Two
+    vectorized Arrow kernels (count_substring_regex +
+    replace_substring_regex), no Python per row; NULL text stays NULL with
+    count 0."""
+    col = t[text_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = pc.count_substring_regex(arr, pattern).fill_null(0).cast(pa.int64())
+    clean = pc.replace_substring_regex(arr, pattern, replacement)
+    out = t.append_column(out_col, clean)
+    return out.append_column(count_col, n)
+
+
+def add_redaction(ds, *, pattern: str, replacement: str = "[REDACTED]", text_col="text"):
+    return ds.map_batches(
+        lambda t: redact_batch(
+            t, pattern=pattern, replacement=replacement, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

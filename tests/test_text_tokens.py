@@ -98,3 +98,23 @@ def test_repetition_signals_match_counter(corpus):
         assert row["top_tok_cnt"] == (max(c.values()) if c else 0)
         assert row["n_bigrams"] == max(len(toks) - 1, 0)
         assert row["n_distinct_bigrams"] == len(set(bigrams))
+
+
+def test_redaction_matches_python(corpus):
+    from feast_ray.stages.text import add_redaction
+
+    out = (
+        add_redaction(rd.from_pandas(corpus), pattern=r"\b(dog|fox)\b")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        text = corpus["text"].iloc[int(row["doc_id"])]
+        if text is None:
+            assert row["text_clean"] is None and row["n_redacted"] == 0
+            continue
+        want = re.sub(r"\b(dog|fox)\b", "[REDACTED]", text)
+        assert row["text_clean"] == want
+        assert row["n_redacted"] == len(re.findall(r"\b(dog|fox)\b", text))
+    assert out["n_redacted"].sum() > 0
