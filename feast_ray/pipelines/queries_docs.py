@@ -939,3 +939,116 @@ ORACLE_SQL_DOCS["redact_docs"] = r"""
                 AS BIGINT) AS n_redacted
     FROM documents
 """
+
+
+def q_curate_corpus_docs(sf_dir: str):
+    """END-TO-END corpus curation policy — the full LLM data-cleaning
+    pipeline as ONE composed query: every doc gets its fate and the FIRST
+    reason in precedence order
+    eval-split > lang filter > quality floor > repetition filter >
+    decontamination > near-dup keep-best > kept.
+    Composition of six engine operators (language ID, quality scoring,
+    repetition signals, shingle decontamination, Jaccard clusters + grouped
+    argmax, equi-joins); every threshold compares values that are bit-exact
+    vs the SQL twin, so the verdict column is hash-checkable."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.text import add_repetition
+
+    lang = add_lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
+    quality = add_text_quality(_docs(sf_dir)).select_columns(
+        ["doc_id", "quality_score"]
+    )
+    rep = add_repetition(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_bigrams", "n_distinct_bigrams"]
+    )
+    cont = q_decontam_docs(sf_dir)
+    kb = q_dedup_keep_best_docs(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "kept_dup": t["kept"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    j = equi_join(lang, quality, keys=["doc_id"], how="inner")
+    j = equi_join(j, rep, keys=["doc_id"], how="inner")
+    j = equi_join(j, cont, keys=["doc_id"], how="left")
+    j = equi_join(j, kb, keys=["doc_id"], how="inner")
+
+    def verdict(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lang_p = t["lang_pred"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = t["quality_score"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = t["n_bigrams"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = t["n_distinct_bigrams"].combine_chunks().to_numpy(zero_copy_only=False)
+        shared = (
+            t["n_shared"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        )
+        kept_dup = t["kept_dup"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        reason = np.full(n, "kept", dtype=object)
+        # precedence: later assignments must not overwrite earlier ones,
+        # so walk the rules back to front
+        reason[~kept_dup] = "duplicate"
+        reason[shared > 0] = "contaminated"
+        reason[10 * (nb - nd) > nb] = "repetition"
+        reason[q < 0.55] = "quality"
+        reason[lang_p != "en"] = "lang"
+        reason[ids % 20 == 0] = "eval"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "reason": pa.array(list(reason), type=pa.string()),
+                "kept": pa.array(reason == "kept"),
+            }
+        )
+
+    return j.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["curate_corpus_docs"] = q_curate_corpus_docs
+
+
+def _curate_sql() -> str:
+    lang_sub = _lang_sql()
+    qual_cte = _quality_cte()
+    decontam_sub = ORACLE_SQL_DOCS["decontam_docs"]
+    kb_sub = ORACLE_SQL_DOCS["dedup_keep_best_docs"]
+    return f"""
+    WITH lang AS (SELECT doc_id, lang_pred FROM ({lang_sub}) t),
+    qx AS (SELECT doc_id, quality_score FROM (WITH {qual_cte}
+           SELECT doc_id, quality_score FROM qual) t),
+    rep AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(l) - 1, 0) AS BIGINT) AS nb,
+             CAST(len(list_distinct(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1]))) AS BIGINT) AS nd
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS l
+            FROM documents) t),
+    cont AS (SELECT doc_id FROM ({decontam_sub}) t WHERE n_shared > 0),
+    kb AS (SELECT doc_id, kept FROM ({kb_sub}) t)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 20 = 0 THEN 'eval'
+                WHEN lang.lang_pred <> 'en' THEN 'lang'
+                WHEN qx.quality_score < 0.55 THEN 'quality'
+                WHEN 10 * (rep.nb - rep.nd) > rep.nb THEN 'repetition'
+                WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN NOT kb.kept THEN 'duplicate'
+                ELSE 'kept' END AS reason,
+           CASE WHEN d.doc_id % 20 = 0 THEN FALSE
+                WHEN lang.lang_pred <> 'en' THEN FALSE
+                WHEN qx.quality_score < 0.55 THEN FALSE
+                WHEN 10 * (rep.nb - rep.nd) > rep.nb THEN FALSE
+                WHEN cont.doc_id IS NOT NULL THEN FALSE
+                WHEN NOT kb.kept THEN FALSE
+                ELSE TRUE END AS kept
+    FROM documents d
+    JOIN lang USING (doc_id)
+    JOIN qx USING (doc_id)
+    JOIN rep USING (doc_id)
+    LEFT JOIN cont USING (doc_id)
+    JOIN kb USING (doc_id)
+"""
+
+
+ORACLE_SQL_DOCS["curate_corpus_docs"] = _curate_sql()
