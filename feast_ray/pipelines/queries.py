@@ -2307,3 +2307,43 @@ ORACLE_SQL["diff_snapshots_events"] = """
        OR old.value <> new.value OR old.user_id <> new.user_id
        OR old.ts <> new.ts OR old.event_type <> new.event_type
 """
+
+
+def q_melt_user_profile(sf_dir: str):
+    """Unpivot (wide -> long, the inverse of the pivot operator): the
+    per-user behavior profile melted back to (user_id, event_type, n) rows
+    (``stages.stats.melt``) — SQL UNPIVOT via stacked UNION ALL."""
+    from feast_ray.stages.stats import melt, pivot_counts
+
+    wide = pivot_counts(
+        _events(sf_dir, ["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+    return melt(
+        wide,
+        ["user_id"],
+        ["n_click", "n_error", "n_purchase", "n_signup", "n_view"],
+        var_col="metric",
+        value_col="n",
+        value_type=pa.int64(),
+    )
+
+
+QUERIES["melt_user_profile"] = q_melt_user_profile
+ORACLE_SQL["melt_user_profile"] = """
+    WITH w AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+      FROM events GROUP BY user_id)
+    SELECT user_id, 'n_click' AS metric, n_click AS n FROM w
+    UNION ALL SELECT user_id, 'n_error', n_error FROM w
+    UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM w
+    UNION ALL SELECT user_id, 'n_signup', n_signup FROM w
+    UNION ALL SELECT user_id, 'n_view', n_view FROM w
+"""

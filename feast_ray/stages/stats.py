@@ -552,3 +552,48 @@ def add_group_minmax_scale(
         return t.append_column(out_col, pa.array(s, mask=span == 0))
 
     return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
+
+
+def melt(
+    ds,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    var_col: str = "variable",
+    value_col: str = "value",
+    value_type: Optional[pa.DataType] = None,
+):
+    """Unpivot wide columns to long rows (the inverse of
+    :func:`pivot_counts`; SQL ``UNPIVOT`` / stacked ``UNION ALL``): each
+    input row yields one output row per entry of ``value_cols``.
+    Embarrassingly parallel — one vectorized take/tile per batch, k-fold
+    row expansion, no shuffle."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(value_cols)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        cols = {c: pc.take(t[c].combine_chunks(), idx) for c in id_cols}
+        cols[var_col] = pa.array(
+            np.tile(np.asarray(value_cols, dtype=object), n), type=pa.string()
+        )
+        vals = []
+        for c in value_cols:
+            v = t[c].combine_chunks()
+            if value_type is not None:
+                v = v.cast(value_type)
+            vals.append(v if isinstance(v, pa.Array) else v.combine_chunks())
+        # stacked is column-major ([all of col0, all of col1, ...]); one
+        # strided take interleaves it row-major (k is a small constant)
+        stacked = pa.concat_arrays(vals)
+        take_idx = np.empty(n * k, dtype=np.int64)
+        for j in range(k):
+            take_idx[j::k] = np.arange(n, dtype=np.int64) + j * n
+        cols[value_col] = pc.take(stacked, pa.array(take_idx))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -358,3 +358,29 @@ def test_minmax_scale_matches_numpy(ev):
     assert np.isnan(got[const]).all() if const.any() else True
     ok = ~const
     assert (got[ok] == w[ok]).all()
+
+
+def test_melt_matches_pandas(ev):
+    from feast_ray.stages.stats import melt, pivot_counts
+
+    wide = pivot_counts(rd.from_pandas(ev), ["k"], "cat", ["a", "b", "c", "zz"])
+    out = (
+        melt(wide, ["k"], ["n_a", "n_b", "n_c", "n_zz"], var_col="m", value_col="n")
+        .to_pandas()
+        .sort_values(["k", "m"])
+        .reset_index(drop=True)
+    )
+    wide_pd = (
+        ev.groupby(["k", "cat"]).size().unstack(fill_value=0)
+        .reindex(columns=["a", "b", "c", "zz"], fill_value=0)
+        .rename(columns=lambda c: f"n_{c}")
+        .reset_index()
+    )
+    want = (
+        wide_pd.melt(id_vars="k", var_name="m", value_name="n")
+        .sort_values(["k", "m"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    for c in ["k", "m", "n"]:
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
