@@ -72,3 +72,11 @@ def test_diff_identical_snapshots_empty(ray_session):
     df = pd.DataFrame({"id": [1, 2, 3], "v": [4, 5, 6]})
     out = diff_tables(rd.from_pandas(df), rd.from_pandas(df), keys=["id"]).to_pandas()
     assert len(out) == 0
+
+
+def test_diff_nan_floats_are_unchanged(ray_session):
+    old = pd.DataFrame({"id": [1, 2, 3], "v": [np.nan, 2.0, np.nan]})
+    new = pd.DataFrame({"id": [1, 2, 3], "v": [np.nan, 2.5, 7.0]})
+    out = diff_tables(rd.from_pandas(old), rd.from_pandas(new), keys=["id"]).to_pandas()
+    # NaN == NaN counts as unchanged; NaN -> value and value changes emit
+    assert dict(zip(out["id"], out["status"])) == {2: "changed", 3: "changed"}

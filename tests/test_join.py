@@ -302,3 +302,18 @@ def test_overlap_join_rejects_overlapping_side(ray_session):
             r_start="rs",
             r_end="re",
         ).to_pandas()
+
+
+def test_overlap_join_touching_intervals_do_not_match(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.join import overlap_join
+
+    left = pd.DataFrame({"k": [1, 1], "ls": [0, 20], "le": [10, 30], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1], "rs": [10], "re": [20], "rid": [0]})  # touches both
+    out = overlap_join(
+        rd.from_pandas(left), rd.from_pandas(right), keys=["k"],
+        l_start="ls", l_end="le", r_start="rs", r_end="re",
+    ).to_pandas()
+    assert len(out) == 0  # half-open: [0,10) vs [10,20) and [20,30) never overlap

@@ -384,3 +384,31 @@ def test_melt_matches_pandas(ev):
     assert len(out) == len(want)
     for c in ["k", "m", "n"]:
         assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_approx_quantile_clamps_out_of_range(ray_session):
+    from feast_ray.stages.stats import approx_group_quantile
+
+    df = pd.DataFrame(
+        {
+            "k": [1] * 6 + [2] * 3,
+            "c": [-999, 0, 50, 99, 100, 10_000, 42, 42, 42],  # out-of-range both sides
+        }
+    )
+    out = (
+        approx_group_quantile(
+            rd.from_pandas(df), "k", "c", {"p50": 0.5, "p100": 1.0},
+            lo=0, hi=100, n_bins=10,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    width = 10
+    for _, row in out.iterrows():
+        vals = df.loc[df["k"] == row["k"], "c"].to_numpy()
+        floored = 0 + np.clip((vals - 0) * 10 // 100, 0, 9) * width
+        assert row["p50"] == _disc(floored, 0.5)
+        assert row["p100"] == _disc(floored, 1.0)
+    # constant group maps to its single bin
+    assert out.loc[out["k"] == 2, "p50"].iloc[0] == 40
