@@ -2347,3 +2347,36 @@ ORACLE_SQL["melt_user_profile"] = """
     UNION ALL SELECT user_id, 'n_signup', n_signup FROM w
     UNION ALL SELECT user_id, 'n_view', n_view FROM w
 """
+
+
+def q_ewma_value_events(sf_dir: str):
+    """Per-user EWMA of the event value in (ts, event_id) order
+    (``stages.stats.add_group_ewma``, alpha=0.25 — time-decay feature):
+    rank-walk kernel, bit-exact vs a recursive-CTE twin because alpha is
+    dyadic and the float schedule matches the SQL expression order."""
+    from feast_ray.stages.stats import add_group_ewma
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = add_group_ewma(
+        ds, "user_id", "value", alpha=0.25,
+        order_cols=["ts", "event_id"], out_col="ewma_value",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "ewma_value"])
+
+
+QUERIES["ewma_value_events"] = q_ewma_value_events
+ORACLE_SQL["ewma_value_events"] = """
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS r
+      FROM events),
+    rec AS (
+      SELECT user_id, event_id, ts, r, value AS ewma_value FROM o WHERE r = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.r,
+             CAST(0.25 AS DOUBLE) * o.value
+               + CAST(0.75 AS DOUBLE) * rec.ewma_value
+      FROM o JOIN rec ON o.user_id = rec.user_id AND o.r = rec.r + 1)
+    SELECT user_id, event_id, ts, ewma_value FROM rec
+"""

@@ -412,3 +412,42 @@ def test_approx_quantile_clamps_out_of_range(ray_session):
         assert row["p100"] == _disc(floored, 1.0)
     # constant group maps to its single bin
     assert out.loc[out["k"] == 2, "p50"].iloc[0] == 40
+
+
+def test_group_ewma_matches_pandas_ewm(ev):
+    from feast_ray.stages.stats import add_group_ewma
+
+    rng = np.random.default_rng(11)
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    df["x"] = rng.normal(0, 100, len(df))
+    out = (
+        add_group_ewma(
+            rd.from_pandas(df), "k", "x", alpha=0.25,
+            order_cols=["c", "rid"], out_col="y",
+        )
+        .to_pandas()
+        .sort_values(["k", "c", "rid"])
+        .reset_index(drop=True)
+    )
+    ordered = df.sort_values(["k", "c", "rid"]).reset_index(drop=True)
+    want = (
+        ordered.groupby("k")["x"].transform(lambda s: s.ewm(alpha=0.25, adjust=False).mean())
+    ).to_numpy()
+    assert (out["rid"].to_numpy() == ordered["rid"].to_numpy()).all()
+    np.testing.assert_allclose(out["y"].to_numpy(), want, rtol=1e-12)
+
+
+def test_group_ewma_rejects_nulls_and_bad_alpha(ev):
+    from feast_ray.stages.stats import add_group_ewma
+
+    df = ev.head(50).copy()
+    df["x"] = np.where(df["c"] % 7 == 0, np.nan, 1.0)
+    df["x"] = df["x"].astype(object).where(df["x"].notna(), None)
+    with pytest.raises(Exception, match="nulls"):
+        add_group_ewma(
+            rd.from_pandas(df.assign(x=pd.array(df["x"], dtype="Float64"))),
+            "k", "x", alpha=0.25, order_cols=["c"],
+        ).materialize()
+    with pytest.raises(ValueError, match="alpha"):
+        add_group_ewma(rd.from_pandas(df[["k", "c"]].assign(x=1.0)), "k", "x",
+                       alpha=0.0, order_cols=["c"])
