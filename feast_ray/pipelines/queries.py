@@ -2380,3 +2380,47 @@ ORACLE_SQL["ewma_value_events"] = """
       FROM o JOIN rec ON o.user_id = rec.user_id AND o.r = rec.r + 1)
     SELECT user_id, event_id, ts, ewma_value FROM rec
 """
+
+
+def q_asof_nearest_purchase(sf_dir: str):
+    """Nearest-direction as-of join (sensor/label alignment): for every
+    click, the purchase by the same user CLOSEST in time within +/-3 days
+    (``stages.asof.asof_join_nearest``) — fused prev/next scan in the one
+    backward-join exchange; equal distance breaks backward, equal-ts ties
+    break by event_id per direction rule."""
+    from feast_ray.stages.asof import asof_join_nearest
+
+    clicks = _typed_events(sf_dir, "click", ["user_id", "event_id", "ts"])
+    purchases = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts", "value"])
+    purchases = purchases.map_batches(
+        lambda t: t.rename_columns(["user_id", "p_event_id", "ts", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return asof_join_nearest(
+        clicks,
+        purchases,
+        key="user_id",
+        tie_col="p_event_id",
+        tolerance_us=3 * 24 * 3600 * 1_000_000,
+        feature_cols=["value"],
+        prefix="near",
+        matched_ts_name="near_ts",
+    )
+
+
+QUERIES["asof_nearest_purchase"] = q_asof_nearest_purchase
+ORACLE_SQL["asof_nearest_purchase"] = """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, c.ts, n.near__value, n.near_ts
+    FROM c LEFT JOIN LATERAL (
+      SELECT p.value AS near__value, p.ts AS near_ts
+      FROM p
+      WHERE p.user_id = c.user_id
+        AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 259200000000
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+               (p.ts > c.ts),
+               CASE WHEN p.ts <= c.ts THEN -p.event_id ELSE p.event_id END
+      LIMIT 1) n ON TRUE
+"""

@@ -828,3 +828,138 @@ def asof_join_forward(
         return pa.table(cols)
 
     return joined.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nearest_kernel_factory(
+    spine_names: list[str],
+    out_names: list[str],
+    tolerance_us: Optional[int],
+    matched_ts_name: Optional[str],
+    matched_ts_type: Optional[pa.DataType],
+):
+    """Fused prev/next as-of resolution over one sorted union bucket.
+
+    Backward candidate = running max of feature positions (exactly the
+    backward kernel's scan); forward candidate = running MIN over the
+    reversed position array.  Per spine row the nearer candidate wins;
+    equal distance breaks backward (the point-in-time-safe side).  Both
+    scans share the single exchange — nearest costs the same shuffle as
+    backward alone.
+    """
+
+    def kernel(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        side = tbl[_SIDE].combine_chunks().to_numpy(zero_copy_only=False)
+        t = tbl[_T].combine_chunks().to_numpy(zero_copy_only=False)
+        ar = np.arange(n, dtype=np.int64)
+        gidx = starts_to_group_index(starts)
+        spi = np.flatnonzero(side == 1)
+        if n:
+            prev_feat = np.maximum.accumulate(np.where(side == 0, ar, -1))
+            nxt_feat = np.minimum.accumulate(np.where(side == 0, ar, n)[::-1])[::-1]
+            jp, jn = prev_feat[spi], nxt_feat[spi]
+        else:
+            jp = jn = spi
+        safe_p, safe_n = np.maximum(jp, 0), np.minimum(jn, max(n - 1, 0))
+        vp = (jp >= 0) & (gidx[safe_p] == gidx[spi])
+        vn = (jn < n) & (gidx[safe_n] == gidx[spi])
+        dp = np.where(vp, t[spi] - t[safe_p], np.iinfo(np.int64).max)
+        dn = np.where(vn, t[safe_n] - t[spi], np.iinfo(np.int64).max)
+        if tolerance_us is not None:
+            vp &= dp <= tolerance_us
+            vn &= dn <= tolerance_us
+            dp = np.where(vp, dp, np.iinfo(np.int64).max)
+            dn = np.where(vn, dn, np.iinfo(np.int64).max)
+        use_p = vp & (dp <= dn)  # ties break backward
+        j = np.where(use_p, safe_p, safe_n)
+        valid = use_p | vn
+        feat_idx = pa.array(j, type=pa.int64(), mask=~valid)
+
+        out_cols: dict[str, pa.Array] = {}
+        spi_arr = pa.array(spi, type=pa.int64())
+        for name in spine_names:
+            out_cols[name] = pc.take(tbl[name].combine_chunks(), spi_arr)
+        for name in out_names:
+            out_cols[name] = pc.take(tbl[name].combine_chunks(), feat_idx)
+        if matched_ts_name is not None:
+            m = pc.take(tbl[_T].combine_chunks(), feat_idx)
+            out_cols[matched_ts_name] = m.cast(matched_ts_type)
+        return pa.table(out_cols)
+
+    return kernel
+
+
+def asof_join_nearest(
+    spine,
+    features,
+    *,
+    key: str | Sequence[str],
+    spine_ts: str = "ts",
+    feat_ts: str = "ts",
+    tie_col: Optional[str] = None,
+    tolerance_us: Optional[int] = None,
+    feature_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    matched_ts_name: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Nearest-direction as-of LEFT join (pandas ``merge_asof
+    direction='nearest'``): for each spine row at time ``t``, the feature
+    row minimizing ``|feat_ts - t|`` within ``tolerance_us`` (miss =>
+    NULLs).  Sensor/label alignment where the closest reading matters more
+    than causality — the third direction Feast never defines (backward is
+    upstream ``dask.py::evaluate_historical_retrieval``; forward is
+    :func:`asof_join_forward`).
+
+    Tie rules (all deterministic when ``tie_col`` is a unique id):
+    equal distance both sides => BACKWARD (the temporally safe row); equal
+    ``feat_ts`` behind => largest ``tie_col``; equal ahead => smallest —
+    exactly the backward and forward joins' own rules, so a SQL twin spells
+    it ``ORDER BY dist, (feat_ts > t), CASE backward THEN -tie ELSE tie``.
+
+    One grouped exchange, same union tagging as :func:`asof_join`; the
+    kernel adds only a reversed running-min scan on top of the backward
+    kernel's running max.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    spine_schema = pa.schema(
+        [f for f in _dataset_schema(spine) if not f.name.startswith("__")]
+    )
+    feat_schema = _dataset_schema(features)
+    if feature_cols is None:
+        skip = set(keys) | {feat_ts}
+        if tie_col:
+            skip.add(tie_col)
+        feature_cols = [n for n in feat_schema.names if n not in skip]
+    feature_cols = list(feature_cols)
+    out_names = [f"{prefix}__{c}" if prefix else c for c in feature_cols]
+    clash = set(out_names) & set(spine_schema.names)
+    if matched_ts_name is not None:
+        clash |= {matched_ts_name} & (set(spine_schema.names) | set(out_names))
+    if clash:
+        raise ValueError(f"output columns clash with spine columns: {clash}; use prefix=")
+
+    union_schema, prep_spine, prep_feat = _prepare_sides(
+        spine_schema, feature_cols, out_names, keys, spine_ts, feat_ts, tie_col, feat_schema
+    )
+    left = spine.map_batches(prep_spine, batch_format="pyarrow", zero_copy_batch=True)
+    right = features.map_batches(prep_feat, batch_format="pyarrow", zero_copy_batch=True)
+    both = left.union(right)
+
+    mt_type = None
+    if matched_ts_name is not None:
+        mt_type = feat_schema.field(feat_ts).type
+        if not pa.types.is_timestamp(mt_type):
+            mt_type = pa.int64()
+        else:
+            mt_type = pa.timestamp("us", tz=mt_type.tz)
+    kernel = nearest_kernel_factory(
+        list(spine_schema.names), out_names, tolerance_us, matched_ts_name, mt_type
+    )
+    return grouped_map(
+        both,
+        keys,
+        kernel,
+        sort_keys=[_T, _SIDE, _CTS],
+        num_buckets=num_buckets,
+    )

@@ -405,3 +405,66 @@ def test_asof_forward_matches_pandas(ray_session):
         out["m_ts"].astype("datetime64[us]").fillna(pd.Timestamp(0)).to_numpy()
         == pd.Series(want_m).astype("datetime64[us]").fillna(pd.Timestamp(0)).to_numpy()
     ).all()
+
+
+def test_asof_nearest_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    n_s, n_f = 700, 500
+    spine = pd.DataFrame(
+        {
+            "k": rng.integers(0, 13, n_s),
+            "ts": rng.integers(0, 80_000, n_s).astype("datetime64[us]"),
+            "sid": np.arange(n_s),
+        }
+    )
+    feats = pd.DataFrame(
+        {
+            "k": rng.integers(0, 13, n_f),
+            "ts": rng.integers(0, 80_000, n_f).astype("datetime64[us]"),
+            "fid": np.arange(n_f),
+            "x": rng.normal(size=n_f),
+        }
+    )
+    from feast_ray.stages.asof import asof_join_nearest
+
+    tol = 90
+    out = (
+        asof_join_nearest(
+            rd.from_pandas(spine),
+            rd.from_pandas(feats),
+            key="k",
+            tie_col="fid",
+            tolerance_us=tol,
+            feature_cols=["x"],
+            matched_ts_name="m_ts",
+        )
+        .to_pandas()
+        .sort_values("sid")
+        .reset_index(drop=True)
+    )
+    # brute-force oracle of the documented rule: min |dt| within tol;
+    # equal distance -> backward; equal ts behind -> max fid; ahead -> min fid
+    want_x = []
+    for _, row in spine.sort_values("sid").iterrows():
+        cand = feats[feats["k"] == row["k"]].copy()
+        cand["dt"] = (cand["ts"] - row["ts"]).dt.total_seconds() * 1e6
+        cand = cand[cand["dt"].abs() <= tol]
+        if len(cand):
+            cand = cand.assign(
+                adist=cand["dt"].abs(),
+                ahead=cand["dt"] > 0,
+                tie=np.where(cand["dt"] <= 0, -cand["fid"], cand["fid"]),
+            ).sort_values(["adist", "ahead", "tie"])
+            want_x.append(cand.iloc[0]["x"])
+        else:
+            want_x.append(np.nan)
+    got_x = out["x"].to_numpy()
+    wx = np.array(want_x)
+    assert len(out) == n_s
+    assert ((np.isnan(got_x) & np.isnan(wx)) | (got_x == wx)).all()
+    # some hits and some misses exercised
+    assert np.isnan(got_x).any() and (~np.isnan(got_x)).any()
