@@ -2424,3 +2424,43 @@ ORACLE_SQL["asof_nearest_purchase"] = """
                CASE WHEN p.ts <= c.ts THEN -p.event_id ELSE p.event_id END
       LIMIT 1) n ON TRUE
 """
+
+
+def q_conversion_window_events(sf_dir: str):
+    """Conversion-window aggregate (``stages.asof.range_agg_forward``): for
+    every click, the count and exact cents sum of purchases by the same
+    user within the next 7 days, half-open (t, t+7d] — no pair fan-out,
+    one exchange, searchsorted upper bound + prefix-sum gathers."""
+    from feast_ray.stages.asof import range_agg_forward
+
+    clicks = _typed_events(sf_dir, "click", ["user_id", "event_id", "ts"])
+    purchases = _typed_events(sf_dir, "purchase", ["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"], "cents": c})
+
+    purchases = purchases.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return range_agg_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        window_us=7 * 24 * 3600 * 1_000_000,
+        val_col="cents",
+        count_name="n_purch_7d",
+        sum_name="cents_purch_7d",
+    )
+
+
+QUERIES["conversion_window_events"] = q_conversion_window_events
+ORACLE_SQL["conversion_window_events"] = """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, c.ts,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_purch_7d,
+           CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS cents_purch_7d
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+    GROUP BY c.user_id, c.event_id, c.ts
+"""

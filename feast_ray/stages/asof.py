@@ -963,3 +963,148 @@ def asof_join_nearest(
         sort_keys=[_T, _SIDE, _CTS],
         num_buckets=num_buckets,
     )
+
+
+def range_agg_forward(
+    spine,
+    events,
+    *,
+    key: str | Sequence[str],
+    window_us: int,
+    spine_ts: str = "ts",
+    event_ts: str = "ts",
+    val_col: Optional[str] = None,
+    count_name: str = "n_window",
+    sum_name: str = "sum_window",
+    num_buckets: Optional[int] = None,
+):
+    """Forward conversion-window aggregate: for every spine row at time
+    ``t``, the COUNT (and exact int64 SUM of ``val_col``) of event rows in
+    the half-open window ``(t, t + window_us]`` for the same key — the
+    attribution / conversion-rate primitive ("purchases within 7 days of
+    each click") that SQL spells as a LEFT JOIN on a time-range predicate
+    plus GROUP BY, re-expressed without the O(matches) fan-out.
+
+    One grouped exchange of the union-tagged sides (events sort before
+    spine rows at equal ts, so ts == t is excluded and ts == t+window is
+    included).  Kernel: cumulative event count by sorted position gives the
+    lower bound for free; the upper bound is ONE global searchsorted over
+    group-rebased packed event timestamps (same packing as
+    ``join.overlap_join``); sums are two gathers of a zero-led prefix sum.
+    NULL ``val_col`` rows count toward the count but add 0 to the sum (SQL
+    SUM-ignores-NULL + COALESCE 0).  ``val_col`` must be integer (fixed
+    point) so sums are exact and order-independent.
+
+    Scale: counts/sums cross the exchange as the rows themselves; output is
+    one row per spine row — no pair materialization, immune to hot keys
+    with huge windows (cost stays O(rows log rows) per bucket).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
+    spine_schema = pa.schema(
+        [f for f in _dataset_schema(spine) if not f.name.startswith("__")]
+    )
+    out_new = {count_name} | ({sum_name} if val_col else set())
+    clash = out_new & set(spine_schema.names)
+    if clash:
+        raise ValueError(f"output columns clash with spine columns: {clash}")
+    VAL = "__ra_val"
+    union_fields = list(spine_schema) + [
+        pa.field(_SIDE, pa.int8()),
+        pa.field(_T, pa.int64()),
+        pa.field(VAL, pa.int64()),
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def prep_spine(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {name: tbl[name] for name in spine_schema.names}
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        cols[_T] = _ts_to_us(tbl[spine_ts])
+        cols[VAL] = pa.nulls(n, type=pa.int64())
+        return pa.table({f.name: cols[f.name].cast(f.type) for f in union_schema})
+
+    def prep_event(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {}
+        for f in spine_schema:
+            cols[f.name] = tbl[f.name] if f.name in keys else pa.nulls(n, type=f.type)
+        cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[_T] = _ts_to_us(tbl[event_ts])
+        if val_col is not None:
+            v = tbl[val_col]
+            if not pa.types.is_integer(v.type):
+                raise ValueError("val_col must be an integer (fixed-point) column")
+            cols[VAL] = pc.fill_null(v.cast(pa.int64()), 0)
+        else:
+            cols[VAL] = pa.nulls(n, type=pa.int64())
+        return pa.table({f.name: cols[f.name].cast(f.type) for f in union_schema})
+
+    left = spine.map_batches(prep_spine, batch_format="pyarrow", zero_copy_batch=True)
+    right = events.map_batches(prep_event, batch_format="pyarrow", zero_copy_batch=True)
+    both = left.union(right)
+
+    spine_names = list(spine_schema.names)
+    with_sum = val_col is not None
+    W = int(window_us)
+
+    def kernel(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        out_schema = [(nm, union_schema.field(nm).type) for nm in spine_names]
+        if n == 0:
+            cols = {nm: pa.array([], type=tp) for nm, tp in out_schema}
+            cols[count_name] = pa.array([], type=pa.int64())
+            if with_sum:
+                cols[sum_name] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        side = tbl[_SIDE].combine_chunks().to_numpy(zero_copy_only=False)
+        t = tbl[_T].combine_chunks().to_numpy(zero_copy_only=False)
+        gidx = starts_to_group_index(starts)
+        is_ev = side == 0
+        cf = np.cumsum(is_ev)  # events at sorted position <= i (global)
+        spi = np.flatnonzero(side == 1)
+        evi = np.flatnonzero(is_ev)
+        n_groups = len(starts) - 1
+        if len(evi):
+            ets, eg = t[evi], gidx[evi]
+            # rebase each group's event ts into a disjoint packed range
+            g_start = np.searchsorted(eg, np.arange(n_groups))
+            g_end = np.searchsorted(eg, np.arange(n_groups), side="right")
+            has = g_end > g_start
+            base = np.zeros(n_groups, dtype=np.int64)
+            base[has] = ets[g_start[np.flatnonzero(has)]]
+            span = np.zeros(n_groups, dtype=np.int64)
+            span[has] = ets[g_end[np.flatnonzero(has)] - 1] - base[has]
+            offset = int(span.max()) + 2
+            if n_groups * offset >= 2**62:
+                raise ValueError("timestamp spans too large for the packed key space")
+            packed = eg * offset + (ets - base[eg])
+            qg = gidx[spi]
+            # lower clip is -1: a window ending BEFORE the group's first
+            # event must land at the group's event start (q = g*offset - 1
+            # still sorts after every group g-1 key since span <= offset-2)
+            q = qg * offset + np.clip(t[spi] + W - base[qg], -1, offset - 1)
+            hi = np.searchsorted(packed, q, side="right")  # events <= t+W, global
+            lo = cf[spi]  # events <= t (same-ts events sort before spine)
+            cnt = hi - lo
+            if with_sum:
+                vals = (
+                    tbl[VAL].combine_chunks().to_numpy(zero_copy_only=False)[evi]
+                ).astype(np.int64)
+                P = np.concatenate(([0], np.cumsum(vals)))
+                sm = P[hi] - P[lo]
+        else:
+            cnt = np.zeros(len(spi), dtype=np.int64)
+            sm = np.zeros(len(spi), dtype=np.int64)
+
+        out_cols: dict[str, pa.Array] = {}
+        spi_arr = pa.array(spi, type=pa.int64())
+        for nm in spine_names:
+            out_cols[nm] = pc.take(tbl[nm].combine_chunks(), spi_arr)
+        out_cols[count_name] = pa.array(cnt.astype(np.int64))
+        if with_sum:
+            out_cols[sum_name] = pa.array(np.asarray(sm, dtype=np.int64))
+        return pa.table(out_cols)
+
+    return grouped_map(both, keys, kernel, sort_keys=[_T, _SIDE], num_buckets=num_buckets)

@@ -468,3 +468,63 @@ def test_asof_nearest_matches_bruteforce(ray_session):
     assert ((np.isnan(got_x) & np.isnan(wx)) | (got_x == wx)).all()
     # some hits and some misses exercised
     assert np.isnan(got_x).any() and (~np.isnan(got_x)).any()
+
+
+def test_range_agg_forward_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.asof import range_agg_forward
+
+    rng = np.random.default_rng(44)
+    n_s, n_e = 600, 800
+    spine = pd.DataFrame(
+        {
+            "k": rng.integers(0, 11, n_s),
+            "ts": rng.integers(0, 50_000, n_s).astype("datetime64[us]"),
+            "sid": np.arange(n_s),
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "k": rng.integers(0, 11, n_e),
+            "ts": rng.integers(0, 50_000, n_e).astype("datetime64[us]"),
+            "v": rng.integers(-50, 50, n_e),
+        }
+    )
+    # nulls in the value column: count, but add 0
+    ev["v"] = ev["v"].astype("Int64")
+    ev.loc[ev.index % 9 == 0, "v"] = pd.NA
+    # one key whose spine rows all precede its events (exercises the
+    # window-before-first-event lower clip)
+    spine.loc[spine["k"] == 3, "ts"] = np.datetime64(0, "us")
+    ev.loc[ev["k"] == 3, "ts"] = np.datetime64(40_000, "us")
+
+    W = 4_000
+    out = (
+        range_agg_forward(
+            rd.from_pandas(spine),
+            rd.from_pandas(ev),
+            key="k",
+            window_us=W,
+            val_col="v",
+            count_name="n_w",
+            sum_name="s_w",
+        )
+        .to_pandas()
+        .sort_values("sid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n_s
+    for _, row in spine.iterrows():
+        m = ev[
+            (ev["k"] == row["k"])
+            & (ev["ts"] > row["ts"])
+            & (ev["ts"] <= row["ts"] + pd.Timedelta(microseconds=W))
+        ]
+        got = out[out["sid"] == row["sid"]].iloc[0]
+        assert got["n_w"] == len(m), (row["sid"], got["n_w"], len(m))
+        assert got["s_w"] == int(m["v"].fillna(0).sum()), row["sid"]
+    # the clipped key produced all-zero windows
+    assert (out[out["k"] == 3]["n_w"] == 0).all()
