@@ -2464,3 +2464,35 @@ ORACLE_SQL["conversion_window_events"] = """
       ON p.user_id = c.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
     GROUP BY c.user_id, c.event_id, c.ts
 """
+
+
+def q_rollup_type_user(sf_dir: str):
+    """ROLLUP aggregate (``stages.stats.rollup_agg``): event count + exact
+    cents sum at (event_type, user_id), (event_type) and grand-total
+    levels, rolled key columns NULL — input scanned once, coarser levels
+    cascade from the finest aggregate."""
+    from feast_ray.stages.stats import rollup_agg
+
+    ds = _events(sf_dir, ["event_type", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_type": t["event_type"], "user_id": t["user_id"], "cents": c}
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return rollup_agg(
+        ds, ["event_type", "user_id"], "cents",
+        count_name="n_events", sum_name="cents",
+    )
+
+
+QUERIES["rollup_type_user"] = q_rollup_type_user
+ORACLE_SQL["rollup_type_user"] = """
+    SELECT event_type, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id)
+"""

@@ -658,3 +658,85 @@ def add_group_ewma(
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
     )
+
+
+def rollup_agg(
+    ds,
+    keys: Sequence[str],
+    val_col: str,
+    *,
+    count_name: str = "n",
+    sum_name: str = "s",
+):
+    """Multi-level ROLLUP aggregate (SQL ``GROUP BY ROLLUP(k1, .., km)``):
+    count + exact int64 sum at every key prefix, rolled-up key columns
+    NULL.  The input is scanned ONCE — the finest level is a normal
+    distributed groupby-aggregate; every coarser level re-aggregates the
+    (distinct-keys-sized) finest result, and the grand total reduces the
+    coarsest level to one driver-side row.  At 100 TB the raw data feeds
+    exactly one exchange; the level cascade moves only aggregate rows.
+
+    ``val_col`` must be integer (fixed point) so level sums are exact and
+    independent of combination order.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data as rd
+
+    from feast_ray.grouped import dataset_schema
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    schema = dataset_schema(ds)
+    if not pa.types.is_integer(schema.field(val_col).type):
+        raise ValueError("val_col must be an integer (fixed-point) column")
+    key_fields = [pa.field(k, schema.field(k).type) for k in keys]
+    out_schema = pa.schema(
+        key_fields + [pa.field(count_name, pa.int64()), pa.field(sum_name, pa.int64())]
+    )
+
+    def canon(level: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for i, fld in enumerate(key_fields):
+                if i < level:
+                    cols[fld.name] = t[fld.name].cast(fld.type)
+                else:
+                    cols[fld.name] = pa.nulls(n, type=fld.type)
+            cols[count_name] = t[count_name].cast(pa.int64())
+            cols[sum_name] = t[sum_name].cast(pa.int64())
+            return pa.table(cols, schema=out_schema)
+
+        return f
+
+    finest = ds.groupby(keys).aggregate(
+        Count(alias_name=count_name), Sum(val_col, alias_name=sum_name)
+    )
+    levels = [
+        finest.map_batches(canon(len(keys)), batch_format="pyarrow", zero_copy_batch=True)
+    ]
+    for lv in range(len(keys) - 1, 0, -1):
+        t = finest.groupby(keys[:lv]).aggregate(
+            Sum(count_name, alias_name=count_name), Sum(sum_name, alias_name=sum_name)
+        )
+        levels.append(
+            t.map_batches(canon(lv), batch_format="pyarrow", zero_copy_batch=True)
+        )
+    total = finest.aggregate(
+        Sum(count_name, alias_name=count_name), Sum(sum_name, alias_name=sum_name)
+    )
+    grand = pa.table(
+        {
+            **{f.name: pa.nulls(1, type=f.type) for f in key_fields},
+            count_name: pa.array([int(total[count_name])], type=pa.int64()),
+            sum_name: pa.array([int(total[sum_name])], type=pa.int64()),
+        },
+        schema=out_schema,
+    )
+    levels.append(rd.from_arrow(grand))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -451,3 +451,26 @@ def test_group_ewma_rejects_nulls_and_bad_alpha(ev):
     with pytest.raises(ValueError, match="alpha"):
         add_group_ewma(rd.from_pandas(df[["k", "c"]].assign(x=1.0)), "k", "x",
                        alpha=0.0, order_cols=["c"])
+
+
+def test_rollup_agg_matches_pandas(ev):
+    from feast_ray.stages.stats import rollup_agg
+
+    df = ev.copy()
+    out = (
+        rollup_agg(rd.from_pandas(df), ["cat", "k"], "c", count_name="n", sum_name="s")
+        .to_pandas()
+    )
+    fin = df.groupby(["cat", "k"]).agg(n=("c", "size"), s=("c", "sum")).reset_index()
+    lv1 = df.groupby("cat").agg(n=("c", "size"), s=("c", "sum")).reset_index()
+    assert len(out) == len(fin) + len(lv1) + 1
+    o_fin = out[out["k"].notna()].sort_values(["cat", "k"]).reset_index(drop=True)
+    assert (o_fin["n"].to_numpy() == fin.sort_values(["cat", "k"])["n"].to_numpy()).all()
+    assert (o_fin["s"].to_numpy() == fin.sort_values(["cat", "k"])["s"].to_numpy()).all()
+    o_lv1 = out[out["k"].isna() & out["cat"].notna()].sort_values("cat").reset_index(drop=True)
+    assert (o_lv1["s"].to_numpy() == lv1.sort_values("cat")["s"].to_numpy()).all()
+    o_tot = out[out["cat"].isna()]
+    assert len(o_tot) == 1
+    assert int(o_tot["n"].iloc[0]) == len(df) and int(o_tot["s"].iloc[0]) == int(df["c"].sum())
+    with pytest.raises(ValueError, match="keys"):
+        rollup_agg(rd.from_pandas(df), [], "c")
