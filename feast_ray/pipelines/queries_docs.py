@@ -1052,3 +1052,40 @@ def _curate_sql() -> str:
 
 
 ORACLE_SQL_DOCS["curate_corpus_docs"] = _curate_sql()
+
+
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking (``stages.text.chunk_texts``): every doc
+    split into 32-token windows with stride 24 (8-token overlap), standard
+    lowercase tokenization, chunk text re-joined with single spaces — no
+    shuffle, one regex split + one gather + one binary_join per batch."""
+    from feast_ray.stages.text import chunk_texts
+
+    return chunk_texts(
+        _docs(sf_dir), chunk_tokens=32, stride_tokens=24,
+        idx_name="chunk_idx", out_name="chunk_text", len_name="n_tokens",
+    )
+
+
+QUERIES_DOCS["chunk_docs"] = q_chunk_docs
+ORACLE_SQL_DOCS["chunk_docs"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents),
+    mm AS (
+      SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS m
+      FROM toks WHERE len(tl) > 0),
+    cc AS (
+      SELECT doc_id, tl, m,
+             CASE WHEN m <= 32 THEN 1
+                  ELSE 1 + CAST(CEIL((m - 32) / 24.0) AS BIGINT) END AS n_chunks
+      FROM mm)
+    SELECT doc_id,
+           CAST(g.k AS BIGINT) AS chunk_idx,
+           array_to_string(tl[g.k * 24 + 1 : LEAST(g.k * 24 + 32, m)], ' ')
+             AS chunk_text,
+           LEAST(g.k * 24 + 32, m) - g.k * 24 AS n_tokens
+    FROM cc, LATERAL unnest(range(0, n_chunks)) AS g(k)
+"""

@@ -588,3 +588,86 @@ def add_redaction(ds, *, pattern: str, replacement: str = "[REDACTED]", text_col
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def chunk_texts(
+    ds,
+    *,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    chunk_tokens: int = 32,
+    stride_tokens: int = 24,
+    pattern: str = SPLIT_RE,
+    idx_name: str = "chunk_idx",
+    out_name: str = "chunk_text",
+    len_name: str = "n_tokens",
+):
+    """Split each document into overlapping token windows — the
+    context-window preparation step of an LLM training pipeline (chunk for
+    embedding / packing; beyond the reference, which has no text ops).
+
+    Tokenization is the engine's standard lowercase ``[^a-z0-9]+`` split
+    with empties dropped; chunk k covers tokens ``[k*stride, min(k*stride
+    + chunk, m))`` and the chunk count ``1 + ceil((m - chunk)/stride)``
+    (min 1) guarantees the last window reaches the document end.  Chunk
+    text is the window's tokens joined by single spaces (re-normalized,
+    NOT a substring of the original).  Token-less docs emit nothing.
+
+    Embarrassingly parallel — no shuffle: per batch, one regex split, one
+    gather of (overlapping) token indices, one ``binary_join``.  Output
+    rows carry ``id_cols`` so a downstream exchange can re-key by chunk.
+    """
+    if chunk_tokens <= 0 or stride_tokens <= 0:
+        raise ValueError("chunk_tokens and stride_tokens must be positive")
+    id_cols = list(id_cols)
+    size, stride = int(chunk_tokens), int(stride_tokens)
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(arr)
+        empty = {
+            **{c: t[c].combine_chunks().slice(0, 0) for c in id_cols},
+            idx_name: pa.array([], type=pa.int64()),
+            out_name: pa.array([], type=pa.string()),
+            len_name: pa.array([], type=pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        flat = flat.filter(pa.array(keep))
+        doc_of_tok = doc_of_tok[keep]
+        m = np.bincount(doc_of_tok, minlength=n).astype(np.int64)
+        tok_base = np.concatenate(([0], np.cumsum(m)[:-1]))
+        n_chunks = np.where(
+            m == 0, 0, 1 + np.maximum(-(-(m - size) // stride), 0)
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(empty)
+        doc = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        chunk_off = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        k = np.arange(total, dtype=np.int64) - np.repeat(chunk_off, n_chunks)
+        start = k * stride
+        end = np.minimum(start + size, m[doc])
+        csize = end - start
+        tot_tok = int(csize.sum())
+        out_off = np.concatenate(([0], np.cumsum(csize)))
+        within = np.arange(tot_tok, dtype=np.int64) - np.repeat(out_off[:-1], csize)
+        take = np.repeat(tok_base[doc] + start, csize) + within
+        toks = pc.take(flat, pa.array(take))
+        la = pa.ListArray.from_arrays(pa.array(out_off, type=pa.int32()), toks)
+        joined = pc.binary_join(la, " ")
+        cols = {
+            c: pc.take(t[c].combine_chunks(), pa.array(doc)) for c in id_cols
+        }
+        cols[idx_name] = pa.array(k)
+        cols[out_name] = joined
+        cols[len_name] = pa.array(csize)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

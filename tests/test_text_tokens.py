@@ -118,3 +118,44 @@ def test_redaction_matches_python(corpus):
         assert row["text_clean"] == want
         assert row["n_redacted"] == len(re.findall(r"\b(dog|fox)\b", text))
     assert out["n_redacted"].sum() > 0
+
+
+def test_chunk_texts_matches_python(ray_session):
+    from feast_ray.stages.text import chunk_texts
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog again and again and again",
+        "",
+        "   \t  ",
+        "!!! ??? ...",
+        "one",
+        "a b c d e f g h",  # exactly one chunk at size 8
+        " ".join(f"tok{i}" for i in range(25)),  # multi-chunk with overlap
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    size, stride = 8, 5
+    out = (
+        chunk_texts(rd.from_pandas(df), chunk_tokens=size, stride_tokens=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for did, txt in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", (txt or "").lower()) if w]
+        m = len(toks)
+        if m == 0:
+            continue
+        n_chunks = 1 if m <= size else 1 + -(-(m - size) // stride)
+        for k in range(n_chunks):
+            w = toks[k * stride : min(k * stride + size, m)]
+            want.append((did, k, " ".join(w), len(w)))
+    assert list(map(tuple, out.itertuples(index=False))) == want
+    # last window reaches the end of every doc
+    last = out.groupby("doc_id").tail(1)
+    for _, r in last.iterrows():
+        toks = [w for w in re.split(r"[^a-z0-9]+", (texts[r["doc_id"]] or "").lower()) if w]
+        assert r["chunk_text"].split(" ")[-1] == toks[-1]
+    with pytest.raises(ValueError):
+        chunk_texts(rd.from_pandas(df), chunk_tokens=0, stride_tokens=5)
