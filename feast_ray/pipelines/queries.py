@@ -2496,3 +2496,93 @@ ORACLE_SQL["rollup_type_user"] = """
     FROM events
     GROUP BY ROLLUP(event_type, user_id)
 """
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix (the product-analytics composition): each
+    user's cohort = their first event's UTC day; cell (cohort_day,
+    day_offset) counts DISTINCT users active that many days after joining.
+    Three bounded exchanges — per-user min-day (first row of the sorted
+    group), equi-join of the per-user cohort back onto the events, then
+    distinct (cohort, offset, user) triples counted per cell via the
+    grouped exchange's run detection."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.join import equi_join
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive_day(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive_day, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), firsts),
+                "cohort_day": pc.take(t["day"].combine_chunks(), firsts),
+            }
+        )
+
+    cohort = grouped_map(days, ["user_id"], first_kernel, sort_keys=["day"])
+    joined = equi_join(days, cohort, keys=["user_id"], how="inner")
+
+    def offs(t: pa.Table) -> pa.Table:
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["cohort_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": t["cohort_day"],
+                "day_offset": pa.array(d - c),
+                "user_id": t["user_id"],
+            }
+        )
+
+    cells = joined.map_batches(offs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_count_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        # bucket sorted by (cohort_day, day_offset, user_id): distinct users
+        # per cell = runs of user_id within the group
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], type=pa.int64()),
+                    "day_offset": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64()),
+                }
+            )
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        new_run = np.ones(len(u), dtype=np.int64)
+        new_run[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        new_run[starts[:-1]] = 1
+        cnt = np.add.reduceat(new_run, starts[:-1])
+        firsts = pa.array(starts[:-1])
+        return pa.table(
+            {
+                "cohort_day": pc.take(t["cohort_day"].combine_chunks(), firsts),
+                "day_offset": pc.take(t["day_offset"].combine_chunks(), firsts),
+                "n_users": pa.array(cnt),
+            }
+        )
+
+    return grouped_map(
+        cells, ["cohort_day", "day_offset"], distinct_count_kernel,
+        sort_keys=["user_id"],
+    )
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLE_SQL["cohort_retention"] = """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT c.cohort_day,
+           d.day - c.cohort_day AS day_offset,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
