@@ -2586,3 +2586,52 @@ ORACLE_SQL["cohort_retention"] = """
     FROM d JOIN c USING (user_id)
     GROUP BY 1, 2
 """
+
+
+def q_winsorize_values(sf_dir: str):
+    """Per-entity winsorization (outlier clamping before model training):
+    exact per-user p05/p95 from the grouped order-statistics exchange
+    (``stages.stats.grouped_quantile``), equi-joined back, value clamped
+    bit-exactly (pure selection of existing doubles — no arithmetic, so
+    the CASE twin hashes identically)."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import grouped_quantile
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    q = grouped_quantile(
+        ds, ["user_id"], "value",
+        {"lo": (0.05, "disc"), "hi": (0.95, "disc")},
+    )
+    joined = equi_join(ds, q, keys=["user_id"], how="inner")
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = np.where(v < lo, lo, np.where(v > hi, hi, v))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value": t["value"],
+                "value_wins": pa.array(w),
+            }
+        )
+
+    return joined.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["winsorize_values"] = q_winsorize_values
+ORACLE_SQL["winsorize_values"] = """
+    WITH q AS (
+      SELECT user_id,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           CASE WHEN e.value < q.lo THEN q.lo
+                WHEN e.value > q.hi THEN q.hi
+                ELSE e.value END AS value_wins
+    FROM events e JOIN q USING (user_id)
+"""
