@@ -2635,3 +2635,45 @@ ORACLE_SQL["winsorize_values"] = """
                 ELSE e.value END AS value_wins
     FROM events e JOIN q USING (user_id)
 """
+
+
+def q_ffill_purchase_value(sf_dir: str):
+    """Carry-forward sparse signal (``stages.stats.add_group_ffill``): at
+    every event, the user's most recent purchase value so far (NULL until
+    the first purchase) — LOCF via one maximum.accumulate over valid row
+    positions, cross-group carries detected against group starts."""
+    from feast_ray.stages.stats import add_group_ffill
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def sparse(t: pa.Table) -> pa.Table:
+        is_p = pc.equal(t["event_type"], "purchase")
+        v = pc.if_else(is_p, t["value"], pa.nulls(t.num_rows, pa.float64()))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "pv": v,
+            }
+        )
+
+    sp = ds.map_batches(sparse, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_group_ffill(
+        sp, "user_id", ["pv"], order_cols=["ts", "event_id"], suffix="_last"
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "pv_last"])
+
+
+QUERIES["ffill_purchase_value"] = q_ffill_purchase_value
+ORACLE_SQL["ffill_purchase_value"] = """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events)
+    SELECT user_id, event_id, ts,
+           last_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS pv_last
+    FROM s
+"""

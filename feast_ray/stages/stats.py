@@ -740,3 +740,51 @@ def rollup_agg(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def add_group_ffill(
+    ds,
+    key: str | Sequence[str],
+    cols: Sequence[str],
+    *,
+    order_cols: Sequence[str],
+    suffix: str = "_ffill",
+    num_buckets: Optional[int] = None,
+):
+    """Last-observation-carried-forward per entity in event-time order
+    (SQL ``last_value(x IGNORE NULLS) OVER (PARTITION BY key ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``): each NULL takes the entity's most recent
+    non-NULL value; rows before the first observation stay NULL.  The
+    sparse-signal carry-forward every feature pipeline needs (sensor
+    readings, sporadic labels, "most recent purchase amount at every
+    event").
+
+    Kernel: one global ``np.maximum.accumulate`` over valid row positions;
+    a carried position from an EARLIER group is detected as being below
+    the row's own group start and nulled — no per-group reset, no Python
+    loop.  Output keeps the original column and appends ``{col}{suffix}``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(cols)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            for c in cols:
+                t = t.append_column(c + suffix, t[c].combine_chunks().slice(0, 0))
+            return t
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        ar = np.arange(n, dtype=np.int64)
+        for c in cols:
+            arr = t[c].combine_chunks()
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            acc = np.maximum.accumulate(np.where(valid, ar, -1))
+            ok = acc >= gstart
+            idx = pa.array(np.maximum(acc, 0), type=pa.int64(), mask=~ok)
+            t = t.append_column(c + suffix, pc.take(arr, idx))
+        return t
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )

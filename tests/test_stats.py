@@ -474,3 +474,31 @@ def test_rollup_agg_matches_pandas(ev):
     assert int(o_tot["n"].iloc[0]) == len(df) and int(o_tot["s"].iloc[0]) == int(df["c"].sum())
     with pytest.raises(ValueError, match="keys"):
         rollup_agg(rd.from_pandas(df), [], "c")
+
+
+def test_group_ffill_matches_pandas(ev):
+    from feast_ray.stages.stats import add_group_ffill
+
+    rng = np.random.default_rng(19)
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    x = rng.normal(size=len(df))
+    x[rng.random(len(df)) < 0.6] = np.nan
+    df["x"] = x
+    out = (
+        add_group_ffill(
+            rd.from_pandas(df), "k", ["x"], order_cols=["c", "rid"]
+        )
+        .to_pandas()
+        .sort_values(["k", "c", "rid"])
+        .reset_index(drop=True)
+    )
+    ordered = df.sort_values(["k", "c", "rid"]).reset_index(drop=True)
+    want = ordered.groupby("k")["x"].ffill().to_numpy()
+    got = out["x_ffill"].to_numpy()
+    assert (out["rid"].to_numpy() == ordered["rid"].to_numpy()).all()
+    assert ((np.isnan(got) & np.isnan(want)) | (got == want)).all()
+    # leading rows of some group stay NaN (no cross-group carry)
+    heads = out.groupby("k").head(1)
+    assert heads["x_ffill"].isna().any() or ordered.groupby("k")["x"].apply(
+        lambda s: s.notna().iloc[0]
+    ).all()
