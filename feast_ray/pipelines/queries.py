@@ -2677,3 +2677,32 @@ ORACLE_SQL["ffill_purchase_value"] = """
              ROWS UNBOUNDED PRECEDING) AS pv_last
     FROM s
 """
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-entity mode (``stages.stats.grouped_mode``): each user's most
+    frequent event_type with its count, frequency ties to the smallest
+    type — run detection + per-group reduceat max over the one sorted
+    exchange (deterministic, unlike SQL mode())."""
+    from feast_ray.stages.stats import grouped_mode
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return grouped_mode(
+        ds, "user_id", "event_type",
+        value_name="mode_type", count_name="mode_n",
+    )
+
+
+QUERIES["mode_event_type"] = q_mode_event_type
+ORACLE_SQL["mode_event_type"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+    SELECT user_id, event_type AS mode_type, cnt AS mode_n
+    FROM r WHERE rn = 1
+"""

@@ -788,3 +788,75 @@ def add_group_ffill(
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
     )
+
+
+def grouped_mode(
+    ds,
+    key: str | Sequence[str],
+    cat_col: str,
+    *,
+    value_name: str = "mode",
+    count_name: str = "mode_n",
+    num_buckets: Optional[int] = None,
+):
+    """One row per key group with the MOST FREQUENT value of ``cat_col``
+    and its count; frequency ties break to the smallest value (SQL
+    ``ROW_NUMBER() OVER (ORDER BY cnt DESC, value)`` — unlike SQL
+    ``mode()``, which is tie-arbitrary, this is deterministic on any
+    cluster shape).  NULL categories are ignored; an all-NULL group emits
+    a NULL mode with count 0.
+
+    Kernel: the bucket arrives sorted by (keys, cat), so category runs are
+    one diff; per-group max run length via ``maximum.reduceat`` over runs,
+    winner = first run achieving it (runs are value-ascending within the
+    group).  One exchange, no per-group Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), firsts) for k in keys
+        }
+        n = t.num_rows
+        cat = t[cat_col].combine_chunks()
+        cat_type = cat.type
+        n_groups = len(starts) - 1
+        if n == 0:
+            cols[value_name] = pa.array([], type=cat_type)
+            cols[count_name] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        gidx = starts_to_group_index(starts)
+        valid = cat.is_valid().to_numpy(zero_copy_only=False)
+        codes = cat.dictionary_encode().indices.fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # runs of equal (group, code); nulls sort last within the group
+        newrun = np.ones(n, dtype=bool)
+        newrun[1:] = (codes[1:] != codes[:-1]) | (gidx[1:] != gidx[:-1])
+        run_start = np.flatnonzero(newrun)
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        run_g = gidx[run_start]
+        run_valid = valid[run_start]
+        run_score = np.where(run_valid, run_len, 0)
+        # per-group max over runs (groups with no runs can't happen: every
+        # group has >= 1 row hence >= 1 run)
+        g_first_run = np.searchsorted(run_g, np.arange(n_groups))
+        gmax = np.maximum.reduceat(run_score, g_first_run)
+        is_win = run_valid & (run_score == gmax[run_g])
+        # first winning run per group (value-ascending order = smallest)
+        _, win_idx = np.unique(run_g[is_win], return_index=True)
+        win_runs = np.flatnonzero(is_win)[win_idx]
+        win_groups = run_g[win_runs]
+        mode_idx = np.full(n_groups, -1, dtype=np.int64)
+        mode_idx[win_groups] = run_start[win_runs]
+        cnt = np.zeros(n_groups, dtype=np.int64)
+        cnt[win_groups] = run_len[win_runs]
+        take = pa.array(np.maximum(mode_idx, 0), type=pa.int64(), mask=mode_idx < 0)
+        cols[value_name] = pc.take(cat, take)
+        cols[count_name] = pa.array(cnt)
+        return pa.table(cols)
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=[cat_col], num_buckets=num_buckets
+    )

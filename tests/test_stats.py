@@ -502,3 +502,37 @@ def test_group_ffill_matches_pandas(ev):
     assert heads["x_ffill"].isna().any() or ordered.groupby("k")["x"].apply(
         lambda s: s.notna().iloc[0]
     ).all()
+
+
+def test_grouped_mode_matches_pandas(ev):
+    from feast_ray.stages.stats import grouped_mode
+
+    df = ev.copy()
+    df.loc[df.index % 13 == 0, "cat"] = None  # nulls ignored
+    out = (
+        grouped_mode(rd.from_pandas(df), "k", "cat", value_name="m", count_name="mn")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = {}
+    for k, g in df.groupby("k"):
+        vc = g["cat"].dropna().value_counts()
+        if len(vc) == 0:
+            want[k] = (None, 0)
+        else:
+            best = vc[vc == vc.max()].index.min()
+            want[k] = (best, int(vc.max()))
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        wm, wn = want[r["k"]]
+        assert (r["m"] == wm or (wm is None and pd.isna(r["m"]))) and r["mn"] == wn
+
+
+def test_grouped_mode_all_null_group(ray_session):
+    from feast_ray.stages.stats import grouped_mode
+
+    df = pd.DataFrame({"k": [1, 1, 2], "cat": [None, None, "x"]})
+    out = grouped_mode(rd.from_pandas(df), "k", "cat").to_pandas().sort_values("k")
+    assert pd.isna(out.iloc[0]["mode"]) and out.iloc[0]["mode_n"] == 0
+    assert out.iloc[1]["mode"] == "x" and out.iloc[1]["mode_n"] == 1
