@@ -1089,3 +1089,39 @@ ORACLE_SQL_DOCS["chunk_docs"] = """
            LEAST(g.k * 24 + 32, m) - g.k * 24 AS n_tokens
     FROM cc, LATERAL unnest(range(0, n_chunks)) AS g(k)
 """
+
+
+HH_THRESHOLD = 60
+
+
+def q_heavy_tokens_docs(sf_dir: str):
+    """Exact frequent tokens without shuffling the long tail
+    (``stages.sketch.heavy_hitters``): pass 1 ships per-batch Misra-Gries
+    summaries (<= k rows per batch) and derives a PROVEN candidate
+    superset; pass 2 broadcast-filters to candidates and recounts exactly.
+    Output == GROUP BY token HAVING count >= threshold."""
+    from feast_ray.stages.sketch import heavy_hitters
+    from feast_ray.stages.text import tokenize_batch
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({"token": tokenize_batch(t)})
+
+    tok_ds = _docs(sf_dir, columns=("text",)).map_batches(
+        toks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # summary_k sized so the n/(k+1) guarantee holds through sf0.1 (~0.6M
+    # tokens -> err 18 < 60); at larger corpora scale k with n/threshold
+    return heavy_hitters(tok_ds, "token", HH_THRESHOLD, summary_k=32768)
+
+
+QUERIES_DOCS["heavy_tokens_docs"] = q_heavy_tokens_docs
+ORACLE_SQL_DOCS["heavy_tokens_docs"] = f"""
+    WITH toks AS (
+      SELECT u.t AS value
+      FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''
+    )
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY value
+    HAVING COUNT(*) >= {HH_THRESHOLD}
+"""

@@ -115,3 +115,152 @@ def approx_distinct(
         return pa.table(cols)
 
     return grouped_map(parts, keys, merge_kernel, num_buckets=num_buckets)
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    threshold: int,
+    *,
+    summary_k: int = 4096,
+    num_buckets: Optional[int] = None,
+):
+    """EXACT frequent-items: every value of ``col`` whose global count is
+    >= ``threshold``, with its exact count — without ever shuffling the
+    long tail.  The two-pass Misra-Gries/SpaceSaving shape:
+
+    Pass 1 (candidates): each batch emits its exact counts MINUS the
+    batch's (k+1)-th largest count, dropping non-positive rows — a valid
+    MG summary whose per-batch truncation error is <= n_batch/(k+1), so
+    summed weights underestimate true counts by at most n/(k+1).  The
+    exchange therefore carries <= k rows per batch instead of every
+    distinct value.  Candidates = summed weight >= threshold - n/(k+1) —
+    a PROVEN superset of the true heavy hitters (raises if the guarantee
+    ``threshold > n/(k+1)`` fails; raise ``summary_k`` or the threshold).
+
+    Pass 2 (exact recount): the candidate set (small by construction:
+    <= n/(threshold - n/(k+1)) values) is broadcast via ``ray.put``; each
+    batch counts ONLY candidates, one tiny exchange sums exactly, then
+    ``>= threshold`` filters.  Output is exactly SQL ``GROUP BY col
+    HAVING COUNT(*) >= threshold`` — the approximation affects only what
+    the first pass is allowed to forget.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    k = int(summary_k)
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "value": pa.array([], t.schema.field(col).type),
+                "w": pa.array([], pa.int64()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        arr = t[col].combine_chunks().drop_null()
+        if len(arr) == 0:
+            return empty
+        vc = pc.value_counts(arr)
+        vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(cnts) > k:
+            trunc = np.partition(cnts, len(cnts) - (k + 1))[len(cnts) - (k + 1)]
+        else:
+            trunc = 0
+        w = cnts - trunc
+        keep = w > 0
+        vals = vals.filter(pa.array(keep))
+        w = w[keep]
+        n_part = np.zeros(len(w), dtype=np.int64)
+        n_part[0] = len(arr)  # batch token total rides the first summary row
+        return pa.table(
+            {"value": vals, "w": pa.array(w.astype(np.int64)), "n_part": pa.array(n_part)}
+        )
+
+    partials = ds.map_batches(
+        mg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    total_n = int(partials.sum("n_part") or 0)
+    err = total_n // (k + 1)
+    if threshold <= err:
+        raise ValueError(
+            f"heavy_hitters guarantee violated: threshold={threshold} <= "
+            f"n/(k+1)={err}; raise summary_k (or the threshold)"
+        )
+
+    def sum_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"value": t["value"].combine_chunks().slice(0, 0),
+                 "w": pa.array([], pa.int64())}
+            )
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        firsts = starts[:-1]
+        return pa.table(
+            {
+                "value": t["value"].combine_chunks().take(pa.array(firsts)),
+                "w": pa.array(np.add.reduceat(w, firsts)),
+            }
+        )
+
+    summed = grouped_map(partials, ["value"], sum_kernel, num_buckets=num_buckets)
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["w"], threshold - err)).select(["value"])
+
+    cand_batches = list(
+        summed.map_batches(cand_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    cand_vals: list = []
+    for b in cand_batches:
+        cand_vals.extend(b["value"].to_pylist())
+    cand_ref = ray.put(cand_vals)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cand_list = ray.get(cand_ref)
+        arr = t[col].combine_chunks().drop_null()
+        if cand_list and len(arr):
+            cand = pa.array(cand_list, type=arr.type)
+            arr = arr.filter(pc.is_in(arr, value_set=cand))
+        else:
+            arr = arr.slice(0, 0)
+        if len(arr) == 0:
+            return pa.table(
+                {"value": pa.array([], t.schema.field(col).type),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(arr)
+        return pa.table(
+            {"value": vc.field("values"),
+             "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    exact = ds.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cnt_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"value": t["value"].combine_chunks().slice(0, 0),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        c = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        firsts = starts[:-1]
+        return pa.table(
+            {
+                "value": t["value"].combine_chunks().take(pa.array(firsts)),
+                "cnt": pa.array(np.add.reduceat(c, firsts)),
+            }
+        )
+
+    counted = grouped_map(exact, ["value"], cnt_kernel, num_buckets=num_buckets)
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["cnt"], threshold))
+
+    return counted.map_batches(thresh, batch_format="pyarrow", zero_copy_batch=True)

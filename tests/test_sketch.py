@@ -46,3 +46,33 @@ def test_merge_across_blocks_matches_single_block(ray_session):
 def test_bad_p(ray_session):
     with pytest.raises(ValueError, match="p must be"):
         approx_distinct(rd.from_items([{"g": 1, "v": 2}]), "g", "v", p=4)
+
+
+def test_heavy_hitters_exact_with_truncation(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from collections import Counter
+
+    from feast_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: few hot values over a long tail; MANY batches so the MG
+    # truncation path (k << distinct-per-batch) actually fires
+    vals = [f"v{int(v)}" for v in rng.zipf(1.3, 60_000) if v < 100_000]
+    df = pd.DataFrame({"x": vals})
+    T = 400
+    ds = rd.from_pandas(df).repartition(16)
+    out = (
+        heavy_hitters(ds, "x", T, summary_k=256)
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    want = sorted((v, c) for v, c in Counter(vals).items() if c >= T)
+    assert list(map(tuple, out[["value", "cnt"]].itertuples(index=False))) == want
+    assert len(want) > 0
+
+    # guarantee check: threshold below n/(k+1) must raise, not miss items
+    with pytest.raises(ValueError, match="guarantee"):
+        heavy_hitters(ds, "x", 2, summary_k=8).materialize()
