@@ -2706,3 +2706,53 @@ ORACLE_SQL["mode_event_type"] = """
     SELECT user_id, event_type AS mode_type, cnt AS mode_n
     FROM r WHERE rn = 1
 """
+
+
+def q_trend_value_user(sf_dir: str):
+    """Per-entity OLS trend (``stages.stats.grouped_ols``): slope and
+    intercept of value-cents on event-hour per user — exact int64 moment
+    sums, fixed float schedule so the BIGINT-moments SQL twin is
+    bit-exact."""
+    from feast_ray.stages.stats import grouped_ols
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // 3_600_000_000 - 400_000  # small-integer hour index
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "h": pa.array(h), "c": c})
+
+    ex = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_ols(
+        ex, "user_id", "h", "c",
+        slope_name="slope_cents_per_h", intercept_name="icept_cents", count_col="n",
+    )
+
+
+QUERIES["trend_value_user"] = q_trend_value_user
+ORACLE_SQL["trend_value_user"] = """
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) // 3600000000 - 400000 AS h,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(h) AS sx, SUM(c) AS sy,
+             SUM(h * h) AS sxx, SUM(h * c) AS sxy
+      FROM e GROUP BY user_id)
+    SELECT user_id,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_h,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)
+           END AS icept_cents,
+           n
+    FROM m
+"""

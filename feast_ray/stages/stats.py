@@ -860,3 +860,62 @@ def grouped_mode(
     return grouped_map(
         ds, keys, kernel, sort_keys=[cat_col], num_buckets=num_buckets
     )
+
+
+def grouped_ols(
+    ds,
+    key: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    slope_name: str = "slope",
+    intercept_name: str = "intercept",
+    count_col: Optional[str] = "n",
+    num_buckets: Optional[int] = None,
+):
+    """One row per key group with the exact least-squares trend of y on x
+    (SQL ``regr_slope``/``regr_intercept`` restated over exact integer
+    moment sums — the per-entity trend feature).
+
+    Both columns must be exact integers (rebase timestamps to a small unit
+    first) so the four moments accumulate exactly in int64 and the result
+    is accumulation-order independent.  Fixed SQL-reproducible schedule:
+
+        slope = float(n*Sxy - Sx*Sy) / float(n*Sxx - Sx^2)
+        icept = (float(Sy) - slope * float(Sx)) / float(n)
+
+    NULL when n < 2 or x has zero variance.  Overflow guard as
+    ``grouped_corr``: keep |x|, |y| small enough that n * sum-of-squares
+    stays below 2^63.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take_first = pa.array(firsts)
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), take_first) for k in keys
+        }
+        x = t[x_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(starts)
+        z = np.zeros(0, np.int64)
+        sx = np.add.reduceat(x, firsts) if len(x) else z
+        sy = np.add.reduceat(y, firsts) if len(y) else z
+        sxx = np.add.reduceat(x * x, firsts) if len(x) else z
+        sxy = np.add.reduceat(x * y, firsts) if len(x) else z
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        cov = (n * sxy - sx * sy).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = cov / vx
+            icept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) / n.astype(
+                np.float64
+            )
+        bad = (n < 2) | (vx <= 0)
+        cols[slope_name] = pa.array(slope, mask=bad)
+        cols[intercept_name] = pa.array(icept, mask=bad)
+        if count_col is not None:
+            cols[count_col] = pa.array(n.astype(np.int64))
+        return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, num_buckets=num_buckets)

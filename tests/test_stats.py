@@ -536,3 +536,27 @@ def test_grouped_mode_all_null_group(ray_session):
     out = grouped_mode(rd.from_pandas(df), "k", "cat").to_pandas().sort_values("k")
     assert pd.isna(out.iloc[0]["mode"]) and out.iloc[0]["mode_n"] == 0
     assert out.iloc[1]["mode"] == "x" and out.iloc[1]["mode_n"] == 1
+
+
+def test_grouped_ols_matches_numpy(ev):
+    from feast_ray.stages.stats import grouped_ols
+
+    rng = np.random.default_rng(23)
+    df = ev.copy()
+    df["x"] = rng.integers(0, 1000, len(df))
+    out = (
+        grouped_ols(rd.from_pandas(df), "k", "x", "c",
+                    slope_name="b", intercept_name="a", count_col="n")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    for _, r in out.iterrows():
+        g = df[df["k"] == r["k"]]
+        assert r["n"] == len(g)
+        b, a = np.polyfit(g["x"].to_numpy(float), g["c"].to_numpy(float), 1)
+        np.testing.assert_allclose(r["b"], b, rtol=1e-9)
+        np.testing.assert_allclose(r["a"], a, rtol=1e-9)
+    # degenerate groups: single row and zero x-variance -> NULL
+    dd = pd.DataFrame({"k": [1, 2, 2], "x": [5, 7, 7], "c": [1, 2, 3]})
+    out2 = grouped_ols(rd.from_pandas(dd), "k", "x", "c",
+                       slope_name="b", intercept_name="a").to_pandas()
+    assert out2["b"].isna().all() and out2["a"].isna().all()
