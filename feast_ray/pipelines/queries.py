@@ -2756,3 +2756,41 @@ ORACLE_SQL["trend_value_user"] = """
            n
     FROM m
 """
+
+
+def q_full_outer_user_activity(sf_dir: str):
+    """FULL OUTER equi-join (``stages.join.equi_join how='full'``): per-user
+    click counts joined both-ways against per-user purchase counts — users
+    active on only one side appear with NULLs on the other; right-unmatched
+    rows cost nothing extra (their union-tagged rows already have the FULL
+    OUTER shape)."""
+    from ray.data.aggregate import Count
+
+    from feast_ray.stages.join import equi_join
+
+    def side(event_type: str, out: str):
+        ds = _typed_events(sf_dir, event_type, ["user_id"])
+        agg = ds.groupby("user_id").aggregate(Count(alias_name=out))
+
+        def canon(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"user_id": t["user_id"], out: t[out].cast(pa.int64())}
+            )
+
+        return agg.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+
+    return equi_join(
+        side("click", "n_clicks"), side("purchase", "n_purch"),
+        keys=["user_id"], how="full",
+    )
+
+
+QUERIES["full_outer_user_activity"] = q_full_outer_user_activity
+ORACLE_SQL["full_outer_user_activity"] = """
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purch
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+"""

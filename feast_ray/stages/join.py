@@ -150,11 +150,16 @@ def equi_join(
     One all-to-all of both sides; per-bucket kernel sorts by ``(keys, side)``
     so each key group is a contiguous [left rows | right rows] block and the
     match expansion is three numpy index ops + vectorized ``take``.
+
+    ``how="full"`` adds FULL OUTER: right rows whose key has no left match
+    are emitted with the non-key left columns NULL (their union-tagged row
+    already has exactly that shape); NULL-key rows from BOTH sides are
+    emitted unmatched (SQL FULL JOIN semantics).
     """
     import pyarrow.compute as pc
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     keys = list(keys)
     left_schema = _dataset_schema(left)
     right_schema = _dataset_schema(right)
@@ -243,16 +248,35 @@ def equi_join(
         for f in payload_fields:
             mcols[f.name] = pa.nulls(len(miss_pos), type=f.type)
         misses = pa.table({n: mcols[n] for n in out_names})
-        return pa.concat_tables([matched, misses])
+        parts = [matched, misses]
+        if how == "full":
+            # right rows in key groups with no left rows: the union row is
+            # already the FULL OUTER shape (keys filled, other left cols
+            # NULL, payload real) — take it verbatim
+            right_pos = np.flatnonzero(side == 1)
+            rmiss = right_pos[nl[gidx[right_pos]] == 0]
+            rp = pa.array(rmiss)
+            rcols = {n: pc.take(t[n].combine_chunks(), rp) for n in out_names}
+            parts.append(pa.table({n: rcols[n] for n in out_names}))
+        return pa.concat_tables(parts)
 
     out = grouped_map(both, keys, kernel, sort_keys=[_SIDE], num_buckets=num_buckets)
-    if how == "left":
+    if how in ("left", "full"):
         null_left = left.map_batches(
             lambda t: _null_key_left(t, left_schema, payload_fields, out_names, _keys_valid),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         out = out.union(null_left)
+    if how == "full":
+        null_right = right.map_batches(
+            lambda t: _null_key_right(
+                t, keys, left_schema, payload_fields, out_names, _keys_valid
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = out.union(null_right)
     return out
 
 
@@ -264,6 +288,22 @@ def _null_key_left(t, left_schema, payload_fields, out_names, keys_valid):
     for f in payload_fields:
         cols[f.name] = pa.nulls(kept.num_rows, type=f.type)
     return pa.table({n: cols[n] for n in out_names})
+
+
+def _null_key_right(t, keys, left_schema, payload_fields, out_names, keys_valid):
+    import pyarrow.compute as pc
+
+    kept = t.filter(pc.invert(keys_valid(t)))
+    n = kept.num_rows
+    cols = {}
+    for f in left_schema:
+        if f.name in keys:
+            cols[f.name] = kept[f.name].cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(n, type=f.type)
+    for f in payload_fields:
+        cols[f.name] = kept[f.name].cast(f.type)
+    return pa.table({n2: cols[n2] for n2 in out_names})
 
 
 def skew_join(

@@ -317,3 +317,50 @@ def test_overlap_join_touching_intervals_do_not_match(ray_session):
         l_start="ls", l_end="le", r_start="rs", r_end="re",
     ).to_pandas()
     assert len(out) == 0  # half-open: [0,10) vs [10,20) and [20,30) never overlap
+
+
+def test_equi_join_full_outer_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.join import equi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([None, 1, 2, 2, 3, 7, 7], type=pa.int64()),
+            "lv": ["a", "b", "c", "d", "e", "f", "g"],
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([None, None, 2, 3, 3, 9], type=pa.int64()),
+            "rv": [10.0, 11.0, 12.0, 13.0, 14.0, 15.0],
+        }
+    )
+    out = (
+        equi_join(rd.from_arrow(left), rd.from_arrow(right), keys=["k"], how="full")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # SQL FULL JOIN oracle: pandas outer merge on non-null keys, null-key
+    # rows from BOTH sides appended unmatched
+    lp, rp = left.to_pandas(), right.to_pandas()
+    merged = lp[lp["k"].notna()].merge(rp[rp["k"].notna()], on="k", how="outer")
+    extra = pd.concat([lp[lp["k"].isna()], rp[rp["k"].isna()]], ignore_index=True)
+    want = (
+        pd.concat([merged, extra], ignore_index=True)
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+
+    def norm(s2):
+        return [None if pd.isna(v) else v for v in s2]
+
+    for c in ["k", "lv", "rv"]:
+        assert norm(out[c]) == norm(want[c]), c
+    # both miss directions present: left-only k=1 (1 row) + k=7 (2) + 1
+    # null-key left = 4 NULL rv; right-only k=9 (1) + 2 null-key right = 3
+    # NULL lv
+    assert out["rv"].isna().sum() == 4 and out["lv"].isna().sum() == 3
