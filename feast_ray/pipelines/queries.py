@@ -2764,20 +2764,12 @@ def q_full_outer_user_activity(sf_dir: str):
     active on only one side appear with NULLs on the other; right-unmatched
     rows cost nothing extra (their union-tagged rows already have the FULL
     OUTER shape)."""
-    from ray.data.aggregate import Count
-
     from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import partial_count_sum
 
     def side(event_type: str, out: str):
         ds = _typed_events(sf_dir, event_type, ["user_id"])
-        agg = ds.groupby("user_id").aggregate(Count(alias_name=out))
-
-        def canon(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"user_id": t["user_id"], out: t[out].cast(pa.int64())}
-            )
-
-        return agg.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        return partial_count_sum(ds, ["user_id"], count_name=out)
 
     return equi_join(
         side("click", "n_clicks"), side("purchase", "n_purch"),
@@ -2793,4 +2785,36 @@ ORACLE_SQL["full_outer_user_activity"] = """
           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
     SELECT COALESCE(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purch
     FROM c FULL JOIN p ON c.user_id = p.user_id
+"""
+
+
+def q_epoch_shuffle_events(sf_dir: str):
+    """Deterministic training-epoch shuffle with reproducible positions
+    (``stages.sampling.epoch_shuffle_index``): every event's 0-based rank
+    in mix64(event_id) order — distributed zipWithIndex by hash-range
+    buckets (O(1) driver state), identical permutation on any cluster
+    shape; the mixer is a uint64 bijection so distinct ids never tie."""
+    from feast_ray.stages.sampling import epoch_shuffle_index
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return epoch_shuffle_index(
+        ds, key_col="event_id",
+        keep_cols=["event_id", "user_id", "ts"],
+    )
+
+
+QUERIES["epoch_shuffle_events"] = q_epoch_shuffle_events
+ORACLE_SQL["epoch_shuffle_events"] = """
+    WITH h AS (
+      SELECT event_id, user_id, ts,
+             ((CAST(event_id AS HUGEINT) % 4294967296) * 2135587861
+              + (((CAST(event_id AS HUGEINT) % 4294967296) * 2654435769
+                  + (CAST(event_id AS HUGEINT) // 4294967296) * 2135587861)
+                 % 4294967296) * 4294967296)
+             % CAST(18446744073709551616 AS HUGEINT) AS hv
+      FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(ROW_NUMBER() OVER (ORDER BY hv, event_id) - 1 AS BIGINT)
+             AS shuffle_pos
+    FROM h
 """

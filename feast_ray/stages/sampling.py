@@ -14,6 +14,8 @@ Embarrassingly parallel: one ``map_batches`` filter, no shuffle, no state.
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 import numpy as np
 import pyarrow as pa
 
@@ -123,3 +125,84 @@ def weighted_mix_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def epoch_shuffle_index(
+    ds,
+    *,
+    key_col: str,
+    pos_name: str = "shuffle_pos",
+    bucket_bits: int = 12,
+    keep_cols: Optional[Sequence[str]] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Deterministic global training-epoch shuffle with REPRODUCIBLE
+    positions: every row gets its 0-based rank in ``mix64(key)`` order —
+    the same permutation on any cluster shape, any block layout, any run
+    (``mix64`` is an odd-constant wraparound multiply, a bijection of the
+    uint64 space, so distinct keys never tie).
+
+    Distributed zipWithIndex by RANGE partitioning on the hash: the top
+    ``bucket_bits`` of the hash make contiguous hash-range buckets, pass 1
+    counts rows per bucket (<= 2^bucket_bits driver ints — O(1) state),
+    pass 2 exchanges rows by bucket and assigns ``global_offset[bucket] +
+    local_rank`` off the exchange's sorted groups.  Two passes over the
+    input, no global sort operator, no driver materialization of rows.
+    """
+    import ray
+
+    import ray.data as rd
+
+    from feast_ray.grouped import grouped_map
+
+    if not 1 <= bucket_bits <= 20:
+        raise ValueError("bucket_bits must be in [1, 20]")
+    HB, BK = "__es_hvs", "__es_b"
+    shift = np.uint64(64 - bucket_bits)
+    bias = np.uint64(1) << np.uint64(63)
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = mix64(k)
+        # order-preserving uint64 -> int64 (bias flip) so the exchange's
+        # local sort on an int64 column follows unsigned hash order
+        hvs = (hv ^ bias).view(np.int64)
+        b = (hv >> shift).astype(np.int64)
+        t = t.append_column(HB, pa.array(hvs))
+        return t.append_column(BK, pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(t: pa.Table) -> pa.Table:
+        b = t[BK].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(vals), "c": pa.array(cnts.astype(np.int64))})
+
+    parts = tagged.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("b").sum("c").to_pandas()  # <= 2^bucket_bits rows
+    n_b = 1 << bucket_bits
+    counts = np.zeros(n_b, dtype=np.int64)
+    counts[agg["b"].to_numpy(dtype=np.int64)] = agg["sum(c)"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        offs = ray.get(off_ref)
+        n = t.num_rows
+        if n == 0:
+            out = t.drop_columns([HB, BK])
+            return out.append_column(pos_name, pa.array([], type=pa.int64()))
+        b = t[BK].combine_chunks().to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        pos = offs[b] + (np.arange(n, dtype=np.int64) - gstart)
+        out = t.drop_columns([HB, BK])
+        return out.append_column(pos_name, pa.array(pos))
+
+    out = grouped_map(
+        tagged, [BK], kernel, sort_keys=[HB, key_col], num_buckets=num_buckets,
+        drop_bucket=True,
+    )
+    if keep_cols is not None:
+        out = out.select_columns(list(keep_cols) + [pos_name])
+    return out

@@ -670,16 +670,16 @@ def rollup_agg(
 ):
     """Multi-level ROLLUP aggregate (SQL ``GROUP BY ROLLUP(k1, .., km)``):
     count + exact int64 sum at every key prefix, rolled-up key columns
-    NULL.  The input is scanned ONCE — the finest level is a normal
-    distributed groupby-aggregate; every coarser level re-aggregates the
-    (distinct-keys-sized) finest result, and the grand total reduces the
-    coarsest level to one driver-side row.  At 100 TB the raw data feeds
+    NULL.  The input is scanned ONCE — the finest level is a map-side
+    combiner + one exchange (:func:`partial_count_sum`); every coarser
+    level re-aggregates the (distinct-keys-sized) finest result, and the
+    grand total reduces it to one driver-side row.  At 100 TB the raw data feeds
     exactly one exchange; the level cascade moves only aggregate rows.
 
     ``val_col`` must be integer (fixed point) so level sums are exact and
     independent of combination order.
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     import ray.data as rd
 
@@ -711,16 +711,14 @@ def rollup_agg(
 
         return f
 
-    finest = ds.groupby(keys).aggregate(
-        Count(alias_name=count_name), Sum(val_col, alias_name=sum_name)
-    )
+    finest = partial_count_sum(
+        ds, keys, val_col, count_name=count_name, sum_name=sum_name
+    ).materialize()  # feeds every coarser level + the grand total
     levels = [
         finest.map_batches(canon(len(keys)), batch_format="pyarrow", zero_copy_batch=True)
     ]
     for lv in range(len(keys) - 1, 0, -1):
-        t = finest.groupby(keys[:lv]).aggregate(
-            Sum(count_name, alias_name=count_name), Sum(sum_name, alias_name=sum_name)
-        )
+        t = sum_by(finest, keys[:lv], [count_name, sum_name])
         levels.append(
             t.map_batches(canon(lv), batch_format="pyarrow", zero_copy_batch=True)
         )
@@ -917,5 +915,98 @@ def grouped_ols(
         if count_col is not None:
             cols[count_col] = pa.array(n.astype(np.int64))
         return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
+
+
+def partial_count_sum(
+    ds,
+    keys: Sequence[str],
+    val_col: Optional[str] = None,
+    *,
+    count_name: str = "n",
+    sum_name: str = "s",
+    num_buckets: Optional[int] = None,
+):
+    """Distributed COUNT(*) (+ exact int64 SUM of ``val_col``) per key tuple
+    via the engine's exchange instead of Dataset ``groupby().aggregate()``
+    (measured 3-5x slower at many blocks — BASELINE.md engine notes): each
+    batch pre-aggregates to one row per distinct key tuple (map-side
+    combiner: dictionary-encode + pack codes + np.unique + reduceat), so
+    the one exchange carries distinct-keys-per-batch rows, never raw rows.
+    Keys must be non-null (the grouped exchange's standing contract).
+    """
+    keys = list(keys)
+    with_sum = val_col is not None
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key_arrs = {k: t[k].combine_chunks() for k in keys}
+        if n == 0:
+            cols = {k: key_arrs[k].slice(0, 0) for k in keys}
+            cols[count_name] = pa.array([], pa.int64())
+            if with_sum:
+                cols[sum_name] = pa.array([], pa.int64())
+            return pa.table(cols)
+        pack = np.zeros(n, dtype=np.int64)
+        stride = 1
+        for k in keys:
+            idx = key_arrs[k].dictionary_encode().indices
+            c = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64) + 1
+            vocab = int(c.max()) + 1
+            pack = pack * vocab + c
+            stride *= vocab
+        order = np.argsort(pack, kind="stable")
+        sp = pack[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(sp[1:] != sp[:-1]) + 1)
+        )
+        firsts = order[bounds]
+        cnt = np.diff(np.concatenate((bounds, [n])))
+        take = pa.array(firsts)
+        cols = {k: pc.take(key_arrs[k], take) for k in keys}
+        cols[count_name] = pa.array(cnt.astype(np.int64))
+        if with_sum:
+            v = (
+                t[val_col].combine_chunks().cast(pa.int64()).fill_null(0)
+                .to_numpy(zero_copy_only=False)[order]
+            )
+            cols[sum_name] = pa.array(np.add.reduceat(v, bounds).astype(np.int64))
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sum_by(
+        partials, keys, [count_name] + ([sum_name] if with_sum else []),
+        num_buckets=num_buckets,
+    )
+
+
+def sum_by(
+    ds,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    *,
+    num_buckets: Optional[int] = None,
+):
+    """Exact int64 SUM of ``cols`` per key tuple over one grouped exchange
+    (reduceat kernel) — the reduce side of map-side-combined aggregates."""
+    keys = list(keys)
+    cols = list(cols)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        out = {k: pc.take(t[k].combine_chunks(), take) for k in keys}
+        for c in cols:
+            v = (
+                t[c].combine_chunks().cast(pa.int64()).fill_null(0)
+                .to_numpy(zero_copy_only=False)
+            )
+            out[c] = pa.array(
+                np.add.reduceat(v, firsts).astype(np.int64)
+                if len(v)
+                else np.zeros(0, np.int64)
+            )
+        return pa.table(out)
 
     return grouped_map(ds, keys, kernel, num_buckets=num_buckets)

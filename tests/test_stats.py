@@ -560,3 +560,33 @@ def test_grouped_ols_matches_numpy(ev):
     out2 = grouped_ols(rd.from_pandas(dd), "k", "x", "c",
                        slope_name="b", intercept_name="a").to_pandas()
     assert out2["b"].isna().all() and out2["a"].isna().all()
+
+
+def test_epoch_shuffle_index_is_reproducible_permutation(ray_session):
+    from feast_ray.stages.sampling import epoch_shuffle_index, mix64
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(5000).astype(np.int64)
+    df = pd.DataFrame({"eid": ids, "x": rng.normal(size=len(ids))})
+
+    def run(nb):
+        return (
+            epoch_shuffle_index(
+                rd.from_pandas(df).repartition(7), key_col="eid",
+                keep_cols=["eid"], num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+
+    out = run(4)
+    # exact permutation of 0..n-1
+    assert sorted(out["shuffle_pos"]) == list(range(len(df)))
+    # order matches unsigned mix64 order
+    order = np.argsort(mix64(out["eid"].to_numpy(np.int64)), kind="stable")
+    got_sorted = out["shuffle_pos"].to_numpy()[order]
+    assert (got_sorted == np.arange(len(df))).all()
+    # identical on a different cluster shape
+    out2 = run(11)
+    assert (out2["shuffle_pos"].to_numpy() == out["shuffle_pos"].to_numpy()).all()
