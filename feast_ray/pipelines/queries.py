@@ -2818,3 +2818,38 @@ ORACLE_SQL["epoch_shuffle_events"] = """
              AS shuffle_pos
     FROM h
 """
+
+
+def q_densify_daily_user(sf_dir: str):
+    """Zero-filled daily activity grid per user
+    (``stages.windows.densify_calendar``): one row per user per UTC day
+    between their first and last event, count 0 on silent days — run
+    detection + one repeat/cumsum range expansion over the grouped
+    exchange, no per-group Python."""
+    from feast_ray.stages.windows import densify_calendar
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return densify_calendar(days, "user_id", "day", count_name="n_events")
+
+
+QUERIES["densify_daily_user"] = q_densify_daily_user
+ORACLE_SQL["densify_daily_user"] = """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+          FROM d GROUP BY user_id),
+    g AS (SELECT user_id, u.day
+          FROM b, LATERAL unnest(range(d0, d1 + 1)) AS u(day)),
+    c AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY user_id, day)
+    SELECT g.user_id, g.day, COALESCE(c.n, 0) AS n_events
+    FROM g LEFT JOIN c USING (user_id, day)
+"""

@@ -40,6 +40,7 @@ import pyarrow.compute as pc
 
 from feast_ray.grouped import (
     grouped_map,
+    starts_to_group_index,
     starts_to_row_gstart,
 )
 
@@ -464,3 +465,64 @@ def hopping_window_agg(
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def densify_calendar(
+    ds,
+    key: str | Sequence[str],
+    bucket_col: str,
+    *,
+    count_name: str = "n",
+    num_buckets: Optional[int] = None,
+):
+    """Zero-filled regular time grid per entity: one output row for EVERY
+    integer bucket (e.g. UTC day) in ``[min_bucket, max_bucket]`` of each
+    key group, with the group's row count in that bucket (0 where the
+    entity was silent) — the gap-filling / resample step that turns sparse
+    event streams into the dense grids sequence models train on (SQL:
+    generate_series per entity LEFT JOIN counts).
+
+    One grouped exchange of (key, bucket) rows; the kernel detects
+    per-bucket runs, expands each group's full range with one
+    repeat/cumsum arange, and scatters the observed counts — no per-group
+    Python.  Output rows = sum of spans: an entity active on day 1 and day
+    10{,}000 emits 10k rows — bound the span upstream (filter a date
+    window) when entities can be long-lived.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        key_cols = {k: t[k].combine_chunks() for k in keys}
+        if n == 0:
+            cols = {k: key_cols[k].slice(0, 0) for k in keys}
+            cols[bucket_col] = pa.array([], pa.int64())
+            cols[count_name] = pa.array([], pa.int64())
+            return pa.table(cols)
+        d = t[bucket_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_groups = len(starts) - 1
+        firsts, lasts = starts[:-1], starts[1:] - 1
+        dmin, dmax = d[firsts], d[lasts]  # sorted by (keys, bucket)
+        span = dmax - dmin + 1
+        total = int(span.sum())
+        off = np.concatenate(([0], np.cumsum(span)[:-1]))
+        g_out = np.repeat(np.arange(n_groups, dtype=np.int64), span)
+        day_out = (
+            np.arange(total, dtype=np.int64) - np.repeat(off, span) + np.repeat(dmin, span)
+        )
+        cnt_out = np.zeros(total, dtype=np.int64)
+        # observed (group, bucket) runs -> scatter counts into the grid
+        gidx = starts_to_group_index(starts)
+        newrun = np.ones(n, dtype=bool)
+        newrun[1:] = (d[1:] != d[:-1]) | (gidx[1:] != gidx[:-1])
+        run_start = np.flatnonzero(newrun)
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        rg = gidx[run_start]
+        cnt_out[off[rg] + d[run_start] - dmin[rg]] = run_len
+        take = pa.array(firsts[g_out])
+        cols = {k: pc.take(key_cols[k], take) for k in keys}
+        cols[bucket_col] = pa.array(day_out)
+        cols[count_name] = pa.array(cnt_out)
+        return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, sort_keys=[bucket_col], num_buckets=num_buckets)

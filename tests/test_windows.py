@@ -278,3 +278,42 @@ def test_hopping_window_rejects_bad_params(ray_session):
     df = pd.DataFrame({"k": [1], "ts": pd.to_datetime([0]), "v": [1]})
     with _pt.raises(ValueError):
         hopping_window_agg(rd.from_pandas(df), "k", "ts", "v", window_us=10, slide_us=3)
+
+
+def test_densify_calendar_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import densify_calendar
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, 400),
+            "day": rng.integers(100, 140, 400).astype(np.int64),
+        }
+    )
+    # a single-day entity (span 1) and a sparse two-point entity
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [100, 101, 101], "day": [7, 3, 25]})],
+        ignore_index=True,
+    )
+    out = (
+        densify_calendar(rd.from_pandas(df), "k", "day", count_name="n")
+        .to_pandas()
+        .sort_values(["k", "day"])
+        .reset_index(drop=True)
+    )
+    want_rows = []
+    for k, g in df.groupby("k"):
+        vc = g["day"].value_counts()
+        for d in range(g["day"].min(), g["day"].max() + 1):
+            want_rows.append((k, d, int(vc.get(d, 0))))
+    want = sorted(want_rows)
+    assert list(map(tuple, out.itertuples(index=False))) == want
+    # zero-filled gaps exist and per-group totals are preserved
+    assert (out["n"] == 0).any()
+    got_tot = out.groupby("k")["n"].sum()
+    want_tot = df.groupby("k").size()
+    assert (got_tot.loc[want_tot.index] == want_tot).all()
