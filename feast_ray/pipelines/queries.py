@@ -2853,3 +2853,25 @@ ORACLE_SQL["densify_daily_user"] = """
     SELECT g.user_id, g.day, COALESCE(c.n, 0) AS n_events
     FROM g LEFT JOIN c USING (user_id, day)
 """
+
+
+def q_kanon_events(sf_dir: str):
+    """k-anonymity gate (``stages.sampling.kanon_filter``): keep only
+    events whose (user_id, event_type) quasi-identifier tuple occurs in at
+    least 12 rows — group sizes off the one exchange, boolean repeat
+    filter."""
+    from feast_ray.stages.sampling import kanon_filter
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    return kanon_filter(ds, ["user_id", "event_type"], 12)
+
+
+QUERIES["kanon_events"] = q_kanon_events
+ORACLE_SQL["kanon_events"] = """
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS grp_n
+      FROM events)
+    WHERE grp_n >= 12
+"""

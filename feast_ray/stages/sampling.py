@@ -206,3 +206,37 @@ def epoch_shuffle_index(
     if keep_cols is not None:
         out = out.select_columns(list(keep_cols) + [pos_name])
     return out
+
+
+def kanon_filter(
+    ds,
+    quasi_keys: Sequence[str],
+    k: int,
+    *,
+    mode: str = "keep",
+    num_buckets: Optional[int] = None,
+):
+    """k-anonymity filter over quasi-identifier columns: ``mode="keep"``
+    retains only rows whose quasi-identifier tuple occurs in >= k rows
+    (every surviving row hides among k-1 others); ``mode="drop"`` returns
+    the violating remainder for audit.  The privacy-scrubbing gate a
+    training corpus passes before release (SQL ``COUNT(*) OVER
+    (PARTITION BY ...) >= k``).
+
+    One grouped exchange on the quasi-identifier tuple; group sizes are
+    the exchange's boundary diffs, the filter is one boolean repeat.
+    """
+    from feast_ray.grouped import grouped_map
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if mode not in ("keep", "drop"):
+        raise ValueError(f"mode must be 'keep' or 'drop', got {mode!r}")
+    want_big = mode == "keep"
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        sizes = np.diff(starts)
+        big = np.repeat(sizes >= k, sizes)
+        return t.filter(pa.array(big if want_big else ~big))
+
+    return grouped_map(ds, list(quasi_keys), kernel, num_buckets=num_buckets)

@@ -590,3 +590,21 @@ def test_epoch_shuffle_index_is_reproducible_permutation(ray_session):
     # identical on a different cluster shape
     out2 = run(11)
     assert (out2["shuffle_pos"].to_numpy() == out["shuffle_pos"].to_numpy()).all()
+
+
+def test_kanon_filter_keep_drop_partition(ev):
+    from feast_ray.stages.sampling import kanon_filter
+
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    K = 15
+    keep = kanon_filter(rd.from_pandas(df), ["k", "cat"], K).to_pandas()
+    drop = kanon_filter(rd.from_pandas(df), ["k", "cat"], K, mode="drop").to_pandas()
+    sizes = df.groupby(["k", "cat"]).size()
+    for _, r in keep.iterrows():
+        assert sizes.loc[(r["k"], r["cat"])] >= K
+    for _, r in drop.iterrows():
+        assert sizes.loc[(r["k"], r["cat"])] < K
+    assert len(keep) + len(drop) == len(df)
+    assert set(keep["rid"]) | set(drop["rid"]) == set(df["rid"])
+    with pytest.raises(ValueError):
+        kanon_filter(rd.from_pandas(df), ["k"], 0)
