@@ -2875,3 +2875,36 @@ ORACLE_SQL["kanon_events"] = """
       FROM events)
     WHERE grp_n >= 12
 """
+
+
+def q_global_value_decile(sf_dir: str):
+    """Global equal-frequency discretization
+    (``stages.stats.global_order_index``): every event's exact global rank
+    by value-cents and its NTILE(10) decile — range-partitioned rank
+    (equal-width value ranges, O(2^bits) driver ints), no Dataset sort
+    operator."""
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_id": t["event_id"], "c": c})
+
+    thin = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return global_order_index(
+        thin, "c", tiebreak="event_id",
+        pos_name="global_rank", ntile=10, ntile_name="decile",
+    )
+
+
+QUERIES["global_value_decile"] = q_global_value_decile
+ORACLE_SQL["global_value_decile"] = """
+    WITH e AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+    SELECT event_id, c,
+           CAST(ROW_NUMBER() OVER (ORDER BY c, event_id) - 1 AS BIGINT)
+             AS global_rank,
+           CAST(NTILE(10) OVER (ORDER BY c, event_id) AS BIGINT) AS decile
+    FROM e
+"""

@@ -1010,3 +1010,102 @@ def sum_by(
         return pa.table(out)
 
     return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
+
+
+def global_order_index(
+    ds,
+    col: str,
+    *,
+    tiebreak: str,
+    pos_name: str = "global_rank",
+    ntile: Optional[int] = None,
+    ntile_name: Optional[str] = None,
+    bucket_bits: int = 12,
+    num_buckets: Optional[int] = None,
+):
+    """Global 0-based rank of every row in ``(col, tiebreak)`` ascending
+    order — ``ROW_NUMBER() OVER (ORDER BY col, tiebreak) - 1`` at scale,
+    WITHOUT the Dataset sort operator (measured 3-5x slower than the
+    exchange at many blocks — BASELINE.md).  Optionally appends the SQL
+    ``NTILE(ntile)`` bucket computed from the rank and the (driver-known)
+    total count — global equal-frequency discretization.
+
+    Range-partitioned rank (sample-sort shape, deterministic
+    partitioning): pass A takes the global int min/max of ``col``; rows
+    map to 2^bucket_bits equal-WIDTH value ranges; pass B counts rows per
+    range (<= 2^bucket_bits driver ints); pass C exchanges rows by range
+    and assigns ``range_offset + local_rank`` off the sorted groups.
+    Both columns must be integers and non-null; ``tiebreak`` must be
+    unique for a total order.  Three scans of the (thin — project first)
+    input.  Value skew concentrates rows in one range = one task; deepen
+    ``bucket_bits`` when a single value can dominate.
+    """
+    import ray
+
+    from ray.data.aggregate import Max, Min
+
+    if not 1 <= bucket_bits <= 20:
+        raise ValueError("bucket_bits must be in [1, 20]")
+    if ntile is not None and ntile < 1:
+        raise ValueError("ntile must be >= 1")
+    tile_col = ntile_name or (f"ntile_{ntile}" if ntile else None)
+    n_b = 1 << bucket_bits
+    BK = "__go_b"
+
+    thin = ds.materialize()
+    mm = thin.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    width = max(hi - lo + 1, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((v - lo) * n_b) // width
+        return t.append_column(BK, pa.array(b))
+
+    tagged = thin.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(t: pa.Table) -> pa.Table:
+        b = t[BK].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(vals), "c": pa.array(cnts.astype(np.int64))})
+
+    agg = (
+        tagged.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .sum("c")
+        .to_pandas()
+    )
+    counts = np.zeros(n_b, dtype=np.int64)
+    counts[agg["b"].to_numpy(dtype=np.int64)] = agg["sum(c)"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+    if ntile is not None:
+        base, extra = total // ntile, total % ntile
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        offs = ray.get(off_ref)
+        n = t.num_rows
+        out = t.drop_columns([BK])
+        if n == 0:
+            out = out.append_column(pos_name, pa.array([], type=pa.int64()))
+            if tile_col:
+                out = out.append_column(tile_col, pa.array([], type=pa.int64()))
+            return out
+        b = t[BK].combine_chunks().to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        pos = offs[b] + (np.arange(n, dtype=np.int64) - gstart)
+        out = out.append_column(pos_name, pa.array(pos))
+        if tile_col:
+            cut = extra * (base + 1)
+            small = np.maximum(base, 1)
+            tile = np.where(
+                pos < cut, pos // (base + 1) + 1, extra + (pos - cut) // small + 1
+            )
+            out = out.append_column(tile_col, pa.array(tile.astype(np.int64)))
+        return out
+
+    return grouped_map(
+        tagged, [BK], kernel, sort_keys=[col, tiebreak], num_buckets=num_buckets
+    )

@@ -608,3 +608,41 @@ def test_kanon_filter_keep_drop_partition(ev):
     assert set(keep["rid"]) | set(drop["rid"]) == set(df["rid"])
     with pytest.raises(ValueError):
         kanon_filter(rd.from_pandas(df), ["k"], 0)
+
+
+def test_global_order_index_matches_pandas(ray_session):
+    from feast_ray.stages.stats import global_order_index
+
+    rng = np.random.default_rng(31)
+    n = 4003  # not divisible by the tile count -> uneven NTILE sizes
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            # heavy ties + negatives + a hot value to stress one range
+            "v": np.concatenate(
+                [rng.integers(-50, 50, n - 500), np.full(500, 7, dtype=np.int64)]
+            ),
+        }
+    )
+    out = (
+        global_order_index(
+            rd.from_pandas(df).repartition(6), "v", tiebreak="rid",
+            ntile=7, ntile_name="t7", bucket_bits=4, num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ordered = df.sort_values(["v", "rid"]).reset_index(drop=True)
+    want_rank = pd.Series(np.arange(n), index=ordered["rid"]).sort_index().to_numpy()
+    assert (out["global_rank"].to_numpy() == want_rank).all()
+    # SQL NTILE: first n%k tiles one row larger
+    base, extra = n // 7, n % 7
+    r = out["global_rank"].to_numpy()
+    want_tile = np.where(
+        r < extra * (base + 1), r // (base + 1) + 1,
+        extra + (r - extra * (base + 1)) // base + 1,
+    )
+    assert (out["t7"].to_numpy() == want_tile).all()
+    sizes = out.groupby("t7").size()
+    assert sizes.max() - sizes.min() <= 1 and len(sizes) == 7
