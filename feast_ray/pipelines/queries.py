@@ -2908,3 +2908,43 @@ ORACLE_SQL["global_value_decile"] = """
            CAST(NTILE(10) OVER (ORDER BY c, event_id) AS BIGINT) AS decile
     FROM e
 """
+
+
+def q_impute_value_events(sf_dir: str):
+    """Group-mean imputation (``stages.stats.add_group_mean_impute``): the
+    per-user purchase-cents signal is NULL on non-purchase events; fill
+    each NULL with the user's mean purchase cents (all-NULL users stay
+    NULL) — exact int64 sums, one fixed float division."""
+    from feast_ray.stages.stats import add_group_mean_impute
+
+    ds = _events(sf_dir, ["user_id", "event_id", "event_type", "value"])
+
+    def sparse(t: pa.Table) -> pa.Table:
+        is_p = pc.equal(t["event_type"], "purchase")
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        pv = pc.if_else(is_p, c, pa.nulls(t.num_rows, pa.int64()))
+        return pa.table(
+            {"user_id": t["user_id"], "event_id": t["event_id"], "pv": pv}
+        )
+
+    sp = ds.map_batches(sparse, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_group_mean_impute(sp, "user_id", "pv", out_col="pv_filled")
+    return out.select_columns(["user_id", "event_id", "pv_filled"])
+
+
+QUERIES["impute_value_events"] = q_impute_value_events
+ORACLE_SQL["impute_value_events"] = """
+    WITH s AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS pv
+      FROM events),
+    m AS (
+      SELECT user_id,
+             SUM(pv) AS sp, CAST(COUNT(pv) AS BIGINT) AS np
+      FROM s GROUP BY user_id)
+    SELECT s.user_id, s.event_id,
+           COALESCE(CAST(s.pv AS DOUBLE),
+                    CAST(m.sp AS DOUBLE) / CAST(m.np AS DOUBLE)) AS pv_filled
+    FROM s JOIN m USING (user_id)
+"""

@@ -1109,3 +1109,41 @@ def global_order_index(
     return grouped_map(
         tagged, [BK], kernel, sort_keys=[col, tiebreak], num_buckets=num_buckets
     )
+
+
+def add_group_mean_impute(
+    ds,
+    key: str | Sequence[str],
+    int_col: str,
+    *,
+    out_col: str = "imputed",
+    num_buckets: Optional[int] = None,
+):
+    """Fill NULLs of an integer (fixed-point) column with the entity's mean
+    of its non-NULL values (SQL ``COALESCE(x, AVG(x) OVER (PARTITION BY
+    key))``) — mean imputation, the feature-matrix repair step.  The mean
+    is float(sum)/float(count) over exact int64 sums (one fixed division,
+    SQL-reproducible); an all-NULL entity stays NULL.  Output is float64
+    (imputed rows are fractional).  One grouped exchange.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        arr = t[int_col].combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], type=pa.float64()))
+        firsts = starts[:-1]
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        x = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        cnt = np.add.reduceat(valid.astype(np.int64), firsts)
+        cnt = np.where(np.diff(starts) == 0, 0, cnt)
+        s = np.add.reduceat(np.where(valid, x, 0), firsts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s.astype(np.float64) / cnt.astype(np.float64)
+        gidx = starts_to_group_index(starts)
+        out = np.where(valid, x.astype(np.float64), mean[gidx])
+        bad = ~valid & (cnt[gidx] == 0)
+        return t.append_column(out_col, pa.array(out, mask=bad))
+
+    return grouped_map(ds, keys, kernel, num_buckets=num_buckets)

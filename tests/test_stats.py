@@ -646,3 +646,27 @@ def test_global_order_index_matches_pandas(ray_session):
     assert (out["t7"].to_numpy() == want_tile).all()
     sizes = out.groupby("t7").size()
     assert sizes.max() - sizes.min() <= 1 and len(sizes) == 7
+
+
+def test_group_mean_impute_matches_pandas(ev):
+    from feast_ray.stages.stats import add_group_mean_impute
+
+    df = ev.reset_index().rename(columns={"index": "rid"}).copy()
+    df["x"] = df["c"].where(df["c"] % 3 != 0, other=pd.NA).astype("Int64")
+    df.loc[df["k"] == 5, "x"] = pd.NA  # an all-NULL group
+    out = (
+        add_group_mean_impute(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            "k", "x", out_col="f",
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    means = df.groupby("k")["x"].mean()
+    want = df["x"].astype("Float64").to_numpy(dtype=float, na_value=np.nan)
+    fill = df["k"].map(means).astype(float).to_numpy()
+    want = np.where(np.isnan(want), fill, want)
+    got = out.sort_values("rid")["f"].to_numpy(dtype=float, na_value=np.nan)
+    assert ((np.isnan(got) & np.isnan(want)) | np.isclose(got, want, rtol=1e-12, equal_nan=False)).all()
+    assert out[out["k"] == 5]["f"].isna().all()
