@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import pyarrow as pa
 import ray.data as rd
 
 from feast_ray.stages.stats import add_group_zscore, grouped_quantile, pivot_counts
