@@ -2948,3 +2948,99 @@ ORACLE_SQL["impute_value_events"] = """
                     CAST(m.sp AS DOUBLE) / CAST(m.np AS DOUBLE)) AS pv_filled
     FROM s JOIN m USING (user_id)
 """
+
+
+def q_interarrival_value_user(sf_dir: str):
+    """Irregular-sampling aggregates (``stages.stats.grouped_interarrival``):
+    per user, mean/max inter-arrival gap in whole seconds and the
+    TIME-WEIGHTED average of value-cents (each value weighted by how long
+    it stayed current) — exact int64 gap products, fixed float divisions,
+    lead()-diff SQL twin."""
+    from feast_ray.stages.stats import grouped_interarrival
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "event_id": t["event_id"],
+             "us": us, "c": c}
+        )
+
+    ex = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_interarrival(
+        ex, "user_id", "us", val_col="c", order_tiebreak="event_id",
+        twa_name="twa_cents",
+    )
+
+
+QUERIES["interarrival_value_user"] = q_interarrival_value_user
+ORACLE_SQL["interarrival_value_user"] = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    l AS (
+      SELECT user_id, c,
+             (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              - us) // 1000000 AS d
+      FROM e),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c * d) AS sw, SUM(d) AS w, MAX(d) AS mx
+      FROM l GROUP BY user_id)
+    SELECT user_id,
+           CASE WHEN n >= 2
+                THEN CAST(w AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS mean_gap_s,
+           CASE WHEN n >= 2 THEN mx END AS max_gap_s,
+           CASE WHEN n >= 2 AND w > 0
+                THEN CAST(sw AS DOUBLE) / CAST(w AS DOUBLE) END AS twa_cents,
+           n
+    FROM m
+"""
+
+
+def q_peak_event_per_user(sf_dir: str):
+    """Per-entity argmax (the peak event): each user's highest-value event,
+    value ties to the smallest event_id — the latest/top-k tail kernel
+    reused with the value as the ordering column and a negated id
+    tie-break."""
+    from feast_ray.stages.latest import topk_per_entity
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "c": c,
+                "neg_id": pc.negate(t["event_id"]),
+            }
+        )
+
+    ex = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = topk_per_entity(
+        ex, keys="user_id", ts_col="c", k=1,
+        tie_break_cols=["neg_id"], rank_col=None,
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "c"])
+
+
+QUERIES["peak_event_per_user"] = q_peak_event_per_user
+ORACLE_SQL["peak_event_per_user"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    r AS (
+      SELECT user_id, event_id, ts, c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_id) AS rn
+      FROM e)
+    SELECT user_id, event_id, ts, c FROM r WHERE rn = 1
+"""

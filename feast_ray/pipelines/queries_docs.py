@@ -1125,3 +1125,40 @@ ORACLE_SQL_DOCS["heavy_tokens_docs"] = f"""
     FROM toks GROUP BY value
     HAVING COUNT(*) >= {HH_THRESHOLD}
 """
+
+
+def q_upsample_docs(sf_dir: str):
+    """Deterministic fractional upsampling for corpus mixing
+    (``stages.sampling.upsample_mix``): rare languages repeated x2.5
+    (2 copies always, a 3rd iff the doc's mixer hash falls in the 50%
+    band), 'en' kept x1 — reproducible epoch repetition with a copy
+    ordinal, no shuffle."""
+    from feast_ray.stages.sampling import upsample_mix
+
+    ds = _docs(sf_dir, columns=("doc_id", "lang"))
+    return upsample_mix(
+        ds, group_col="lang", key_col="doc_id",
+        factors={"en": 100}, default_times100=250,
+    )
+
+
+QUERIES_DOCS["upsample_docs"] = q_upsample_docs
+ORACLE_SQL_DOCS["upsample_docs"] = """
+    WITH h AS (
+      SELECT doc_id, lang,
+             ((CAST(doc_id AS HUGEINT) % 4294967296) * 2135587861
+              + (((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435769
+                  + (CAST(doc_id AS HUGEINT) // 4294967296) * 2135587861)
+                 % 4294967296) * 4294967296)
+             % CAST(18446744073709551616 AS HUGEINT) AS hv
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 100 ELSE 250 END // 100
+             + CASE WHEN hv % 100 <
+                         CASE WHEN lang = 'en' THEN 100 ELSE 250 END % 100
+                    THEN 1 ELSE 0 END AS rep
+      FROM h)
+    SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy_idx
+    FROM r, LATERAL unnest(range(0, rep)) AS u(c)
+"""

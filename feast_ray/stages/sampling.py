@@ -240,3 +240,56 @@ def kanon_filter(
         return t.filter(pa.array(big if want_big else ~big))
 
     return grouped_map(ds, list(quasi_keys), kernel, num_buckets=num_buckets)
+
+
+def upsample_mix(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    factors: dict,
+    default_times100: int = 100,
+    copy_name: str = "copy_idx",
+    modulus: int = 100,
+):
+    """Deterministic FRACTIONAL upsampling for corpus mixing — the
+    complement of :func:`weighted_mix_sample` when a group must be seen
+    MORE than once per epoch (upweight a rare language/source x2.5):
+    each row is emitted ``floor(f)`` times plus one more iff
+    ``mix64(key) % modulus < frac*modulus`` — reproducible on any cluster
+    shape, SQL-checkable via the HUGEINT mixer.  ``factors`` maps group
+    value -> integer ``f*100`` (250 = x2.5); rows may be dropped entirely
+    (``f*100 < 100`` behaves like Bernoulli keep).  Output appends
+    ``copy_name`` (0-based copy ordinal) so downstream shuffles can
+    distinguish repeats.  Embarrassingly parallel: one dictionary-encode
+    lookup + one vectorized repeat per batch, no shuffle.
+    """
+    for g, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {g!r} must be >= 0")
+    if default_times100 < 0:
+        raise ValueError("default_times100 must be >= 0")
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(copy_name, pa.array([], pa.int64()))
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        f100 = np.array(
+            [factors.get(v.as_py(), default_times100) for v in enc.dictionary],
+            dtype=np.int64,
+        )
+        per_row = f100[enc.indices.to_numpy(zero_copy_only=False)]
+        base = per_row // modulus
+        frac = per_row % modulus
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        extra = (mix64(k) % np.uint64(modulus)).astype(np.int64) < frac
+        rep = base + extra
+        total = int(rep.sum())
+        idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+        offs = np.repeat(np.cumsum(rep) - rep, rep)
+        copy_idx = np.arange(total, dtype=np.int64) - offs
+        out = t.take(pa.array(idx))
+        return out.append_column(copy_name, pa.array(copy_idx))
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)

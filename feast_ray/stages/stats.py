@@ -1147,3 +1147,78 @@ def add_group_mean_impute(
         return t.append_column(out_col, pa.array(out, mask=bad))
 
     return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
+
+
+def grouped_interarrival(
+    ds,
+    key: str | Sequence[str],
+    ts_us_col: str,
+    *,
+    val_col: Optional[str] = None,
+    order_tiebreak: Optional[str] = None,
+    twa_name: str = "twa",
+    mean_gap_name: str = "mean_gap_s",
+    max_gap_name: str = "max_gap_s",
+    count_name: str = "n",
+    num_buckets: Optional[int] = None,
+):
+    """Per-entity inter-arrival statistics and (optionally) the
+    TIME-WEIGHTED average of an integer value column — the
+    irregular-sampling aggregates (sensor readings, session telemetry)
+    that plain AVG gets wrong:
+
+        gap_i  = (ts_{i+1} - ts_i) // 1e6   (whole seconds, event order)
+        twa    = float(sum(v_i * gap_i)) / float(sum(gap_i))
+        mean_gap = float(sum(gap_i)) / float(n - 1)
+
+    Each value is weighted by how long it was current (the last row gets
+    zero weight).  Exact int64 products/sums, one fixed float division —
+    SQL twin via ``lead()`` diffs.  Entities with < 2 events (or zero
+    total span, for twa) emit NULLs.  Overflow bound: |v| * max span in
+    seconds * rows per entity must stay below 2^63.  One exchange.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    sort_keys = [ts_us_col] + ([order_tiebreak] if order_tiebreak else [])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take_first = pa.array(firsts)
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), take_first) for k in keys
+        }
+        n_rows = t.num_rows
+        n = np.diff(starts)
+        n_groups = len(n)
+        us = t[ts_us_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            d[:-1] = (us[1:] - us[:-1]) // 1_000_000
+        # zero out the last row of every group (the cross-group diff)
+        lasts = starts[1:] - 1
+        d[lasts] = 0
+        w = np.add.reduceat(d, firsts) if n_rows else np.zeros(0, np.int64)
+        w = np.where(n == 0, 0, w)
+        n_gaps = np.maximum(n - 1, 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_gap = w.astype(np.float64) / n_gaps.astype(np.float64)
+        # max gap: per-group maximum of d over the first n-1 rows; a
+        # single-row group has d == 0 at its only row and is masked anyway
+        max_gap = np.maximum.reduceat(d, firsts) if n_rows else np.zeros(0, np.int64)
+        bad = n < 2
+        cols[mean_gap_name] = pa.array(mean_gap, mask=bad)
+        cols[max_gap_name] = pa.array(
+            max_gap.astype(np.int64), type=pa.int64(), mask=bad
+        )
+        if val_col is not None:
+            v = t[val_col].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            sw = np.add.reduceat(v * d, firsts) if n_rows else np.zeros(0, np.int64)
+            sw = np.where(n == 0, 0, sw)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                twa = sw.astype(np.float64) / w.astype(np.float64)
+            cols[twa_name] = pa.array(twa, mask=bad | (w <= 0))
+        cols[count_name] = pa.array(n.astype(np.int64))
+        return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, sort_keys=sort_keys, num_buckets=num_buckets)

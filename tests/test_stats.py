@@ -671,3 +671,82 @@ def test_group_mean_impute_matches_pandas(ev):
     got = out.sort_values("rid")["f"].to_numpy(dtype=float, na_value=np.nan)
     assert ((np.isnan(got) & np.isnan(want)) | np.isclose(got, want, rtol=1e-12, equal_nan=False)).all()
     assert out[out["k"] == 5]["f"].isna().all()
+
+
+def test_grouped_interarrival_matches_pandas(ray_session):
+    from feast_ray.stages.stats import grouped_interarrival
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 23, n),
+            "us": rng.integers(0, 10**9, n).astype(np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    # a single-row entity and a zero-span entity
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [50, 51, 51], "us": [5, 9, 9], "v": [3, 4, 6],
+                           "rid": [n, n + 1, n + 2]})],
+        ignore_index=True,
+    )
+    out = (
+        grouped_interarrival(
+            rd.from_pandas(df), "k", "us", val_col="v",
+            order_tiebreak="rid", twa_name="twa",
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    for _, r in out.iterrows():
+        g = df[df["k"] == r["k"]].sort_values(["us", "rid"])
+        assert r["n"] == len(g)
+        if len(g) < 2:
+            assert pd.isna(r["mean_gap_s"]) and pd.isna(r["max_gap_s"]) and pd.isna(r["twa"])
+            continue
+        gaps = (g["us"].to_numpy()[1:] - g["us"].to_numpy()[:-1]) // 1_000_000
+        np.testing.assert_allclose(r["mean_gap_s"], gaps.sum() / len(gaps), rtol=1e-12)
+        assert r["max_gap_s"] == gaps.max()
+        w = gaps.sum()
+        if w > 0:
+            want = (g["v"].to_numpy()[:-1] * gaps).sum() / w
+            np.testing.assert_allclose(r["twa"], want, rtol=1e-12)
+        else:
+            assert pd.isna(r["twa"])
+    k51 = out[out["k"] == 51].iloc[0]
+    assert k51["max_gap_s"] == 0 and pd.isna(k51["twa"])  # zero span
+
+
+def test_upsample_mix_matches_python(ray_session):
+    from feast_ray.stages.sampling import mix64, upsample_mix
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "b", "a", "c", "b", "a"] * 50,
+            "kid": np.arange(300, dtype=np.int64),
+        }
+    )
+    out = (
+        upsample_mix(
+            rd.from_pandas(df), group_col="g", key_col="kid",
+            factors={"a": 100, "b": 250, "c": 0}, default_times100=100,
+        )
+        .to_pandas()
+        .sort_values(["kid", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    want = []
+    f = {"a": 100, "b": 250, "c": 0}
+    for _, r in df.sort_values("kid").iterrows():
+        t100 = f[r["g"]]
+        # int() BEFORE the modulo: a uint64 scalar % python-int promotes to
+        # float64 and rounds the 64-bit hash
+        rep = t100 // 100 + (int(mix64(np.array([r["kid"]]))[0]) % 100 < t100 % 100)
+        for c in range(rep):
+            want.append((r["g"], r["kid"], c))
+    assert list(map(tuple, out[["g", "kid", "copy_idx"]].itertuples(index=False))) == want
+    # x2.5 group averages ~2.5 copies; x0 group vanishes
+    assert (out["g"] != "c").all()
+    b = out[out["g"] == "b"].groupby("kid").size()
+    assert set(b.unique()) <= {2, 3} and 2.0 < b.mean() < 3.0
