@@ -250,6 +250,13 @@ def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
         empty = dataset_schema(ds).empty_table()
         out = kernel(empty, np.array([0], dtype=np.int64))
         return rd.from_arrow(out)
+    # KNOWN EDGE: if refs exist but hold zero total rows, every reduce
+    # output is a schema-ful empty table, yet ray 2.49's from_arrow_refs
+    # drops empty-block schemas — the result is a 0-row dataset with
+    # UNKNOWN schema.  Detecting this case would need a synchronous
+    # row-count barrier on every call (or a sentinel block whose schema
+    # could clash with real kernel outputs), so it is documented instead:
+    # zero-total-row inputs yield 0 rows, schema unknown.
     # batch small blocks together so object count stays O(tasks x buckets)
     max_map_tasks = 64
     per = max(1, (len(refs) + max_map_tasks - 1) // max_map_tasks)

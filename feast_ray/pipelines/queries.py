@@ -3044,3 +3044,37 @@ ORACLE_SQL["peak_event_per_user"] = """
       FROM e)
     SELECT user_id, event_id, ts, c FROM r WHERE rn = 1
 """
+
+
+def q_mad_value_user(sf_dir: str):
+    """Robust dispersion per entity: median and median-absolute-deviation
+    of value — two grouped order-statistics passes composed through an
+    equi-join (med joined back, |x - med| derived in-map, second disc
+    quantile).  Pure selections + one float subtraction, so the twin
+    hashes bit-exact."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import grouped_quantile
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    med = grouped_quantile(ds, ["user_id"], "value", {"med": (0.5, "disc")})
+    joined = equi_join(ds, med, keys=["user_id"], how="inner")
+
+    def absdev(t: pa.Table) -> pa.Table:
+        ad = pc.abs(pc.subtract(t["value"], t["med"]))
+        return pa.table({"user_id": t["user_id"], "med": t["med"], "ad": ad})
+
+    a = joined.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantile(a, ["user_id", "med"], "ad", {"mad": (0.5, "disc")})
+
+
+QUERIES["mad_value_user"] = q_mad_value_user
+ORACLE_SQL["mad_value_user"] = """
+    WITH m AS (
+      SELECT user_id, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT e.user_id, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN m USING (user_id))
+    SELECT user_id, med, quantile_disc(ad, 0.5) AS mad
+    FROM a GROUP BY user_id, med
+"""

@@ -750,3 +750,61 @@ def test_upsample_mix_matches_python(ray_session):
     assert (out["g"] != "c").all()
     b = out[out["g"] == "b"].groupby("kid").size()
     assert set(b.unique()) <= {2, 3} and 2.0 < b.mean() < 3.0
+
+
+def test_new_stages_handle_empty_input(ray_session):
+    """0-row (schema-ful) input -> 0-row output with the declared columns,
+    for every round-3 stage (empty-block schema hygiene)."""
+    import pyarrow as pa
+
+    from feast_ray.stages.asof import range_agg_forward
+    from feast_ray.stages.sampling import kanon_filter, upsample_mix
+    from feast_ray.stages.stats import (
+        add_group_ewma,
+        add_group_ffill,
+        add_group_mean_impute,
+        grouped_interarrival,
+        grouped_mode,
+    )
+    from feast_ray.stages.text import chunk_texts
+    from feast_ray.stages.windows import densify_calendar
+
+    empty = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "c": pa.array([], pa.int64()),
+            "g": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    eds = rd.from_arrow(empty)
+    checks = [
+        (add_group_ewma(eds, "k", "x", alpha=0.25, order_cols=["ts"]), "ewma"),
+        (add_group_ffill(eds, "k", ["x"], order_cols=["ts"]), "x_ffill"),
+        (add_group_mean_impute(eds, "k", "c", out_col="f"), "f"),
+        (grouped_mode(eds, "k", "g"), "mode"),
+        (grouped_interarrival(eds, "k", "ts", val_col="c"), "mean_gap_s"),
+        (kanon_filter(eds, ["k", "g"], 3), "k"),
+        (upsample_mix(eds, group_col="g", key_col="k", factors={}), "copy_idx"),
+        (chunk_texts(eds.select_columns(["doc_id", "text"])), "chunk_text"),
+        (densify_calendar(eds.select_columns(["k", "ts"]), "k", "ts"), "n"),
+        (
+            range_agg_forward(
+                eds.select_columns(["k", "ts"]),
+                eds.select_columns(["k", "ts", "c"]),
+                key="k", window_us=10, val_col="c",
+            ),
+            "n_window",
+        ),
+    ]
+    for ds, col in checks:
+        out = ds.to_pandas()
+        assert len(out) == 0, col
+        # grouped stages lose the schema on zero-TOTAL-row inputs (ray 2.49
+        # from_arrow_refs drops empty-block schemas — documented in
+        # grouped.py); map-only stages keep it
+        if len(out.columns):
+            assert col in out.columns, (col, list(out.columns))
