@@ -1162,3 +1162,36 @@ ORACLE_SQL_DOCS["upsample_docs"] = """
     SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy_idx
     FROM r, LATERAL unnest(range(0, rep)) AS u(c)
 """
+
+
+COOC_K = 50
+
+
+def q_cooccur_tokens_docs(sf_dir: str):
+    """Corpus collocation evidence (``stages.text.cooccurrence_topk``): the
+    50 most frequently co-occurring token pairs with their document
+    frequencies — integer PMI evidence, ordered by n_ab DESC then pair;
+    pair generation is positional over the doc-grouped exchange (lexical
+    a < b for free), counting is map-side combined."""
+    from feast_ray.stages.text import cooccurrence_topk
+
+    return cooccurrence_topk(_docs(sf_dir), k=COOC_K)
+
+
+QUERIES_DOCS["cooccur_tokens_docs"] = q_cooccur_tokens_docs
+ORACLE_SQL_DOCS["cooccur_tokens_docs"] = f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, u.t AS tok
+      FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    p AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+    top AS (SELECT * FROM p ORDER BY n_ab DESC, tok_a, tok_b LIMIT {COOC_K})
+    SELECT t.tok_a, t.tok_b, t.n_ab, da.df AS df_a, db.df AS df_b
+    FROM top t
+    JOIN df da ON da.tok = t.tok_a
+    JOIN df db ON db.tok = t.tok_b
+"""

@@ -671,3 +671,117 @@ def chunk_texts(
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cooccurrence_topk(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    max_doc_tokens: Optional[int] = None,
+    pattern: str = SPLIT_RE,
+    num_buckets=None,
+):
+    """Top-k co-occurring token pairs across the corpus with their document
+    frequencies — the integer EVIDENCE for PMI / collocation scoring
+    (``log`` itself is left to the consumer: libm differs across engines,
+    the counts don't).  Output: (tok_a < tok_b, n_ab docs containing both,
+    df_a, df_b), ordered by ``n_ab DESC, tok_a, tok_b``.
+
+    Shape: distinct (doc, token) per batch IS globally distinct (one row =
+    one doc), so no dedup exchange; one grouped exchange by doc generates
+    in-doc pairs (positional pairs over the exchange's token-sorted groups
+    are automatically lexical ``a < b``); pair counting and marginals run
+    map-side-combined (`stats.partial_count_sum`); the global order is a
+    final sort over block-local top-k survivors, never the pair space.
+
+    ``max_doc_tokens`` DROPS docs with more distinct tokens (pairs grow
+    quadratically — at corpus scale cap it and count the drops); None
+    keeps everything.
+    """
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum
+
+    def distinct_dt(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(arr)
+        ids = t[id_col].combine_chunks()
+        empty = pa.table(
+            {"doc_id": ids.slice(0, 0), "token": pa.array([], pa.string())}
+        )
+        if n == 0:
+            return empty
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        if len(doc_of) == 0:
+            return empty
+        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        vocab = int(codes.max()) + 1
+        uniq, first_idx = np.unique(doc_of * vocab + codes, return_index=True)
+        take = pa.array(first_idx)
+        return pa.table(
+            {"doc_id": pc.take(ids, pa.array(doc_of[first_idx])),
+             "token": pc.take(flat, take)}
+        )
+
+    dt = ds.map_batches(distinct_dt, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        tok = t["token"].combine_chunks()
+        if max_doc_tokens is not None:
+            sizes = np.diff(starts)
+            keep_g = sizes <= max_doc_tokens
+            if not keep_g.all():
+                mask = np.repeat(keep_g, sizes)
+                tok = tok.filter(pa.array(mask))
+                starts = np.concatenate(([0], np.cumsum(sizes[keep_g])))
+        from feast_ray.stages.dedup import pairs_within_groups
+
+        pos = np.arange(len(tok), dtype=np.int64)
+        L, R = pairs_within_groups(pos, starts)
+        return pa.table(
+            {"tok_a": pc.take(tok, pa.array(L)), "tok_b": pc.take(tok, pa.array(R))}
+        )
+
+    pairs = grouped_map(dt, ["doc_id"], pair_kernel, sort_keys=["token"],
+                        num_buckets=num_buckets)
+    counted = partial_count_sum(pairs, ["tok_a", "tok_b"], count_name="n_ab",
+                                num_buckets=num_buckets)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_ab", "descending"), ("tok_a", "ascending"),
+                          ("tok_b", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    top = counted.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    try:
+        top = top.sort(["n_ab", "tok_a", "tok_b"],
+                       descending=[True, False, False]).limit(k)
+    except TypeError:  # older sort signature
+        top = top.sort("n_ab", descending=True).limit(k)
+
+    df = partial_count_sum(dt, ["token"], count_name="df", num_buckets=num_buckets)
+    from feast_ray.stages.join import equi_join
+
+    def rn(name_from: str, names: list):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(names)
+
+        return f
+
+    df_a = df.map_batches(rn("token", ["tok_a", "df_a"]), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    df_b = df.map_batches(rn("token", ["tok_b", "df_b"]), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = equi_join(top, df_a, keys=["tok_a"], how="inner", num_buckets=num_buckets)
+    out = equi_join(out, df_b, keys=["tok_b"], how="inner", num_buckets=num_buckets)
+    return out

@@ -159,3 +159,54 @@ def test_chunk_texts_matches_python(ray_session):
         assert r["chunk_text"].split(" ")[-1] == toks[-1]
     with pytest.raises(ValueError):
         chunk_texts(rd.from_pandas(df), chunk_tokens=0, stride_tokens=5)
+
+
+def test_cooccurrence_topk_matches_python(ray_session):
+    from itertools import combinations
+
+    from feast_ray.stages.text import cooccurrence_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog and a cat",
+        "fish and chips and fish",
+        "",
+        None,
+        "cat cat cat",  # distinctness: counts docs, not occurrences
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        cooccurrence_topk(rd.from_pandas(df), k=10)
+        .to_pandas()
+        .sort_values(["n_ab", "tok_a", "tok_b"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    pair_n, df_n = Counter(), Counter()
+    for txt in texts:
+        toks = sorted({w for w in re.split(r"[^a-z0-9]+", (txt or "").lower()) if w})
+        df_n.update(toks)
+        pair_n.update(combinations(toks, 2))
+    want = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len(out) == len(want)
+    for i, ((a, b), n) in enumerate(want):
+        r = out.iloc[i]
+        assert (r["tok_a"], r["tok_b"], r["n_ab"]) == (a, b, n)
+        assert r["df_a"] == df_n[a] and r["df_b"] == df_n[b]
+    # max_doc_tokens=4 drops docs with 5+ distinct tokens from PAIR
+    # generation (marginal dfs still count every doc)
+    out2 = (
+        cooccurrence_topk(rd.from_pandas(df), k=100, max_doc_tokens=4)
+        .to_pandas()
+        .sort_values(["n_ab", "tok_a", "tok_b"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    pair_n2 = Counter()
+    for txt in texts:
+        toks = sorted({w for w in re.split(r"[^a-z0-9]+", (txt or "").lower()) if w})
+        if len(toks) <= 4:
+            pair_n2.update(combinations(toks, 2))
+    want2 = sorted(pair_n2.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["tok_a"], r["tok_b"], r["n_ab"]) for _, r in out2.iterrows()] == [
+        (a, b, n) for (a, b), n in want2
+    ]
