@@ -3078,3 +3078,36 @@ ORACLE_SQL["mad_value_user"] = """
     SELECT user_id, med, quantile_disc(ad, 0.5) AS mad
     FROM a GROUP BY user_id, med
 """
+
+
+def q_top_types_per_user(sf_dir: str):
+    """Per-entity top-k categories: each user's 3 most frequent event
+    types with counts and rank (ties: larger type name first — matching
+    the tail-k kernel's ascending-sort-take-tail rule) — map-side-combined
+    counts then the shared top-k tail kernel."""
+    from feast_ray.stages.latest import topk_per_entity
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    counts = partial_count_sum(ds, ["user_id", "event_type"], count_name="n_type")
+    out = topk_per_entity(
+        counts, keys="user_id", ts_col="n_type", k=3,
+        tie_break_cols=["event_type"], rank_col="type_rank",
+    )
+    return out.select_columns(["user_id", "event_type", "n_type", "type_rank"])
+
+
+QUERIES["top_types_per_user"] = q_top_types_per_user
+ORACLE_SQL["top_types_per_user"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, n_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY n_type DESC, event_type DESC)
+                  AS BIGINT) AS type_rank
+      FROM c)
+    SELECT user_id, event_type, n_type, type_rank
+    FROM r WHERE type_rank <= 3
+"""
