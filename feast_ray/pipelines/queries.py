@@ -3111,3 +3111,51 @@ ORACLE_SQL["top_types_per_user"] = """
     SELECT user_id, event_type, n_type, type_rank
     FROM r WHERE type_rank <= 3
 """
+
+
+def q_asof_last3_purchases(sf_dir: str):
+    """Recent-history features (``stages.asof.asof_join_last_n``): at every
+    click, the user's last 3 purchase values within 30 days (slot 1 = most
+    recent; equal-ts ties to the larger purchase event_id) — one exchange,
+    predecessor-index chain followed twice, each step one vectorized
+    gather."""
+    from feast_ray.stages.asof import asof_join_last_n
+
+    clicks = _typed_events(sf_dir, "click", ["user_id", "event_id", "ts"])
+    purchases = _typed_events(sf_dir, "purchase", ["user_id", "event_id", "ts", "value"])
+    purchases = purchases.map_batches(
+        lambda t: t.rename_columns(["user_id", "p_event_id", "ts", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return asof_join_last_n(
+        clicks,
+        purchases,
+        key="user_id",
+        n_last=3,
+        tie_col="p_event_id",
+        ttl_us=30 * 24 * 3600 * 1_000_000,
+        feature_cols=["value"],
+        prefix="p",
+    )
+
+
+QUERIES["asof_last3_purchases"] = q_asof_last3_purchases
+ORACLE_SQL["asof_last3_purchases"] = """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS pid, ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, c.ts,
+           l.p__value_1, l.p__value_2, l.p__value_3
+    FROM c LEFT JOIN LATERAL (
+      SELECT MAX(CASE WHEN rn = 1 THEN value END) AS p__value_1,
+             MAX(CASE WHEN rn = 2 THEN value END) AS p__value_2,
+             MAX(CASE WHEN rn = 3 THEN value END) AS p__value_3
+      FROM (
+        SELECT p.value,
+               ROW_NUMBER() OVER (ORDER BY p.ts DESC, p.pid DESC) AS rn
+        FROM p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+          AND p.ts >= c.ts - INTERVAL 30 DAY
+      )) l ON TRUE
+"""

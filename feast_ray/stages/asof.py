@@ -1108,3 +1108,97 @@ def range_agg_forward(
         return pa.table(out_cols)
 
     return grouped_map(both, keys, kernel, sort_keys=[_T, _SIDE], num_buckets=num_buckets)
+
+
+def asof_join_last_n(
+    spine,
+    features,
+    *,
+    key: str | Sequence[str],
+    n_last: int,
+    spine_ts: str = "ts",
+    feat_ts: str = "ts",
+    tie_col: Optional[str] = None,
+    ttl_us: Optional[int] = None,
+    feature_cols: Optional[Sequence[str]] = None,
+    prefix: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Recent-history as-of join: for each spine row at time ``t``, the
+    last ``n_last`` feature rows with ``feat_ts <= t`` (within ``ttl_us``),
+    emitted as WIDE slots ``{col}_1 .. {col}_{n_last}`` (1 = most recent;
+    missing slots NULL) — the "last 3 purchase amounts before this click"
+    feature family, which SQL spells as a LATERAL top-n + conditional
+    pivot.
+
+    Same one-exchange union tagging as :func:`asof_join`; the kernel adds
+    a per-row PREDECESSOR-FEATURE index (the backward running max shifted
+    one row) and follows it ``n_last - 1`` steps — each step one vectorized
+    gather, so cost is O(n_last * rows), never per-group Python.  Equal
+    ``feat_ts`` orders by ``tie_col`` (slot 1 = largest), matching
+    ``ORDER BY ts DESC, tie DESC``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if n_last < 1:
+        raise ValueError("n_last must be >= 1")
+    spine_schema = pa.schema(
+        [f for f in _dataset_schema(spine) if not f.name.startswith("__")]
+    )
+    feat_schema = _dataset_schema(features)
+    if feature_cols is None:
+        skip = set(keys) | {feat_ts}
+        if tie_col:
+            skip.add(tie_col)
+        feature_cols = [n for n in feat_schema.names if n not in skip]
+    feature_cols = list(feature_cols)
+    base_names = [f"{prefix}__{c}" if prefix else c for c in feature_cols]
+    out_slot_names = [
+        (f"{b}_{s}", c) for s in range(1, n_last + 1) for b, c in zip(base_names, feature_cols)
+    ]
+    clash = {nm for nm, _ in out_slot_names} & set(spine_schema.names)
+    if clash:
+        raise ValueError(f"output columns clash with spine columns: {clash}; use prefix=")
+
+    union_schema, prep_spine, prep_feat = _prepare_sides(
+        spine_schema, feature_cols, base_names, keys, spine_ts, feat_ts, tie_col, feat_schema
+    )
+    left = spine.map_batches(prep_spine, batch_format="pyarrow", zero_copy_batch=True)
+    right = features.map_batches(prep_feat, batch_format="pyarrow", zero_copy_batch=True)
+    both = left.union(right)
+    spine_names = list(spine_schema.names)
+
+    def kernel(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = tbl.num_rows
+        side = tbl[_SIDE].combine_chunks().to_numpy(zero_copy_only=False)
+        t = tbl[_T].combine_chunks().to_numpy(zero_copy_only=False)
+        ar = np.arange(n, dtype=np.int64)
+        gidx = starts_to_group_index(starts)
+        spi = np.flatnonzero(side == 1)
+        lf_incl = (
+            np.maximum.accumulate(np.where(side == 0, ar, -1))
+            if n
+            else np.zeros(0, dtype=np.int64)
+        )
+        lf_excl = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            lf_excl[1:] = lf_incl[:-1]
+        out_cols: dict[str, pa.Array] = {}
+        spi_arr = pa.array(spi, type=pa.int64())
+        for name in spine_names:
+            out_cols[name] = pc.take(tbl[name].combine_chunks(), spi_arr)
+        j = lf_incl[spi] if n else spi
+        for s in range(1, n_last + 1):
+            safe = np.maximum(j, 0)
+            valid = (j >= 0) & (gidx[safe] == gidx[spi])
+            if ttl_us is not None:
+                valid &= t[safe] >= t[spi] - ttl_us
+            idx = pa.array(safe, type=pa.int64(), mask=~valid)
+            for b, c in zip(base_names, feature_cols):
+                out_cols[f"{b}_{s}"] = pc.take(tbl[b].combine_chunks(), idx)
+            if s < n_last:
+                j = np.where(j >= 0, lf_excl[safe], -1)
+        return pa.table(out_cols)
+
+    return grouped_map(
+        both, keys, kernel, sort_keys=[_T, _SIDE, _CTS], num_buckets=num_buckets
+    )

@@ -528,3 +528,53 @@ def test_range_agg_forward_matches_bruteforce(ray_session):
         assert got["s_w"] == int(m["v"].fillna(0).sum()), row["sid"]
     # the clipped key produced all-zero windows
     assert (out[out["k"] == 3]["n_w"] == 0).all()
+
+
+def test_asof_last_n_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.asof import asof_join_last_n
+
+    rng = np.random.default_rng(55)
+    n_s, n_f = 500, 400
+    spine = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n_s),
+            "ts": rng.integers(0, 60_000, n_s).astype("datetime64[us]"),
+            "sid": np.arange(n_s),
+        }
+    )
+    feats = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n_f),
+            "ts": rng.integers(0, 60_000, n_f).astype("datetime64[us]"),
+            "fid": np.arange(n_f),
+            "x": rng.normal(size=n_f),
+        }
+    )
+    ttl = 9_000
+    out = (
+        asof_join_last_n(
+            rd.from_pandas(spine), rd.from_pandas(feats),
+            key="k", n_last=3, tie_col="fid", ttl_us=ttl, feature_cols=["x"],
+        )
+        .to_pandas().sort_values("sid").reset_index(drop=True)
+    )
+    assert len(out) == n_s
+    f_sorted = feats.sort_values(["ts", "fid"], ascending=[False, False])
+    for _, row in spine.iterrows():
+        cand = f_sorted[
+            (f_sorted["k"] == row["k"])
+            & (f_sorted["ts"] <= row["ts"])
+            & (f_sorted["ts"] >= row["ts"] - pd.Timedelta(microseconds=ttl))
+        ]
+        got = out[out["sid"] == row["sid"]].iloc[0]
+        for s in range(1, 4):
+            want = cand.iloc[s - 1]["x"] if len(cand) >= s else np.nan
+            g = got[f"x_{s}"]
+            assert (np.isnan(g) and np.isnan(want)) or g == want, (row["sid"], s)
+    # slots fill left to right: a null slot s implies null s+1
+    for s in (1, 2):
+        assert not ((out[f"x_{s}"].isna()) & (out[f"x_{s+1}"].notna())).any()
