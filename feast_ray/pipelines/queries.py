@@ -3159,3 +3159,131 @@ ORACLE_SQL["asof_last3_purchases"] = """
           AND p.ts >= c.ts - INTERVAL 30 DAY
       )) l ON TRUE
 """
+
+
+def q_pivot_value_user(sf_dir: str):
+    """Wide per-entity value profile (``stages.stats.pivot_sums``): exact
+    cents sum per event type per user as one wide row — map-side bincount
+    combiner, one exchange of partials."""
+    from feast_ray.stages.stats import pivot_sums
+
+    ds = _events_cents(sf_dir, ["user_id", "event_type", "value"])
+    return pivot_sums(
+        ds.select_columns(["user_id", "event_type", "c"]),
+        ["user_id"], "event_type", "c",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+QUERIES["pivot_value_user"] = q_pivot_value_user
+ORACLE_SQL["pivot_value_user"] = """
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS s_click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS s_error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS s_purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS s_signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS s_view
+    FROM events GROUP BY user_id
+"""
+
+
+def q_user_lifetime(sf_dir: str):
+    """Entity lifetime profile in one exchange: per user — first/last
+    active UTC day, calendar span, event count, distinct active days
+    (run detection over the day-sorted bucket)."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts, lasts = starts[:-1], starts[1:] - 1
+        take = pa.array(firsts)
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.diff(starts)
+        gidx_change = np.ones(t.num_rows, dtype=np.int64)
+        if t.num_rows > 1:
+            same_day = d[1:] == d[:-1]
+            gidx_change[1:] = (~same_day).astype(np.int64)
+            gidx_change[firsts] = 1
+        active = np.add.reduceat(gidx_change, firsts) if t.num_rows else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), take),
+                "first_day": pa.array(d[firsts] if t.num_rows else d[:0]),
+                "last_day": pa.array(d[lasts] if t.num_rows else d[:0]),
+                "span_days": pa.array(
+                    (d[lasts] - d[firsts] + 1) if t.num_rows else d[:0]
+                ),
+                "n_events": pa.array(n.astype(np.int64)),
+                "n_active_days": pa.array(active.astype(np.int64)),
+            }
+        )
+
+    return grouped_map(days, ["user_id"], kernel, sort_keys=["day"])
+
+
+QUERIES["user_lifetime"] = q_user_lifetime
+ORACLE_SQL["user_lifetime"] = """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+    SELECT user_id,
+           MIN(day) AS first_day,
+           MAX(day) AS last_day,
+           MAX(day) - MIN(day) + 1 AS span_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days
+    FROM d GROUP BY user_id
+"""
+
+
+def q_funnel_user(sf_dir: str):
+    """Ordered 3-step funnel per user (``stages.windows.funnel_steps``):
+    earliest signup -> first click strictly after it -> first purchase
+    strictly after that, with a converted flag — one exchange, one global
+    searchsorted per step over group-rebased packed timestamps."""
+    from feast_ray.stages.windows import funnel_steps
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    return funnel_steps(
+        ds, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+    )
+
+
+QUERIES["funnel_user"] = q_funnel_user
+ORACLE_SQL["funnel_user"] = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_step_1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    b AS (
+      SELECT s.user_id, MIN(e.ts) AS t_step_2
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click'
+       AND e.ts > s.t_step_1
+      GROUP BY s.user_id),
+    c AS (
+      SELECT b.user_id, MIN(e.ts) AS t_step_3
+      FROM b JOIN events e
+        ON e.user_id = b.user_id AND e.event_type = 'purchase'
+       AND e.ts > b.t_step_2
+      GROUP BY b.user_id)
+    SELECT u.user_id, s.t_step_1, b.t_step_2, c.t_step_3,
+           c.t_step_3 IS NOT NULL AS converted
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s USING (user_id)
+    LEFT JOIN b USING (user_id)
+    LEFT JOIN c USING (user_id)
+"""

@@ -1222,3 +1222,68 @@ def grouped_interarrival(
         return pa.table(cols)
 
     return grouped_map(ds, keys, kernel, sort_keys=sort_keys, num_buckets=num_buckets)
+
+
+def pivot_sums(
+    ds,
+    keys: Sequence[str],
+    cat_col: str,
+    val_col: str,
+    categories: Sequence[str],
+    *,
+    prefix: str = "s_",
+    num_buckets: Optional[int] = None,
+):
+    """One row per key group with an exact int64 SUM column per category
+    (SQL ``SUM(v) FILTER (WHERE cat = ...)`` pivot — the value companion
+    of :func:`pivot_counts`).  ``val_col`` must be integer (fixed point);
+    NULL values add 0.  Same map-side-combined shape: per batch one wide
+    row per distinct key (bincount with weights), one grouped exchange of
+    the partials.
+    """
+    keys = list(keys)
+    cats = list(categories)
+    out_cols = [f"{prefix}{c}" for c in cats]
+    kcount = len(cats)
+    cat_arr = pa.array(cats, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        code_arr = pc.index_in(t[cat_col], value_set=cat_arr)
+        code_arr = code_arr.combine_chunks() if isinstance(code_arr, pa.ChunkedArray) else code_arr
+        codes = code_arr.fill_null(-1).to_numpy(zero_copy_only=False)
+        keep = codes >= 0
+        kt = t.filter(pa.array(keep))
+        codes = codes[keep]
+        if kt.num_rows == 0:
+            return pa.table(
+                {**{k: t[k].slice(0, 0) for k in keys},
+                 **{c: pa.array([], pa.int64()) for c in out_cols}}
+            )
+        v = kt[val_col].combine_chunks().cast(pa.int64()).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        kcodes = pd_factorize_frame(kt.select(keys).to_pandas())
+        n_u = int(kcodes.max()) + 1
+        sums = np.bincount(
+            kcodes * kcount + codes, weights=v.astype(np.float64),
+            minlength=n_u * kcount,
+        )
+        # float64 weights are exact to 2^53 per batch partial; re-check and
+        # fall back to reduceat if a batch could overflow that
+        if np.abs(sums).max(initial=0) >= 2**53:
+            order = np.argsort(kcodes * kcount + codes, kind="stable")
+            key_sorted = (kcodes * kcount + codes)[order]
+            bounds = np.concatenate(([0], np.flatnonzero(key_sorted[1:] != key_sorted[:-1]) + 1))
+            exact = np.zeros(n_u * kcount, dtype=np.int64)
+            exact[key_sorted[bounds]] = np.add.reduceat(v[order], bounds)
+            sums = exact
+        sums = sums.reshape(n_u, kcount).astype(np.int64)
+        _, first_idx = np.unique(kcodes, return_index=True)
+        take = pa.array(first_idx.astype(np.int64))
+        cols = {k: pc.take(kt[k].combine_chunks(), take) for k in keys}
+        for j, c in enumerate(out_cols):
+            cols[c] = pa.array(sums[:, j])
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sum_by(partials, keys, out_cols, num_buckets=num_buckets)

@@ -526,3 +526,103 @@ def densify_calendar(
         return pa.table(cols)
 
     return grouped_map(ds, keys, kernel, sort_keys=[bucket_col], num_buckets=num_buckets)
+
+
+def funnel_steps(
+    ds,
+    key: str | Sequence[str],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    *,
+    out_prefix: str = "t_step",
+    converted_name: str = "converted",
+    num_buckets: Optional[int] = None,
+):
+    """Ordered event-sequence funnel per entity: the earliest completion
+    chain of ``steps`` (each next step STRICTLY later in time), one row
+    per entity with ``{out_prefix}_i`` timestamps (NULL from the first
+    unreached step) and a ``converted`` flag — the product-analytics
+    funnel, SQL-expressible as nested ``MIN(ts) > previous`` joins.
+    The greedy earliest chain is optimal: taking the earliest valid event
+    at every step minimizes the bound on the next.
+
+    One grouped exchange; step i resolves with ONE global searchsorted of
+    every entity's current bound against the group-rebased packed
+    timestamps of that step's events (same packing as the overlap join) —
+    O(steps * n log n) per bucket, no per-entity Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        n = t.num_rows
+        n_groups = len(firsts)
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), take) for k in keys
+        }
+        ts_arr = t[ts_col].combine_chunks()
+        ts_type = ts_arr.type
+        out_type = (
+            pa.timestamp("us", tz=ts_type.tz)
+            if pa.types.is_timestamp(ts_type)
+            else pa.int64()
+        )
+        us = _ts_us(ts_arr)
+        tv = t[type_col].combine_chunks()
+        if n == 0:
+            for i in range(1, len(steps) + 1):
+                cols[f"{out_prefix}_{i}"] = pa.array([], type=out_type)
+            cols[converted_name] = pa.array([], type=pa.bool_())
+            return pa.table(cols)
+        gidx = starts_to_group_index(starts)
+        lasts = starts[1:] - 1
+        base = us[firsts]  # bucket sorted by (keys, ts): group min
+        span = us[lasts] - base
+        offset = int(span.max()) + 2
+        if n_groups * offset >= 2**62:
+            raise ValueError("timestamp spans too large for the packed key space")
+        bound_us = base - 1  # "strictly after bound" starts before everything
+        alive = np.ones(n_groups, dtype=bool)
+        for i, step in enumerate(steps, start=1):
+            mask = pc.equal(tv, step).fill_null(False).to_numpy(zero_copy_only=False)
+            pos = np.flatnonzero(mask)
+            if len(pos) == 0:
+                alive = np.zeros(n_groups, dtype=bool)
+                cols[f"{out_prefix}_{i}"] = pa.nulls(n_groups, type=out_type)
+                for j in range(i + 1, len(steps) + 1):
+                    cols[f"{out_prefix}_{j}"] = pa.nulls(n_groups, type=out_type)
+                break
+            sg, sus = gidx[pos], us[pos]
+            packed = sg * offset + (sus - base[sg])
+            s_end = np.searchsorted(sg, np.arange(n_groups), side="right")
+            q = np.arange(n_groups) * offset + np.clip(
+                bound_us - base, -1, offset - 1
+            )
+            idx = np.searchsorted(packed, q, side="right")
+            safe = np.minimum(idx, len(pos) - 1)
+            hit = alive & (idx < s_end) & (idx < len(pos)) & (
+                sg[safe] == np.arange(n_groups)
+            )
+            step_ts = np.where(hit, sus[safe], 0)
+            arr = pa.array(step_ts.astype(np.int64), type=pa.int64(), mask=~hit)
+            if pa.types.is_timestamp(ts_type):
+                arr = arr.cast(out_type)
+            cols[f"{out_prefix}_{i}"] = arr
+            bound_us = np.where(hit, step_ts, bound_us)
+            alive = hit
+        cols[converted_name] = pa.array(alive)
+        return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, sort_keys=[ts_col], num_buckets=num_buckets)
+
+
+def _ts_us(col: pa.Array) -> np.ndarray:
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = col.cast(pa.timestamp("us", tz=t.tz))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)

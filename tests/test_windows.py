@@ -317,3 +317,46 @@ def test_densify_calendar_matches_pandas(ray_session):
     got_tot = out.groupby("k")["n"].sum()
     want_tot = df.groupby("k").size()
     assert (got_tot.loc[want_tot.index] == want_tot).all()
+
+
+def test_funnel_steps_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import funnel_steps
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 100_000, n).astype(np.int64),
+            "et": rng.choice(["A", "B", "C", "x"], n, p=[0.2, 0.2, 0.1, 0.5]),
+        }
+    )
+    out = (
+        funnel_steps(rd.from_pandas(df), "k", "ts", "et", ["A", "B", "C"])
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k, g in df.groupby("k"):
+        got = out.loc[k]
+        want = []
+        bound = -1
+        ok = True
+        for step in ["A", "B", "C"]:
+            cand = g[(g["et"] == step) & (g["ts"] > bound)]
+            if ok and len(cand):
+                bound = int(cand["ts"].min())
+                want.append(bound)
+            else:
+                ok = False
+                want.append(None)
+        for i, w in enumerate(want, start=1):
+            gv = got[f"t_step_{i}"]
+            assert (pd.isna(gv) and w is None) or gv == w, (k, i)
+        assert bool(got["converted"]) == (want[2] is not None)
+    # both outcomes exercised
+    assert out["converted"].any() and (~out["converted"]).any()
