@@ -335,6 +335,12 @@ def test_funnel_steps_matches_bruteforce(ray_session):
             "et": rng.choice(["A", "B", "C", "x"], n, p=[0.2, 0.2, 0.1, 0.5]),
         }
     )
+    # a group that can never convert (no C) and one that stalls at step 1
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [99, 99, 98], "ts": [10, 20, 5],
+                           "et": ["A", "B", "A"]})],
+        ignore_index=True,
+    )
     out = (
         funnel_steps(rd.from_pandas(df), "k", "ts", "et", ["A", "B", "C"])
         .to_pandas()
