@@ -633,27 +633,17 @@ def add_group_ewma(
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     a = float(alpha)
-    b = 1.0 - a
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        from feast_ray.stages.windows import ewma_walk
+
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], type=pa.float64()))
         col = t[val_col].combine_chunks()
         if col.null_count:
             raise ValueError(f"{val_col} has nulls; ewma over nulls is undefined")
         x = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        sizes = np.diff(starts)
-        out = np.empty_like(x)
-        heads = starts[:-1][sizes > 0]
-        out[heads] = x[heads]
-        live = starts[:-1]  # start offsets of groups still being walked
-        live_sizes = sizes
-        for r in range(1, int(sizes.max(initial=0))):
-            m = live_sizes > r
-            live, live_sizes = live[m], live_sizes[m]
-            idx = live + r
-            out[idx] = a * x[idx] + b * out[idx - 1]
-        return t.append_column(out_col, pa.array(out))
+        return t.append_column(out_col, pa.array(ewma_walk(x, starts, a)))
 
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets

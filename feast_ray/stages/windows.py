@@ -119,6 +119,22 @@ class Expanding:
 
 
 @dataclass(frozen=True)
+class Ewma:
+    """Exponentially weighted moving average in row order (adjust=False):
+    y_0 = x_0; y_i = alpha*x_i + (1-alpha)*y_{i-1}.  NULL values are
+    rejected (they would poison the entity's tail).  Pick a dyadic alpha
+    for bit-exact SQL recursive-CTE twins."""
+
+    col: str
+    alpha: float
+    name: Optional[str] = None
+
+    @property
+    def out(self) -> str:
+        return self.name or f"ewma_{self.col}"
+
+
+@dataclass(frozen=True)
 class RowNumber:
     """1-based ordinal within the entity under the sort order."""
 
@@ -303,6 +319,25 @@ def sessionize_ids(ts: np.ndarray, starts: np.ndarray, gap_us: int) -> np.ndarra
     return cum - cum[gstart]  # 0-based within entity
 
 
+def ewma_walk(x: np.ndarray, starts: np.ndarray, alpha: float) -> np.ndarray:
+    """Rank-walk EWMA across ALL groups at once: step r updates row r of
+    every group (two multiplies + add over shrinking index arrays), so
+    Python iterations = max rows per group.  Fixed ``alpha*x +
+    (1-alpha)*y_prev`` float schedule (SQL-reproducible for dyadic alpha)."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    sizes = np.diff(starts)
+    out = np.empty_like(x, dtype=np.float64)
+    heads = starts[:-1][sizes > 0]
+    out[heads] = x[heads]
+    live, live_sizes = starts[:-1], sizes
+    for r in range(1, int(sizes.max(initial=0))):
+        m = live_sizes > r
+        live, live_sizes = live[m], live_sizes[m]
+        idx = live + r
+        out[idx] = a * x[idx] + b * out[idx - 1]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Kernel assembly + Dataset wrapper
 # ---------------------------------------------------------------------------
@@ -350,6 +385,16 @@ def make_window_kernel(specs: Sequence[WindowSpec], ts_col: str):
                 we = np.arange(n, dtype=np.int64) + 1
                 for a, arr in rolling_aggs(v, ws, we, spec.aggs).items():
                     out = out.append_column(spec.out(a), arr)
+            elif isinstance(spec, Ewma):
+                if not 0.0 < spec.alpha <= 1.0:
+                    raise ValueError("Ewma.alpha must be in (0, 1]")
+                col = _col_array(tbl, spec.col)
+                if col.null_count:
+                    raise ValueError(
+                        f"{spec.col} has nulls; ewma over nulls is undefined"
+                    )
+                x = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                out = out.append_column(spec.out, pa.array(ewma_walk(x, starts, spec.alpha)))
             elif isinstance(spec, RowNumber):
                 rn = np.arange(n, dtype=np.int64) - gstart + 1
                 out = out.append_column(spec.name, pa.array(rn))
@@ -371,6 +416,8 @@ def _empty_with_spec_columns(tbl: pa.Table, specs: Sequence[WindowSpec]) -> pa.T
             for a in spec.aggs:
                 t = pa.int64() if a == "count" else pa.float64()
                 out = out.append_column(spec.out(a), pa.array([], type=t))
+        elif isinstance(spec, Ewma):
+            out = out.append_column(spec.out, pa.array([], type=pa.float64()))
         elif isinstance(spec, (Sessionize, RowNumber)):
             out = out.append_column(spec.name, pa.array([], type=pa.int64()))
     return out

@@ -366,3 +366,43 @@ def test_funnel_steps_matches_bruteforce(ray_session):
         assert bool(got["converted"]) == (want[2] is not None)
     # both outcomes exercised
     assert out["converted"].any() and (~out["converted"]).any()
+
+
+def test_ewma_spec_in_fused_window_kernel(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import Ewma, Lag, RowNumber, add_window_features
+
+    rng = np.random.default_rng(71)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 19, n),
+            "ts": np.arange(n, dtype=np.int64),
+            "x": rng.normal(size=n),
+        }
+    )
+    out = (
+        add_window_features(
+            rd.from_pandas(df), key="k", ts_col="ts", order_cols=["ts"],
+            specs=[Ewma("x", alpha=0.5), Lag("x", 1), RowNumber()],
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "ts"])
+        .groupby("k")["x"]
+        .transform(lambda s: s.ewm(alpha=0.5, adjust=False).mean())
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out["ewma_x"].to_numpy(), want, rtol=1e-12)
+    assert "lag1_x" in out.columns and "row_number" in out.columns
+    with pytest.raises(Exception, match="alpha"):
+        add_window_features(
+            rd.from_pandas(df), key="k", ts_col="ts", order_cols=["ts"],
+            specs=[Ewma("x", alpha=1.5)],
+        ).materialize()
