@@ -46,6 +46,7 @@ import pyarrow.compute as pc
 
 from feast_ray.grouped import grouped_map, starts_to_row_gstart
 from feast_ray.stages.windows import (
+    Ewma,
     Expanding,
     Lag,
     Lead,
@@ -125,7 +126,7 @@ def salted_window_features(
     :func:`feast_ray.stages.windows.add_window_features` exactly (modulo row
     order) under the overlap contract in the module docstring."""
     specs = list(specs)
-    bad = [s for s in specs if isinstance(s, (Expanding, RowNumber))]
+    bad = [s for s in specs if isinstance(s, (Ewma, Expanding, RowNumber))]
     if bad:
         raise ValueError(
             f"{[type(s).__name__ for s in bad]} need full entity history and "

@@ -72,13 +72,13 @@ class TurnShardActor:
         time_rows_bound: int = 0,
         evict_idle_us: Optional[int] = None,
     ):
-        from feast_ray.stages.windows import Expanding, RowNumber
+        from feast_ray.stages.windows import Ewma, Expanding, RowNumber
 
         if any(isinstance(s, Lead) for s in specs):
             raise ValueError("Lead specs are not computable on a stream (future turns)")
-        if any(isinstance(s, (Expanding, RowNumber)) for s in specs):
+        if any(isinstance(s, (Ewma, Expanding, RowNumber)) for s in specs):
             raise ValueError(
-                "Expanding/RowNumber need full-history offsets; not supported "
+                "Ewma/Expanding/RowNumber need full-history state; not supported "
                 "by the bounded turn buffer (use the batch path)"
             )
         from feast_ray.stages.windows import RollingTime

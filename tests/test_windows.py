@@ -406,3 +406,23 @@ def test_ewma_spec_in_fused_window_kernel(ray_session):
             rd.from_pandas(df), key="k", ts_col="ts", order_cols=["ts"],
             specs=[Ewma("x", alpha=1.5)],
         ).materialize()
+
+
+def test_salt_and_stream_reject_ewma(ray_session, transcripts_tbl):
+    import pytest as _pytest
+    import ray
+    import ray.data as rd
+
+    from feast_ray.stages.salt import salted_window_features
+    from feast_ray.stages.windows import Ewma
+    from feast_ray.state.turn_buffer import TurnShardActor
+
+    ds = rd.from_arrow(transcripts_tbl)
+    with _pytest.raises(ValueError, match="full entity history"):
+        salted_window_features(
+            ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"],
+            specs=[Ewma("turn_idx", alpha=0.5)], chunk_rows=10,
+        )
+    a = TurnShardActor.remote(specs=[Ewma("turn_idx", alpha=0.5)])
+    with _pytest.raises(Exception, match="full-history"):
+        ray.get(a.__ray_ready__.remote())
