@@ -6,6 +6,11 @@ computed in exact integer-scaled units (per-row ROUND(x * 10^k) of
 fixed-decimal inputs, integer sums, one final division) so accumulation
 order cannot diverge; final ROUND calls are avoided because numpy rounds
 half-to-even while DuckDB rounds half-away — a real tie (x.xx5) flips them.
+Integer time buckets (day/hour derivations via ``//``) assume NON-NEGATIVE
+epoch timestamps: numpy floor-divides while DuckDB ``//`` truncates toward
+zero, so a pre-1970 timestamp would land one bucket apart (verified:
+``-7 // 2`` = -4 numpy, -3 DuckDB).  Event time before the epoch is treated
+as out of contract.
 
 None of these functions call ``ray.init`` — the caller owns the session.
 """
