@@ -3292,3 +3292,29 @@ ORACLE_SQL["funnel_user"] = """
     LEFT JOIN b USING (user_id)
     LEFT JOIN c USING (user_id)
 """
+
+
+def q_running_extrema_events(sf_dir: str):
+    """Running (expanding) min/max of value per user in (ts, event_id)
+    order — the sparse-table range-extrema kernel over unbounded-preceding
+    windows (SQL MIN/MAX OVER ROWS UNBOUNDED PRECEDING), same fused
+    one-shuffle window pass as every other spec."""
+    from feast_ray.stages.windows import Expanding, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = add_window_features(
+        ds, key="user_id", ts_col="ts", order_cols=["ts", "event_id"],
+        specs=[Expanding("value", aggs=("min", "max"), prefix="run")],
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "run_min", "run_max"])
+
+
+QUERIES["running_extrema_events"] = q_running_extrema_events
+ORACLE_SQL["running_extrema_events"] = """
+    SELECT user_id, event_id, ts,
+           MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_min,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_max
+    FROM events
+"""
