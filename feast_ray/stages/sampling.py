@@ -151,8 +151,6 @@ def epoch_shuffle_index(
     """
     import ray
 
-    import ray.data as rd
-
     from feast_ray.grouped import grouped_map
 
     if not 1 <= bucket_bits <= 20:
