@@ -3318,3 +3318,67 @@ ORACLE_SQL["running_extrema_events"] = """
                             ROWS UNBOUNDED PRECEDING) AS run_max
     FROM events
 """
+
+
+def q_ohlc_value_user_hour(sf_dir: str):
+    """Bar resampling (OHLC): per user per UTC hour — open/close = first/
+    last value in (ts, event_id) order, high/low = extrema, plus the bar's
+    event count.  One exchange on the derived (user, hour) key; open/close
+    are the sorted bucket's group boundary rows, extrema are reduceat."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": pa.array(us // 3_600_000_000),
+                "event_id": t["event_id"],
+                "value": t["value"],
+            }
+        )
+
+    hours = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts, lasts = starts[:-1], starts[1:] - 1
+        tf = pa.array(firsts)
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.diff(starts)
+        if t.num_rows:
+            hi = np.maximum.reduceat(v, firsts)
+            lo = np.minimum.reduceat(v, firsts)
+        else:
+            hi = lo = v[:0]
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), tf),
+                "hour": pc.take(t["hour"].combine_chunks(), tf),
+                "open": pa.array(v[firsts] if t.num_rows else v[:0]),
+                "high": pa.array(hi),
+                "low": pa.array(lo),
+                "close": pa.array(v[lasts] if t.num_rows else v[:0]),
+                "n_events": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return grouped_map(
+        hours, ["user_id", "hour"], kernel, sort_keys=["event_id"],
+    )
+
+
+QUERIES["ohlc_value_user_hour"] = q_ohlc_value_user_hour
+ORACLE_SQL["ohlc_value_user_hour"] = """
+    WITH h AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hour, event_id, value
+      FROM events)
+    SELECT user_id, hour,
+           first(value ORDER BY event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM h GROUP BY user_id, hour
+"""

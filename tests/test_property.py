@@ -244,3 +244,26 @@ def test_expanding_distinct_kernel_property(sizes, data):
             seen.add(cats[i])
             want.append(len(seen))
     assert list(got) == want
+
+
+@given(
+    sizes=group_sizes,
+    alpha=st.sampled_from([0.25, 0.5, 0.125, 1.0]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(max_examples=60, deadline=None)
+def test_ewma_walk_property(sizes, alpha, seed):
+    from feast_ray.stages.windows import ewma_walk
+
+    starts = _starts(sizes)
+    n = int(starts[-1])
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 10, n)
+    got = ewma_walk(x, starts, alpha)
+    for g in range(len(sizes)):
+        lo, hi = starts[g], starts[g + 1]
+        y = x[lo]
+        assert got[lo] == y
+        for i in range(lo + 1, hi):
+            y = alpha * x[i] + (1.0 - alpha) * y
+            assert got[i] == y  # bit-exact: same operation order
