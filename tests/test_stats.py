@@ -808,3 +808,30 @@ def test_new_stages_handle_empty_input(ray_session):
         # grouped.py); map-only stages keep it
         if len(out.columns):
             assert col in out.columns, (col, list(out.columns))
+
+
+def test_partial_count_sum_matches_pandas(ev):
+    from feast_ray.stages.stats import partial_count_sum
+
+    df = ev.copy()
+    df["v"] = df["c"] * 3
+    df.loc[df.index % 11 == 0, "v"] = pd.NA
+    df["v"] = df["v"].astype("Int64")
+    tbl = pa.Table.from_pandas(df[["k", "cat", "v"]], preserve_index=False)
+    out = (
+        partial_count_sum(
+            rd.from_arrow(tbl).repartition(5), ["k", "cat"], "v",
+            count_name="n", sum_name="s",
+        )
+        .to_pandas().sort_values(["k", "cat"]).reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k", "cat"])
+        .agg(n=("v", "size"), s=("v", lambda x: int(x.fillna(0).sum())))
+        .reset_index()
+        .sort_values(["k", "cat"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (out["s"].to_numpy() == want["s"].to_numpy()).all()
