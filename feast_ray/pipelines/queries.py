@@ -3382,3 +3382,75 @@ ORACLE_SQL["ohlc_value_user_hour"] = """
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM h GROUP BY user_id, hour
 """
+
+
+def q_disorder_stats_user(sf_dir: str):
+    """Stream-disorder / data-quality stats: per user, how many events
+    arrived out of event-time order (ts below the running max over earlier
+    ARRIVALS, arrival order = event_id) and the worst lateness in seconds —
+    what a watermark policy is sized from.  One exchange sorted by arrival;
+    running max + compare, int64-exact lateness."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        n_rows = t.num_rows
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = np.diff(starts)
+        if n_rows:
+            # group-rebased running max: each group's rebased values dominate
+            # every earlier group's, so the GLOBAL accumulate can never carry
+            # a maximum backward across a group boundary
+            from feast_ray.grouped import starts_to_group_index
+
+            gidx = starts_to_group_index(starts)
+            u0 = us - us.min()
+            big = np.int64(int(u0.max()) + 1)
+            if (len(starts) - 1) * int(big) >= 2**62:
+                raise ValueError("timestamp span too large for the rebased scan")
+            reb = u0 + gidx * big
+            rm = np.maximum.accumulate(reb)
+            prev = np.empty(n_rows, dtype=np.int64)
+            prev[0] = -1
+            prev[1:] = rm[:-1]
+            # valid only when the running max came from THIS group
+            has_prev = prev >= gidx * big
+            prev_max = np.where(has_prev, prev - gidx * big, np.int64(-1))
+            late = has_prev & (u0 < prev_max)
+            lateness = np.where(late, prev_max - u0, 0)
+            n_late = np.add.reduceat(late.astype(np.int64), starts[:-1])
+            max_late = np.maximum.reduceat(lateness, starts[:-1])
+        else:
+            n_late = np.zeros(0, np.int64)
+            max_late = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), firsts),
+                "n_events": pa.array(n.astype(np.int64)),
+                "n_out_of_order": pa.array(n_late.astype(np.int64)),
+                "max_lateness_s": pa.array((max_late // 1_000_000).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["event_id"])
+
+
+QUERIES["disorder_stats_user"] = q_disorder_stats_user
+ORACLE_SQL["disorder_stats_user"] = """
+    WITH a AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE us < prev_max) AS BIGINT)
+             AS n_out_of_order,
+           CAST(COALESCE(MAX(CASE WHEN us < prev_max
+                                  THEN prev_max - us END) // 1000000, 0)
+                AS BIGINT) AS max_lateness_s
+    FROM a GROUP BY user_id
+"""
