@@ -3454,3 +3454,57 @@ ORACLE_SQL["disorder_stats_user"] = """
                 AS BIGINT) AS max_lateness_s
     FROM a GROUP BY user_id
 """
+
+
+def q_rolling_corr_events(sf_dir: str):
+    """Rolling correlation over the last 20 events per user
+    (``stages.stats.add_group_rolling_corr``): value-cents vs the request
+    payload field props.k — int64-exact window moments off rebased prefix
+    sums, grouped_corr's fixed float schedule, bit-exact vs a window-SUM
+    twin."""
+    from feast_ray.stages.stats import add_group_rolling_corr
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value", "props"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        kk = pc.struct_field(st, "k").cast(pa.int64())
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "event_id": t["event_id"],
+             "ts": t["ts"], "c": c, "k": kk}
+        )
+
+    ex = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_group_rolling_corr(
+        ex, "user_id", "c", "k", k=20,
+        order_cols=["ts", "event_id"], out_col="rcorr",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "rcorr"])
+
+
+QUERIES["rolling_corr_events"] = q_rolling_corr_events
+ORACLE_SQL["rolling_corr_events"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, ts,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             SUM(c) OVER win AS sx, SUM(k) OVER win AS sy,
+             SUM(c * c) OVER win AS sxx, SUM(k * k) OVER win AS syy,
+             SUM(c * k) OVER win AS sxy
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS rcorr
+    FROM w
+"""

@@ -1277,3 +1277,61 @@ def pivot_sums(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return sum_by(partials, keys, out_cols, num_buckets=num_buckets)
+
+
+def add_group_rolling_corr(
+    ds,
+    key: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    k: int,
+    order_cols: Sequence[str],
+    out_col: str = "rolling_corr",
+    num_buckets: Optional[int] = None,
+):
+    """Rolling Pearson correlation of two INTEGER columns over the trailing
+    ``k``-row window per entity (``ROWS k-1 PRECEDING``) — the windowed
+    relationship feature (does value track the request payload lately?).
+
+    The five window moments come from int64 prefix sums rebased at group
+    starts (exact, order-independent); the float schedule is the same
+    fixed ``grouped_corr`` expression, so a SQL twin built from window
+    SUMs reproduces it bit-for-bit.  NULL when the window holds < 2 rows
+    or either variance is 0.  Overflow: window sums of x*x etc. must stay
+    below 2^63 — same bound as ``grouped_corr`` but over k rows only.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        from feast_ray.stages.windows import rolling_rows_bounds
+
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.float64()))
+        x = t[x_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        ws, we = rolling_rows_bounds(n_rows, gstart, k)
+
+        def win(v: np.ndarray) -> np.ndarray:
+            P = np.concatenate(([0], np.cumsum(v)))
+            return P[we] - P[ws]
+
+        n = (we - ws).astype(np.int64)
+        sx, sy = win(x), win(y)
+        sxx, syy, sxy = win(x * x), win(y * y), win(x * y)
+        cov = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / (np.sqrt(vx) * np.sqrt(vy))
+        bad = (n < 2) | (vx <= 0) | (vy <= 0)
+        return t.append_column(out_col, pa.array(r, mask=bad))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )

@@ -835,3 +835,34 @@ def test_partial_count_sum_matches_pandas(ev):
     assert len(out) == len(want)
     assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
     assert (out["s"].to_numpy() == want["s"].to_numpy()).all()
+
+
+def test_rolling_corr_matches_pandas(ev):
+    from feast_ray.stages.stats import add_group_rolling_corr
+
+    rng = np.random.default_rng(77)
+    df = ev.reset_index().rename(columns={"index": "rid"}).copy()
+    df["x"] = rng.integers(-50, 50, len(df))
+    df["y"] = df["x"] * 2 + rng.integers(-30, 30, len(df))
+    K = 8
+    out = (
+        add_group_rolling_corr(
+            rd.from_pandas(df), "k", "x", "y", k=K,
+            order_cols=["c", "rid"], out_col="rc",
+        )
+        .to_pandas().sort_values(["k", "c", "rid"]).reset_index(drop=True)
+    )
+    ordered = df.sort_values(["k", "c", "rid"]).reset_index(drop=True)
+    want = (
+        ordered.groupby("k")
+        .apply(lambda g: g["x"].rolling(K, min_periods=1).corr(g["y"]))
+        .reset_index(drop=True)
+        .to_numpy()
+    )
+    got = out["rc"].to_numpy()
+    # pandas emits NaN where we emit null; zero-variance windows also NaN
+    both_nan = np.isnan(got) & (np.isnan(want) | np.isinf(want))
+    assert (both_nan | np.isclose(got, want, rtol=1e-9, equal_nan=False)).all()
+    # single-row windows are NULL (n < 2)
+    heads = out.groupby("k").head(1)
+    assert heads["rc"].isna().all()
