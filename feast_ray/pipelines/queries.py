@@ -3508,3 +3508,43 @@ ORACLE_SQL["rolling_corr_events"] = """
            END AS rcorr
     FROM w
 """
+
+
+def q_rolling_zscore_events(sf_dir: str):
+    """Rolling anomaly score (``stages.stats.add_group_rolling_zscore``):
+    each event's value-cents z-scored against the user's own trailing
+    20-event window — int64-exact window moments, fixed float schedule,
+    bit-exact vs the window-SUM twin."""
+    from feast_ray.stages.stats import add_group_rolling_zscore
+
+    ds = _events_cents(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = add_group_rolling_zscore(
+        ds.select_columns(["user_id", "event_id", "ts", "c"]),
+        "user_id", "c", k=20,
+        order_cols=["ts", "event_id"], out_col="rz",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "rz"])
+
+
+QUERIES["rolling_zscore_events"] = q_rolling_zscore_events
+ORACLE_SQL["rolling_zscore_events"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, ts, c,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             SUM(c) OVER win AS sx,
+             SUM(c * c) OVER win AS sxx
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+             (CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    / CAST(n * n AS DOUBLE))
+           END AS rz
+    FROM w
+"""

@@ -1335,3 +1335,55 @@ def add_group_rolling_corr(
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
     )
+
+
+def add_group_rolling_zscore(
+    ds,
+    key: str | Sequence[str],
+    int_col: str,
+    *,
+    k: int,
+    order_cols: Sequence[str],
+    out_col: str = "rolling_z",
+    num_buckets: Optional[int] = None,
+):
+    """Rolling z-score: how anomalous is the current value against the
+    entity's OWN trailing ``k``-row window (window includes the current
+    row — population variance, SQL-reproducible fixed schedule:
+
+        mean = float(sx) / float(n)
+        var  = float(n*sxx - sx*sx) / float(n*n)
+        z    = (x - mean) / sqrt(var)       # NULL when n < 2 or var == 0
+
+    Int64-exact window sums off rebased prefix sums; same overflow bound
+    as the other moment kernels.  The per-entity anomaly-flag feature.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        from feast_ray.stages.windows import rolling_rows_bounds
+
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.float64()))
+        x = t[int_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        ws, we = rolling_rows_bounds(n_rows, gstart, k)
+        P = np.concatenate(([0], np.cumsum(x)))
+        Q = np.concatenate(([0], np.cumsum(x * x)))
+        n = (we - ws).astype(np.int64)
+        sx = P[we] - P[ws]
+        sxx = Q[we] - Q[ws]
+        mean = sx.astype(np.float64) / n.astype(np.float64)
+        var = (n * sxx - sx * sx).astype(np.float64) / (n * n).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x.astype(np.float64) - mean) / np.sqrt(var)
+        bad = (n < 2) | (var <= 0)
+        return t.append_column(out_col, pa.array(z, mask=bad))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )

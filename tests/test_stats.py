@@ -866,3 +866,26 @@ def test_rolling_corr_matches_pandas(ev):
     # single-row windows are NULL (n < 2)
     heads = out.groupby("k").head(1)
     assert heads["rc"].isna().all()
+
+
+def test_rolling_zscore_matches_pandas(ev):
+    from feast_ray.stages.stats import add_group_rolling_zscore
+
+    df = ev.reset_index().rename(columns={"index": "rid"})
+    K = 6
+    out = (
+        add_group_rolling_zscore(
+            rd.from_pandas(df[["k", "c", "rid"]]), "k", "c", k=K,
+            order_cols=["rid"], out_col="z",
+        )
+        .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True)
+    )
+    ordered = df.sort_values(["k", "rid"]).reset_index(drop=True)
+    g = ordered.groupby("k")["c"]
+    mean = g.transform(lambda s: s.rolling(K, min_periods=1).mean())
+    std = g.transform(lambda s: s.rolling(K, min_periods=1).std(ddof=0))
+    want = ((ordered["c"] - mean) / std).to_numpy()
+    got = out["z"].to_numpy()
+    both_nan = np.isnan(got) & (np.isnan(want) | np.isinf(want))
+    assert (both_nan | np.isclose(got, want, rtol=1e-9, equal_nan=False)).all()
+    assert out.groupby("k").head(1)["z"].isna().all()  # n=1 windows NULL
