@@ -3548,3 +3548,74 @@ ORACLE_SQL["rolling_zscore_events"] = """
            END AS rz
     FROM w
 """
+
+
+def q_bounce_rate_user(sf_dir: str):
+    """Session bounce profile per user: total sessions and single-event
+    (bounce) sessions under the 30-minute gap rule — sessionize + one
+    per-(user, session) run count folded into the same exchange's kernel;
+    integers only so the twin hashes exactly."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "user_id": t["user_id"].combine_chunks().slice(0, 0),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_bounce": pa.array([], pa.int64()),
+                }
+            )
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sid = sessionize_ids(us, starts, SESSION_GAP_US)
+        # session runs: boundaries where sid changes or a new group starts
+        newrun = np.ones(n_rows, dtype=np.int64)
+        newrun[1:] = (sid[1:] != sid[:-1]).astype(np.int64)
+        newrun[starts[:-1]] = 1
+        run_start = np.flatnonzero(newrun)
+        run_len = np.diff(np.concatenate((run_start, [n_rows])))
+        from feast_ray.grouped import starts_to_group_index
+
+        gidx = starts_to_group_index(starts)
+        rg = gidx[run_start]
+        n_groups = len(starts) - 1
+        n_sessions = np.bincount(rg, minlength=n_groups)
+        n_bounce = np.bincount(rg[run_len == 1], minlength=n_groups)
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), firsts),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "n_bounce": pa.array(n_bounce.astype(np.int64)),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES["bounce_rate_user"] = q_bounce_rate_user
+ORACLE_SQL["bounce_rate_user"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(CASE WHEN prev_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(prev_ts) <= {SESSION_GAP_US}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e),
+    per AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE sz = 1) AS BIGINT) AS n_bounce
+    FROM per GROUP BY user_id
+"""
