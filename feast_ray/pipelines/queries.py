@@ -3619,3 +3619,49 @@ ORACLE_SQL["bounce_rate_user"] = f"""
            CAST(COUNT(*) FILTER (WHERE sz = 1) AS BIGINT) AS n_bounce
     FROM per GROUP BY user_id
 """
+
+
+def q_type_transitions(sf_dir: str):
+    """Markov transition counts over event-type sequences: global count of
+    (from_type, to_type) for consecutive events of the same user in
+    (ts, event_id) order — per-user lag off the one exchange, then the
+    map-side-combined pair count; the sequence-model / behavioral-grammar
+    evidence table."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        et = t["event_type"].combine_chunks()
+        if n_rows == 0:
+            return pa.table(
+                {"from_type": et.slice(0, 0), "to_type": et.slice(0, 0)}
+            )
+        idx = np.arange(n_rows, dtype=np.int64)
+        is_first = np.zeros(n_rows, dtype=bool)
+        is_first[starts[:-1]] = True
+        keep = ~is_first  # rows with a same-user predecessor
+        prev = pa.array(idx[keep] - 1)
+        cur = pa.array(idx[keep])
+        return pa.table(
+            {"from_type": pc.take(et, prev), "to_type": pc.take(et, cur)}
+        )
+
+    pairs = grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+    return partial_count_sum(pairs, ["from_type", "to_type"], count_name="n_trans")
+
+
+QUERIES["type_transitions"] = q_type_transitions
+ORACLE_SQL["type_transitions"] = """
+    WITH l AS (
+      SELECT user_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM l WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""
