@@ -769,19 +769,41 @@ def cooccurrence_topk(
     except TypeError:  # older sort signature
         top = top.sort("n_ab", descending=True).limit(k)
 
+    # marginals: the survivors are <= k rows, so broadcast their token set,
+    # filter the distributed df count down to <= 2k rows, and join locally —
+    # two whole-table join exchanges replaced by one tiny collect (O(k)
+    # driver state by construction)
+    import ray.data as rd
+
+    top_tbl = pa.concat_tables(
+        list(top.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"tok_a": pa.array([], pa.string()),
+                      "tok_b": pa.array([], pa.string()),
+                      "n_ab": pa.array([], pa.int64())})]
+    )
+    want_toks = pa.array(
+        sorted(set(top_tbl["tok_a"].to_pylist()) | set(top_tbl["tok_b"].to_pylist())),
+        pa.string(),
+    )
     df = partial_count_sum(dt, ["token"], count_name="df", num_buckets=num_buckets)
-    from feast_ray.stages.join import equi_join
 
-    def rn(name_from: str, names: list):
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns(names)
+    def keep_wanted(t: pa.Table) -> pa.Table:
+        if len(want_toks) == 0 or t.num_rows == 0:
+            return t.slice(0, 0)
+        return t.filter(pc.is_in(t["token"], value_set=want_toks))
 
-        return f
-
-    df_a = df.map_batches(rn("token", ["tok_a", "df_a"]), batch_format="pyarrow",
-                          zero_copy_batch=True)
-    df_b = df.map_batches(rn("token", ["tok_b", "df_b"]), batch_format="pyarrow",
-                          zero_copy_batch=True)
-    out = equi_join(top, df_a, keys=["tok_a"], how="inner", num_buckets=num_buckets)
-    out = equi_join(out, df_b, keys=["tok_b"], how="inner", num_buckets=num_buckets)
-    return out
+    df_small = pa.concat_tables(
+        list(
+            df.map_batches(keep_wanted, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+        )
+        or [pa.table({"token": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})]
+    )
+    lut = dict(zip(df_small["token"].to_pylist(), df_small["df"].to_pylist()))
+    out = top_tbl.append_column(
+        "df_a", pa.array([lut[v] for v in top_tbl["tok_a"].to_pylist()], pa.int64())
+    ).append_column(
+        "df_b", pa.array([lut[v] for v in top_tbl["tok_b"].to_pylist()], pa.int64())
+    )
+    return rd.from_arrow(out)
