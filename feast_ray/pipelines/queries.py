@@ -3665,3 +3665,78 @@ ORACLE_SQL["type_transitions"] = """
     FROM l WHERE from_type IS NOT NULL
     GROUP BY from_type, to_type
 """
+
+
+def q_stddev_value_user(sf_dir: str):
+    """Per-entity stddev (the reference's declared Aggregation function
+    family — upstream aggregation.py::Aggregation includes stddev): exact
+    int64 moments, fixed SQL schedule sqrt((n*sxx - sx^2)/(n*(n-1))),
+    NULL below 2 rows."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events_cents(sf_dir, ["user_id", "value"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = pa.array(starts[:-1])
+        x = t["c"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(starts)
+        z = np.zeros(0, np.int64)
+        sx = np.add.reduceat(x, starts[:-1]) if len(x) else z
+        sxx = np.add.reduceat(x * x, starts[:-1]) if len(x) else z
+        num = (n * sxx - sx * sx).astype(np.float64)
+        den = (n * (n - 1)).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt(num / den) / 100.0
+        bad = n < 2
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), firsts),
+                "n": pa.array(n.astype(np.int64)),
+                "sd_value": pa.array(sd, mask=bad),
+            }
+        )
+
+    return grouped_map(ds.select_columns(["user_id", "c"]), ["user_id"], kernel)
+
+
+QUERIES["stddev_value_user"] = q_stddev_value_user
+ORACLE_SQL["stddev_value_user"] = """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c) AS sx, SUM(c * c) AS sxx
+      FROM e GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN n >= 2 THEN
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+           END AS sd_value
+    FROM m
+"""
+
+
+def q_hourly_profile_user(sf_dir: str):
+    """Circadian activity profile: events per (user, hour-of-day 0..23) —
+    derived key in-map, map-side-combined counts, one exchange."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "hod": pa.array(us // 3_600_000_000 % 24)}
+        )
+
+    h = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_count_sum(h, ["user_id", "hod"], count_name="n_events")
+
+
+QUERIES["hourly_profile_user"] = q_hourly_profile_user
+ORACLE_SQL["hourly_profile_user"] = """
+    SELECT user_id,
+           epoch_us(ts) // 3600000000 % 24 AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, hod
+"""
