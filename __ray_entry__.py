@@ -12,6 +12,8 @@ feast_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+from feast_ray.sources.parquet import read_pq
+
 import os
 import sys
 from collections.abc import Callable
@@ -37,7 +39,7 @@ def entry() -> Any:
     )
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = read_pq(f"{sf_dir}/events.parquet")
     out = add_window_features(
         ds,
         key="user_id",

@@ -53,11 +53,132 @@ BUCKET_COL = "__bucket"
 # rows of group g are sorted_table[starts[g] : starts[g + 1]].
 GroupKernel = Callable[[pa.Table, np.ndarray], pa.Table]
 
+# Per-map-task byte ceiling in the exchange: one map task concats its chunk
+# of upstream blocks before splitting, so this bounds that concat's heap.
+_MAP_TASK_TARGET_BYTES = 128 << 20
+
+
+def _unwrap_schema(sch) -> Optional[pa.Schema]:
+    """``pa.Schema`` out of ray's ``Schema`` wrapper / raw value, else None."""
+    base = getattr(sch, "base_schema", sch)
+    return base if isinstance(base, pa.Schema) else None
+
+
+class _quiet_footer_unify:
+    """Silence ray's known-benign "Failed to hash the schemas" warning for
+    the duration of a driver-local schema-inference call.
+
+    Parquet footers written by pandas carry a ``b'pandas'`` metadata blob
+    that makes ``pa.Schema`` unhashable; ray's fragment-schema unification
+    inside ``Read.infer_schema`` then logs that warning once per Read op.
+    BLOCKS are stripped at the read (``feast_ray.sources.parquet.read_pq``),
+    so the only remaining emitter is this driver-local footer path."""
+
+    def __enter__(self):
+        import logging
+
+        self._log = logging.getLogger(
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        )
+        self._prev = self._log.level
+        self._log.setLevel(logging.ERROR)
+        return self
+
+    def __exit__(self, *exc):
+        self._log.setLevel(self._prev)
+        return False
+
+
+# Logical ops whose output schema equals their (first) input's schema.
+_SCHEMA_PRESERVING_OPS = frozenset(
+    ["Filter", "Sort", "Limit", "RandomShuffle", "Repartition",
+     "RandomizeBlocks", "StreamingRepartition", "MaterializeStage"]
+)
+
+
+def _infer_schema_local(ds) -> Optional[pa.Schema]:
+    """Plan-time schema of an un-executed Dataset WITHOUT touching the
+    cluster.
+
+    ``Dataset.schema()`` on a transformed, un-executed dataset launches a
+    ``limit(1)`` probe execution; the probe's task CANCELLATIONS
+    intermittently trip ray 2.49's core-worker fatal races
+    (``task_manager.cc:930`` / ``reference_count.cc:581`` — BASELINE.md
+    infrastructure note), which abort the whole driver process.  At scale
+    the probe is also a throwaway partial read of the input.  Instead:
+    walk the logical plan, take the SOURCE schema from metadata
+    (``infer_schema`` on Read/From/InputData ops — parquet footer / bundle
+    schema, no execution), then apply each pyarrow-format ``map_batches``
+    UDF to a TYPED EMPTY table locally.  Engine kernels are schema-stable
+    on empty input by design (the exchange's zero-block path already runs
+    kernels on typed empties).  Returns None — caller falls back to the
+    probe — on any node or UDF this can't simulate (callable-class /
+    non-pyarrow / generator UDFs, joins, aggregates, expression projects).
+    """
+
+    def sim(node) -> Optional[pa.Table]:
+        deps = node.input_dependencies
+        if not deps:  # source: Read / FromArrow / InputData ...
+            infer = getattr(node, "infer_schema", None)
+            if infer is None:
+                return None
+            with _quiet_footer_unify():
+                sch = _unwrap_schema(infer())
+            return sch.empty_table() if sch is not None else None
+        ins = [sim(d) for d in deps]
+        if any(t is None for t in ins):
+            return None
+        t = ins[0]
+        name = type(node).__name__
+        if name == "MapBatches":
+            if getattr(node, "_batch_format", None) != "pyarrow":
+                return None
+            fn = getattr(node, "_fn", None)
+            if not callable(fn) or isinstance(fn, type):
+                return None  # callable-class (actor) stage — state too heavy
+            out = fn(t, *(node._fn_args or ()), **(node._fn_kwargs or {}))
+            return out if isinstance(out, pa.Table) else None
+        if name == "Project":
+            if getattr(node, "_exprs", None):
+                return None
+            if node.cols is not None:
+                t = t.select(list(node.cols))
+            if node.cols_rename:
+                t = t.rename_columns(
+                    [node.cols_rename.get(c, c) for c in t.column_names]
+                )
+            return t
+        if name == "Union":
+            for other in ins[1:]:
+                if other.schema != t.schema:
+                    return None
+            return t
+        if name in _SCHEMA_PRESERVING_OPS:
+            return t
+        return None
+
+    try:
+        tbl = sim(ds._plan._logical_plan.dag)
+    except Exception:
+        return None
+    return tbl.schema if tbl is not None else None
+
 
 def dataset_schema(ds) -> pa.Schema:
     """Arrow schema of a Dataset, robust to pandas-backed blocks (which
-    report object dtype as the python type) and unknown-schema datasets."""
-    sch = ds.schema(fetch_if_missing=True)
+    report object dtype as the python type) and unknown-schema datasets.
+
+    Never executes the dataset when avoidable: cached plan schema first,
+    then local empty-table simulation (`_infer_schema_local`), and only
+    then ray's ``limit(1)`` probe — whose cancellations can hit the ray
+    2.49 fatal race that kills long gate sessions."""
+    with _quiet_footer_unify():
+        sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        local = _infer_schema_local(ds)
+        if local is not None:
+            return local
+        sch = ds.schema(fetch_if_missing=True)
     if sch is None:
         raise ValueError(
             "dataset schema is unknown (empty dataset from a row-filter?); "
@@ -69,6 +190,62 @@ def dataset_schema(ds) -> pa.Schema:
             t = pa.string() if t is object or t is str else pa.from_numpy_dtype(t)
         fields.append(pa.field(n, t))
     return pa.schema(fields)
+
+
+def dataset_to_refs(ds):
+    """Execute ``ds`` into ``(block_refs, schema, total_rows, size_bytes)``
+    via its internal RefBundles.
+
+    Replacement for ``Dataset.to_arrow_refs()``: in ray 2.49 the streamed
+    bundles do not populate the plan's schema cache, so ``to_arrow_refs``'s
+    trailing ``schema()`` call RE-EXECUTES the whole pipeline under a
+    ``limit(1)`` probe — paying the upstream again AND rolling the dice on
+    the cancellation fatal race (see `_infer_schema_local`).  Bundle
+    metadata carries schema, per-block row counts and byte sizes for free.
+
+    ``schema`` is a ``pa.Schema`` or None (pandas-backed blocks);
+    ``total_rows`` is None when any block's count is unknown."""
+    refs: list = []
+    sizes: list[int] = []
+    schema: Optional[pa.Schema] = None
+    rows = 0
+    rows_known = True
+    for bundle in ds.iter_internal_ref_bundles():
+        if schema is None:
+            schema = _unwrap_schema(bundle.schema)
+        for ref, md in bundle.blocks:
+            refs.append(ref)
+            sizes.append(md.size_bytes or 0)
+            if md.num_rows is None:
+                rows_known = False
+            else:
+                rows += md.num_rows
+    return refs, schema, (rows if rows_known else None), sizes
+
+
+def block_refs_of(ds) -> list:
+    """Block refs of an executed dataset, without ``to_arrow_refs``'s
+    schema re-probe (see `dataset_to_refs`).  Blocks are usually Arrow
+    tables; callers that ``ray.get`` them must tolerate pandas blocks if
+    a pandas-format stage ran last."""
+    return dataset_to_refs(ds)[0]
+
+
+def sorted_head(ds, sort_keys: Sequence[str], descending: Sequence[bool], k: int):
+    """``ds.sort(...).limit(k)`` with a ``materialize()`` barrier between.
+
+    A ``limit`` fed directly by a streaming upstream stops the executor
+    early and CANCELS its in-flight tasks; each cancellation is a roll on
+    ray 2.49's core-worker fatal race (see `_infer_schema_local`).  The
+    sort is an all-to-all barrier anyway, so materializing its output adds
+    nothing at scale — the limit then reads driver-local bundles with at
+    most one awaited boundary-slice task, i.e. nothing left to cancel.
+    Only k rows ever leave the materialized sort."""
+    try:
+        out = ds.sort(list(sort_keys), descending=list(descending))
+    except TypeError:  # older sort signature: single bool
+        out = ds.sort(sort_keys[0], descending=descending[0])
+    return out.materialize().limit(k)
 
 
 def hash_backend_id() -> str:
@@ -243,24 +420,40 @@ def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
 
     from feast_ray import exchange as ex
 
-    refs = ds.to_arrow_refs()  # executes upstream stages; blocks stay remote
-    if not refs:
-        # zero blocks: still emit the KERNEL's output schema (downstream
-        # stages depend on it), by running the kernel on a typed empty
-        empty = dataset_schema(ds).empty_table()
+    # executes upstream stages; blocks stay remote.  Bundle metadata gives
+    # schema + row counts + bytes without any schema-probe re-execution.
+    refs, in_schema, total_rows, sizes = dataset_to_refs(ds)
+    if not refs or total_rows == 0:
+        # zero blocks OR zero total rows: still emit the KERNEL's output
+        # schema (downstream stages depend on it) by running the kernel on
+        # a typed empty.  Row counts come from driver-local bundle
+        # metadata — no synchronous barrier.  (ray 2.49's from_arrow_refs
+        # drops empty-block schemas, so returning the empty reduce outputs
+        # would yield an UNKNOWN-schema dataset.)
+        empty = (in_schema if in_schema is not None else dataset_schema(ds)).empty_table()
         out = kernel(empty, np.array([0], dtype=np.int64))
         return rd.from_arrow(out)
-    # KNOWN EDGE: if refs exist but hold zero total rows, every reduce
-    # output is a schema-ful empty table, yet ray 2.49's from_arrow_refs
-    # drops empty-block schemas — the result is a 0-row dataset with
-    # UNKNOWN schema.  Detecting this case would need a synchronous
-    # row-count barrier on every call (or a sentinel block whose schema
-    # could clash with real kernel outputs), so it is documented instead:
-    # zero-total-row inputs yield 0 rows, schema unknown.
-    # batch small blocks together so object count stays O(tasks x buckets)
-    max_map_tasks = 64
-    per = max(1, (len(refs) + max_map_tasks - 1) // max_map_tasks)
-    chunks = [refs[i : i + per] for i in range(0, len(refs), per)]
+    # Batch small blocks together so object count stays O(tasks x buckets),
+    # sized by BYTES: one map task concatenates its chunk, so the chunk must
+    # fit comfortably in a worker heap at any input scale.  Small inputs
+    # still fan out to ~2 map tasks per CPU for split parallelism.
+    total_bytes = sum(sizes)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cpus = 8
+    target = min(_MAP_TASK_TARGET_BYTES, max(4 << 20, total_bytes // (2 * cpus) + 1))
+    chunks: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for r, s in zip(refs, sizes):
+        cur.append(r)
+        cur_bytes += s
+        if cur_bytes >= target:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        chunks.append(cur)
 
     def _pick(parts):
         """Non-empty tables, or the widest-schema empty as representative —

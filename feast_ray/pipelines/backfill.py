@@ -25,6 +25,8 @@ Dataset-composable use.
 
 from __future__ import annotations
 
+from feast_ray.sources.parquet import read_pq
+
 import os
 import time
 from typing import Optional
@@ -162,7 +164,7 @@ def load_text_sidecar(out_dir: str):
     join to feature partitions on ``(conv_id, turn_idx)``."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(out_dir, "text"))
+    return read_pq(os.path.join(out_dir, "text"))
 
 
 def _resolve_files(input_path) -> list[str]:

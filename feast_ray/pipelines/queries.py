@@ -17,9 +17,13 @@ None of these functions call ``ray.init`` — the caller owns the session.
 
 from __future__ import annotations
 
+from feast_ray.sources.parquet import read_pq
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from feast_ray.grouped import block_refs_of
 
 US = 1_000_000
 SESSION_GAP_US = 1800 * US
@@ -29,7 +33,7 @@ ASOF_TTL_US = 86400 * US
 def _events(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_pq(f"{sf_dir}/events.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +162,7 @@ def q_pricing_summary(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -194,19 +198,32 @@ def q_pricing_summary(sf_dir: str):
                 "dc": pa.array(np.round(disc * 100).astype(np.int64)),
             }
         )
-        return out.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        res = out.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qc", "sum"), ("bc", "sum"), ("dpc", "sum"), ("cc", "sum"),
              ("dc", "sum"), ("qc", "count")]
         )
+        return pa.table(
+            {
+                "l_returnflag": res["l_returnflag"],
+                "l_linestatus": res["l_linestatus"],
+                "qc": res["qc_sum"],
+                "bc": res["bc_sum"],
+                "dpc": res["dpc_sum"],
+                "cc": res["cc_sum"],
+                "dc": res["dc_sum"],
+                "count_order": res["qc_count"],
+            }
+        )
+
+    from feast_ray.stages.stats import sum_by
 
     agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    final = agg.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qc_sum", alias_name="qc"),
-        Sum("bc_sum", alias_name="bc"),
-        Sum("dpc_sum", alias_name="dpc"),
-        Sum("cc_sum", alias_name="cc"),
-        Sum("dc_sum", alias_name="dc"),
-        Sum("qc_count", alias_name="count_order"),
+    # exact int64 reduce on the engine exchange: Dataset groupby().aggregate()
+    # would probe the (unknown) UDF-output schema with a limit(1) execution
+    # whose cancellations risk the ray 2.49 fatal race, and is slower anyway
+    final = sum_by(
+        agg, ["l_returnflag", "l_linestatus"],
+        ["qc", "bc", "dpc", "cc", "dc", "count_order"],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -255,11 +272,13 @@ def q_top_orders(sf_dir: str):
     # leave storage; collected and broadcast as a sorted array.
     ckey_parts = [
         ray.get(r)
-        for r in rd.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey"],
-            filter=pads.field("c_mktsegment") == "BUILDING",
-        ).to_arrow_refs()
+        for r in block_refs_of(
+            read_pq(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey"],
+                filter=pads.field("c_mktsegment") == "BUILDING",
+            )
+        )
     ]
     ckeys = np.sort(pa.concat_tables(ckey_parts)["c_custkey"].to_numpy())
     ckeys_ref = ray.put(ckeys)
@@ -286,13 +305,13 @@ def q_top_orders(sf_dir: str):
 
     idx_parts = [
         ray.get(r)
-        for r in rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate"],
-            filter=pads.field("o_orderdate") < pa.scalar(cutoff),
+        for r in block_refs_of(
+            read_pq(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                filter=pads.field("o_orderdate") < pa.scalar(cutoff),
+            ).map_batches(_member_orders, batch_format="pyarrow", zero_copy_batch=True)
         )
-        .map_batches(_member_orders, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
     ]
     idx_tbl = pa.concat_tables(idx_parts)
     okeys = idx_tbl["o_orderkey"].to_numpy()
@@ -301,7 +320,7 @@ def q_top_orders(sf_dir: str):
     odates_sorted = idx_tbl["o_orderdate"].cast(pa.int64()).to_numpy()[order_sort]
     side_ref = ray.put((okeys_sorted, odates_sorted))
 
-    li = rd.read_parquet(
+    li = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -335,10 +354,12 @@ def q_top_orders(sf_dir: str):
             ["l_orderkey", "o_orderdate", "rc"]
         )
 
-    g = (
-        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_orderkey", "o_orderdate"])
-        .aggregate(Sum("rc", alias_name="rc"))
+    from feast_ray.stages.stats import sum_by
+
+    g = sum_by(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "o_orderdate"],
+        ["rc"],
     )
 
     def to_rev(t: pa.Table) -> pa.Table:
@@ -347,42 +368,85 @@ def q_top_orders(sf_dir: str):
         return t.drop_columns(["rc"])
 
     g = g.map_batches(to_rev, batch_format="pyarrow")
-    top = g.sort(
-        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
-    ).limit(10)
-    return top
+    from feast_ray.grouped import sorted_head
+
+    return sorted_head(
+        g, ["revenue", "o_orderdate", "l_orderkey"], [True, False, False], 10
+    )
 
 
 def q_events_type_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from feast_ray.grouped import grouped_map
 
     ds = _events(sf_dir, ["event_type", "value"])
 
-    def to_cents(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        """Map-side combine: one row per event_type leaves each batch
+        (count + exact integer-cents sum + float min/max, nulls ignored)."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "n_events": pa.array([], pa.int64()),
+                 "vc": pa.array([], pa.int64()),
+                 "min_value": pa.array([], pa.float64()),
+                 "max_value": pa.array([], pa.float64())}
+            )
         v = t["value"].to_numpy(zero_copy_only=False)
-        return t.append_column("vc", pa.array(np.round(v * 100).astype(np.int64)))
+        t = t.append_column(
+            "vc", pa.array(np.round(np.nan_to_num(v) * 100).astype(np.int64))
+        )
+        res = t.group_by("event_type").aggregate(
+            [("vc", "count"), ("vc", "sum"), ("value", "min"), ("value", "max")]
+        )
+        return pa.table(
+            {"event_type": res["event_type"],
+             "n_events": res["vc_count"],
+             "vc": res["vc_sum"],
+             "min_value": res["value_min"],
+             "max_value": res["value_max"]}
+        )
 
-    out = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-    out = out.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("vc", alias_name="vc"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
-    )
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        n = t["n_events"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vc = t["vc"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mn = t["min_value"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = t["max_value"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(firsts) == 0:
+            ns = vs = np.zeros(0, np.int64)
+            mns = mxs = np.zeros(0, np.float64)
+        else:
+            ns = np.add.reduceat(n, firsts)
+            vs = np.add.reduceat(vc, firsts)
+            mns = np.fmin.reduceat(mn, firsts)
+            mxs = np.fmax.reduceat(mx, firsts)
+        vsf = vs.astype(np.float64)
+        nsf = ns.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return pa.table(
+                {"event_type": pc.take(t["event_type"].combine_chunks(), take),
+                 "n_events": pa.array(ns),
+                 "min_value": pa.array(mns, mask=np.isnan(mns)),
+                 "max_value": pa.array(mxs, mask=np.isnan(mxs)),
+                 "sum_value": pa.array(vsf / 100.0),
+                 "avg_value": pa.array((vsf / 100.0) / nsf)}
+            )
 
-    def finish(t: pa.Table) -> pa.Table:
-        vc = t["vc"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
-        t = t.append_column("sum_value", pa.array(vc / 100.0))
-        t = t.append_column("avg_value", pa.array((vc / 100.0) / n))
-        return t.drop_columns(["vc"])
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_map(parts, ["event_type"], kernel)
 
 
 def q_distinct_event_types(sf_dir: str):
+    """DISTINCT via the map-side-combined count path: one row per distinct
+    value leaves each batch, one exchange, full consume (``Dataset.unique``
+    ends in an internal take whose early-stop cancellations risk the ray
+    2.49 fatal race — BASELINE.md infrastructure note)."""
+    from feast_ray.stages.stats import partial_count_sum
+
     ds = _events(sf_dir, ["event_type"])
-    vals = sorted(ds.unique("event_type"))
+    rows = partial_count_sum(ds, ["event_type"]).take_all()
+    vals = sorted(r["event_type"] for r in rows)
     return pa.table({"event_type": pa.array(vals)})
 
 
@@ -399,7 +463,7 @@ def q_dedup_exact_docs(sf_dir: str):
 
     from feast_ray.grouped import grouped_map
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         return t.take(pa.array(starts[:-1]))  # first row (min doc_id) per text group
@@ -413,7 +477,7 @@ def q_text_stats_docs(sf_dir: str):
     """Vectorized text analysis: char/token counts + token density."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         n_chars = pc.utf8_length(t["text"]).cast(pa.int64())
@@ -443,7 +507,7 @@ def q_knn_topk(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = (
         ds.map_batches(
             lambda t: t.filter(pc.equal(t["vec_id"], 0)),
@@ -762,17 +826,35 @@ def q_events_union(sf_dir: str):
 
 
 def q_ts_range_events(sf_dir: str):
-    """Global event-time range scan (A5: drives TTL pruning)."""
+    """Global event-time range scan (A5: drives TTL pruning).
+
+    Map-side combine to ONE row per batch, then a driver fold over the
+    (tiny, one-row-per-block) partials — a full consume with no executor
+    early-stop, unlike ``Dataset.aggregate`` whose internal ``take``
+    cancels still-running reduce tasks (ray 2.49 fatal-race surface)."""
     import pandas as pd
-    from ray.data.aggregate import Count, Max, Min
 
     ds = _events(sf_dir, ["ts"])
-    row = ds.aggregate(Min("ts"), Max("ts"), Count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.timestamp("us")),
+                 "mx": pa.array([], pa.timestamp("us")),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"mn": pa.array([pc.min(t["ts"]).as_py()], pa.timestamp("us")),
+             "mx": pa.array([pc.max(t["ts"]).as_py()], pa.timestamp("us")),
+             "n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
     return pd.DataFrame(
         {
-            "min_ts": [row["min(ts)"]],
-            "max_ts": [row["max(ts)"]],
-            "n": [int(row["count()"])],
+            "min_ts": [min(r["mn"] for r in rows)],
+            "max_ts": [max(r["mx"] for r in rows)],
+            "n": [int(sum(r["n"] for r in rows))],
         }
     )
 
@@ -970,7 +1052,7 @@ def q_embedding_centroids(sf_dir: str):
     from feast_ray.grouped import grouped_aggregate
     from feast_ray.stages.similarity import _embedding_matrix
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1067,10 +1149,12 @@ def q_asof_click_broadcast(sf_dir: str):
     )
     parts = [
         ray.get(r)
-        for r in grouped_aggregate(
-            clicks, ["user_id", "ts"],
-            {"v_click": ("max", "value"), "n_click": ("count", None)},
-        ).to_arrow_refs()
+        for r in block_refs_of(
+            grouped_aggregate(
+                clicks, ["user_id", "ts"],
+                {"v_click": ("max", "value"), "n_click": ("count", None)},
+            )
+        )
     ]
     # empty buckets surface as 0-row blocks with a degenerate schema
     feats_tbl = pa.concat_tables([p for p in parts if p.num_rows])
@@ -1204,10 +1288,10 @@ def q_anti_join_customers(sf_dir: str):
 
     from feast_ray.stages.join import anti_join
 
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
     )
-    urgent = rd.read_parquet(
+    urgent = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=pads.field("o_orderpriority") == "1-URGENT",
@@ -1229,10 +1313,10 @@ def q_semi_join_customers(sf_dir: str):
 
     from feast_ray.stages.join import semi_join
 
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
     )
-    urgent = rd.read_parquet(
+    urgent = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=pads.field("o_orderpriority") == "1-URGENT",
@@ -1465,14 +1549,14 @@ def q_join_orders_customers(sf_dir: str):
 
     from feast_ray.stages.join import equi_join
 
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     ).map_batches(
         lambda t: t.rename_columns(["custkey", "c_name", "c_mktsegment"]),
@@ -1492,14 +1576,14 @@ def q_left_join_orders_building(sf_dir: str):
 
     from feast_ray.stages.join import equi_join
 
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name"],
         filter=pads.field("c_mktsegment") == "BUILDING",
@@ -1968,7 +2052,7 @@ def q_revenue_by_nation(sf_dir: str):
     from feast_ray.grouped import grouped_aggregate
     from feast_ray.stages.join import equi_join
 
-    li = rd.read_parquet(
+    li = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -1981,7 +2065,7 @@ def q_revenue_by_nation(sf_dir: str):
 
     li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
@@ -1997,7 +2081,7 @@ def q_revenue_by_nation(sf_dir: str):
 
     j1 = equi_join(li, orders, keys=["orderkey"], how="inner")
 
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -2010,7 +2094,7 @@ def q_revenue_by_nation(sf_dir: str):
         j1.select_columns(["custkey", "rev"]), cust, keys=["custkey"], how="inner"
     )
 
-    nation = rd.read_parquet(
+    nation = read_pq(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).map_batches(
         lambda t: pa.table(
@@ -2128,14 +2212,14 @@ def q_join_skew_aware(sf_dir: str):
 
     from feast_ray.stages.join import skew_join
 
-    cust = rd.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    orders = rd.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
     ).map_batches(
         lambda t: pa.table(

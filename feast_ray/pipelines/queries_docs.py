@@ -12,6 +12,8 @@ stay pinned by the pure-Python oracles in tests/test_text_dedup.py.
 
 from __future__ import annotations
 
+from feast_ray.sources.parquet import read_pq
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -38,7 +40,7 @@ EMB_TAU = 0.4
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_pq(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def q_lang_id_docs(sf_dir: str):
@@ -143,7 +145,7 @@ def q_neardup_embedding_pairs(sf_dir: str):
 
     from feast_ray.stages.dedup import embedding_pair_pipeline
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_pair_pipeline(emb, tau=EMB_TAU)
 
 
@@ -154,7 +156,7 @@ def q_knn_lsh_topk(sf_dir: str):
 
     from feast_ray.stages.similarity import lsh_bucket_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = ds.map_batches(
         lambda t: t.filter(pc.equal(t["vec_id"], 0)),
         batch_format="pyarrow",
@@ -425,14 +427,23 @@ def q_knn_ivf_topk(sf_dir: str):
 
     from feast_ray.stages.similarity import ivf_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = ds.map_batches(
         lambda t: t.filter(pc.equal(t["vec_id"], 0)),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).take_all()
     qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
-    return ivf_topk(ds, qvec, k=10, exclude_ids=(0,), nlist=16, nprobe=16)
+    # train head read locally from the first row group — no Ray tasks
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    train = pa.Table.from_batches(
+        [next(pf.iter_batches(batch_size=2048, columns=["vec_id", "embedding"]))]
+    )
+    return ivf_topk(
+        ds, qvec, k=10, exclude_ids=(0,), nlist=16, nprobe=16, train_table=train
+    )
 
 
 QUERIES_DOCS["knn_ivf_topk"] = q_knn_ivf_topk

@@ -16,6 +16,18 @@ from feast_ray.specs import FeatureView, ParquetSource
 from feast_ray.stages.normalize import normalize
 
 
+def _strip_schema_metadata(tbl):
+    """Block UDF applied INSIDE each read task: drop schema-level metadata
+    (e.g. the ``b'pandas'`` blob pandas writers attach).  pyarrow schemas
+    carrying that metadata are unhashable (``hash(schema)`` raises
+    ``unhashable type: 'dict'``), which defeats ray's block-schema
+    deduplication and spams ``Failed to hash the schemas`` warnings from
+    every read worker at scale.  Zero-copy (metadata-only change)."""
+    if tbl.schema.metadata:
+        return tbl.replace_schema_metadata(None)
+    return tbl
+
+
 def read_source(
     path: str | Sequence[str],
     *,
@@ -30,7 +42,15 @@ def read_source(
         kw["columns"] = list(columns)
     if filter_expr is not None:
         kw["filter"] = filter_expr
+    kw.setdefault("_block_udf", _strip_schema_metadata)
     return rd.read_parquet(path, **kw)
+
+
+def read_pq(path: str | Sequence[str], *, columns=None, filter=None, **kw):  # noqa: A002
+    """Drop-in for ``ray.data.read_parquet`` with schema-metadata stripping
+    (see `_strip_schema_metadata`).  All engine pipelines read through
+    this so no block schema ever carries unhashable metadata."""
+    return read_source(path, columns=columns, filter_expr=filter, **kw)
 
 
 def read_view_source(view: FeatureView, *, extra_columns: Sequence[str] = ()):

@@ -258,7 +258,9 @@ def _local_components(e, node_col: str, comp_col: str, max_rounds: int):
     import ray as _ray
     import ray.data as rd
 
-    tbls = _ray.get(e.to_arrow_refs())
+    from feast_ray.grouped import block_refs_of
+
+    tbls = _ray.get(block_refs_of(e))
     empty = pa.table(
         {node_col: pa.array([], pa.int64()), comp_col: pa.array([], pa.int64())}
     )

@@ -914,7 +914,9 @@ def _embedding_pairs_broadcast(ds, *, id_col, emb_col, tau, round_digits):
 
     from feast_ray.stages.similarity import _embedding_matrix
 
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    from feast_ray.grouped import block_refs_of
+
+    parts = [ray.get(r) for r in block_refs_of(ds)]
     full = pa.concat_tables(parts)
     ids_all = full[id_col].to_numpy().astype(np.int64)
     mat = _embedding_matrix(full[emb_col])

@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
-from feast_ray.grouped import grouped_map, starts_to_group_index
+from feast_ray.grouped import block_refs_of, grouped_map, starts_to_group_index
 
 _SIDE = "__fj_side"
 
@@ -386,13 +386,15 @@ def skew_join(
         [
             t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
             for t in ray.get(
-                counts.map_batches(
-                    lambda t: t.filter(
-                        pc.greater_equal(t["__cnt"], pa.scalar(hot_threshold, pa.int64()))
-                    ).select(keys),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).to_arrow_refs()
+                block_refs_of(
+                    counts.map_batches(
+                        lambda t: t.filter(
+                            pc.greater_equal(t["__cnt"], pa.scalar(hot_threshold, pa.int64()))
+                        ).select(keys),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                )
             )
         ]
     ).combine_chunks()
@@ -434,7 +436,7 @@ def skew_join(
     hot_right_tbl = pa.concat_tables(
         [
             t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
-            for t in ray.get(right_hot.to_arrow_refs())
+            for t in ray.get(block_refs_of(right_hot))
         ],
         promote_options="default",
     ).combine_chunks()

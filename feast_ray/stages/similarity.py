@@ -82,10 +82,9 @@ def brute_force_topk(
 
 def _topk_sort(cands, k: int, id_col: str):
     # deterministic: cos desc, id asc tie-break
-    try:
-        return cands.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
-    except TypeError:  # older sort signature
-        return cands.sort("cos_sim", descending=True).limit(k)
+    from feast_ray.grouped import sorted_head
+
+    return sorted_head(cands, ["cos_sim", id_col], [True, False], k)
 
 
 class _HyperplaneHasher:
@@ -198,6 +197,7 @@ def ivf_topk(
     train_sample: int = 2048,
     seed: int = 23,
     exclude_ids: Sequence[int] = (),
+    train_table=None,
 ):
     """Approximate top-k via IVF: score only vectors whose coarse cluster is
     among the query's ``nprobe`` nearest centroids.
@@ -211,9 +211,19 @@ def ivf_topk(
     import ray
 
     q = np.asarray(qvec, dtype=np.float64)
-    head = ds.limit(train_sample).take_all()
-    head.sort(key=lambda r: r[id_col])
-    sample = np.asarray([r[emb_col] for r in head], dtype=np.float64)
+    if train_table is not None:
+        # cancellation-free path: caller hands the head rows as a local
+        # Arrow table (e.g. read straight from the first parquet row group
+        # with zero Ray tasks) — ds.limit() would early-stop the executor
+        # and cancel in-flight read tasks (ray 2.49 fatal-race surface,
+        # see feast_ray.grouped._infer_schema_local)
+        tt = train_table.slice(0, train_sample)
+        order = np.argsort(tt[id_col].to_numpy(zero_copy_only=False))
+        sample = _embedding_matrix(tt[emb_col])[order]
+    else:
+        head = ds.limit(train_sample).take_all()
+        head.sort(key=lambda r: r[id_col])
+        sample = np.asarray([r[emb_col] for r in head], dtype=np.float64)
     index = IvfIndex(nlist=nlist, n_iter=8, seed=seed).fit(sample)
     probe_set = set(int(x) for x in index.probes(q, nprobe))
     excl = np.asarray(list(exclude_ids), dtype=np.int64)

@@ -712,14 +712,29 @@ def rollup_agg(
         levels.append(
             t.map_batches(canon(lv), batch_format="pyarrow", zero_copy_batch=True)
         )
-    total = finest.aggregate(
-        Sum(count_name, alias_name=count_name), Sum(sum_name, alias_name=sum_name)
-    )
+    # grand total: per-batch fold to one row, driver sums the (tiny,
+    # one-row-per-block) partials — full consume, no executor early-stop
+    # (Dataset.aggregate's internal take cancels still-running tasks)
+    def _tot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {count_name: pa.array([_pc.sum(t[count_name]).as_py() or 0], pa.int64()),
+             sum_name: pa.array([_pc.sum(t[sum_name]).as_py() or 0], pa.int64())}
+        )
+
+    tot_rows = finest.map_batches(
+        _tot, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
     grand = pa.table(
         {
             **{f.name: pa.nulls(1, type=f.type) for f in key_fields},
-            count_name: pa.array([int(total[count_name])], type=pa.int64()),
-            sum_name: pa.array([int(total[sum_name])], type=pa.int64()),
+            count_name: pa.array(
+                [sum(int(r[count_name]) for r in tot_rows)], type=pa.int64()
+            ),
+            sum_name: pa.array(
+                [sum(int(r[sum_name]) for r in tot_rows)], type=pa.int64()
+            ),
         },
         schema=out_schema,
     )

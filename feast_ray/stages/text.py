@@ -345,7 +345,9 @@ def token_count_topk(
         return t.take(idx[:k])
 
     pruned = counts.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
+    from feast_ray.grouped import sorted_head
+
+    return sorted_head(pruned, ["cnt", "token"], [True, False], k)
 
 
 def tfidf_top_term(
@@ -763,11 +765,9 @@ def cooccurrence_topk(
         return t.take(idx[:k])
 
     top = counted.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    try:
-        top = top.sort(["n_ab", "tok_a", "tok_b"],
-                       descending=[True, False, False]).limit(k)
-    except TypeError:  # older sort signature
-        top = top.sort("n_ab", descending=True).limit(k)
+    from feast_ray.grouped import sorted_head
+
+    top = sorted_head(top, ["n_ab", "tok_a", "tok_b"], [True, False, False], k)
 
     # marginals: the survivors are <= k rows, so broadcast their token set,
     # filter the distributed df count down to <= 2k rows, and join locally —

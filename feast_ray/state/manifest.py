@@ -13,6 +13,8 @@ buckets BEFORE the shuffle, so finished partitions cost nothing.
 
 from __future__ import annotations
 
+from feast_ray.sources.parquet import read_pq
+
 import hashlib
 import json
 import os
@@ -193,5 +195,5 @@ def load_saved_dataset(out_dir: str):
 
     with open(os.path.join(out_dir, "_saved_dataset.json")) as f:
         rec = json.load(f)
-    files_ds = rd.read_parquet(out_dir)
+    files_ds = read_pq(out_dir)
     return files_ds, rec

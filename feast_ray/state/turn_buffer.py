@@ -300,7 +300,9 @@ def replay_distributed(
         shards = grouped_map(
             ds, [key], lambda t, starts: t, num_buckets=num_shards
         )
-        refs = shards.to_arrow_refs()
+        from feast_ray.grouped import block_refs_of
+
+        refs = block_refs_of(shards)
         if not refs:
             return shards
         # global (ts, order_cols) sort per shard => per-conv stream order

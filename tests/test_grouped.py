@@ -120,3 +120,58 @@ def test_grouped_map_single_bucket(ray_session):
 
     out = grouped_map(rd.from_pandas(df), ["k"], kern, num_buckets=1).to_pandas()
     assert sorted(out["n"].tolist()) == [1, 2, 2, 2, 2]
+
+
+def test_grouped_map_zero_total_rows_keeps_schema(ray_session):
+    """Upstream blocks that exist but hold ZERO rows must still yield the
+    kernel's typed output schema (ray 2.49's from_arrow_refs drops
+    empty-block schemas; the exchange detects the 0-row case from bundle
+    metadata and runs the kernel on a typed empty instead)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([1.0, 2.0])})
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda t: t.filter(pc.greater(t["v"], 100.0)),  # filters ALL rows out
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def kern(t, starts):
+        import numpy as np
+
+        sizes = np.diff(starts) if len(starts) > 1 else np.array([], dtype=np.int64)
+        return pa.table(
+            {"k": t["k"], "n": pa.array(np.repeat(sizes, sizes), pa.int64())}
+        )
+
+    out = grouped_map(ds, ["k"], kern, num_buckets=2)
+    sch = out.schema(fetch_if_missing=True)
+    assert sch is not None and sch.names == ["k", "n"]
+    assert out.count() == 0
+
+
+def test_infer_schema_local_matches_probe(ray_session):
+    """Plan-time local schema simulation must agree with Ray's own answer
+    for read→map_batches→select chains (the shapes every engine stage
+    feeds the exchange)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from feast_ray.grouped import _infer_schema_local
+
+    ds = rd.from_arrow(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y"])})
+    )
+    mapped = ds.map_batches(
+        lambda t: t.append_column("c", pc.add(t["a"], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["a", "c"])
+    sch = _infer_schema_local(mapped)
+    assert sch is not None
+    assert sch.names == ["a", "c"]
+    assert sch.field("c").type == pa.int64()
+    # simulation must bail (not guess) on shapes it can't run locally
+    pandas_stage = ds.map_batches(lambda df: df, batch_format="pandas")
+    assert _infer_schema_local(pandas_stage) is None
