@@ -646,21 +646,16 @@ def cluster_labels(sf_dir: str):
     )
 
 
-def q_dedup_keep_best_docs(sf_dir: str):
-    """End-to-end corpus-dedup policy: near-dup clusters (Jaccard pairs ->
-    connected components) x quality scoring, keeping the highest-quality doc
-    per cluster (ties: min doc_id).  Composition of four engine operators —
-    pair generation, transitive closure, scalar scoring, grouped argmax —
-    with every float compared bit-exactly against the SQL twin."""
+def keep_best(clusters, quality):
+    """Highest-quality doc per near-dup cluster (ties: min doc_id) from a
+    precomputed ``(doc_id, cluster_id)`` dataset and a
+    ``(doc_id, quality_score)`` dataset — so composed pipelines (curate)
+    reuse ONE cluster pipeline and ONE scoring scan instead of recomputing
+    both (the round-2 battery's single biggest wasted-work item)."""
     from feast_ray.grouped import grouped_map, starts_to_group_index
     from feast_ray.stages.join import equi_join
 
-    quality = add_text_quality(_docs(sf_dir)).select_columns(
-        ["doc_id", "quality_score"]
-    )
-    joined = equi_join(
-        cluster_labels(sf_dir), quality, keys=["doc_id"], how="inner"
-    )
+    joined = equi_join(clusters, quality, keys=["doc_id"], how="inner")
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         if t.num_rows == 0:
@@ -689,6 +684,18 @@ def q_dedup_keep_best_docs(sf_dir: str):
         )
 
     return grouped_map(joined, ["cluster_id"], kernel, sort_keys=["doc_id"])
+
+
+def q_dedup_keep_best_docs(sf_dir: str):
+    """End-to-end corpus-dedup policy: near-dup clusters (Jaccard pairs ->
+    connected components) x quality scoring, keeping the highest-quality doc
+    per cluster (ties: min doc_id).  Composition of four engine operators —
+    pair generation, transitive closure, scalar scoring, grouped argmax —
+    with every float compared bit-exactly against the SQL twin."""
+    quality = add_text_quality(_docs(sf_dir)).select_columns(
+        ["doc_id", "quality_score"]
+    )
+    return keep_best(cluster_labels(sf_dir), quality)
 
 
 QUERIES_DOCS["dedup_keep_best_docs"] = q_dedup_keep_best_docs
@@ -965,23 +972,31 @@ def q_curate_corpus_docs(sf_dir: str):
     from feast_ray.stages.join import equi_join
     from feast_ray.stages.text import add_repetition
 
-    lang = add_lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
-    quality = add_text_quality(_docs(sf_dir)).select_columns(
-        ["doc_id", "quality_score"]
-    )
-    rep = add_repetition(_docs(sf_dir)).select_columns(
-        ["doc_id", "n_bigrams", "n_distinct_bigrams"]
+    # ONE corpus scan computes all three per-row scorers (they are
+    # stateless map_batches, so they chain inside the read tasks); the
+    # text column is dropped BEFORE the materialize, so the reused table
+    # holds only doc_id + 4 small score columns.  Round 2 ran three
+    # separate scans + two equi-join shuffles here, and keep-best re-ran
+    # the scoring scan a fourth time.
+    scored = (
+        add_repetition(add_text_quality(add_lang_id(_docs(sf_dir))))
+        .select_columns(
+            ["doc_id", "lang_pred", "quality_score",
+             "n_bigrams", "n_distinct_bigrams"]
+        )
+        .materialize()
     )
     cont = q_decontam_docs(sf_dir)
-    kb = q_dedup_keep_best_docs(sf_dir).map_batches(
+    kb = keep_best(
+        cluster_labels(sf_dir),
+        scored.select_columns(["doc_id", "quality_score"]),
+    ).map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "kept_dup": t["kept"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    j = equi_join(lang, quality, keys=["doc_id"], how="inner")
-    j = equi_join(j, rep, keys=["doc_id"], how="inner")
-    j = equi_join(j, cont, keys=["doc_id"], how="left")
+    j = equi_join(scored, cont, keys=["doc_id"], how="left")
     j = equi_join(j, kb, keys=["doc_id"], how="inner")
 
     def verdict(t: pa.Table) -> pa.Table:
