@@ -3824,3 +3824,86 @@ ORACLE_SQL["hourly_profile_user"] = """
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id, hod
 """
+
+
+def q_aggregation_spec_features(sf_dir: str):
+    """Per-event features driven through the DECLARATIVE ``Aggregation``
+    adapter (upstream ``aggregation.py::Aggregation``): count/sum/min/max/
+    stddev over a 1h trailing time window plus a lifetime avg, declared as
+    Aggregation specs and compiled to one grouped shuffle
+    (``compile_aggregations`` -> RollingTime + Expanding).  All moments run
+    on integer cents so every float the SQL twin compares is the result of
+    the IDENTICAL double expression on identical integers (the engine's
+    standing bit-exactness recipe)."""
+    from feast_ray.stages.windows import Aggregation, add_declared_aggregations
+
+    US_1H = 3600 * US
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column("vc", pa.array(np.round(v * 100).astype(np.int64)))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_declared_aggregations(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        aggs=[
+            Aggregation("vc", "count", US_1H, name="n_1h"),
+            Aggregation("vc", "sum", US_1H, name="sc_1h"),
+            Aggregation("vc", "min", US_1H, name="mnc_1h"),
+            Aggregation("vc", "max", US_1H, name="mxc_1h"),
+            Aggregation("vc", "stddev", US_1H, name="sdc_1h"),
+            Aggregation("vc", "avg", name="avgc_life"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sc = t["sc_1h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "value_count_1h": t["n_1h"],
+                "value_sum_1h": pa.array(sc / 100.0),
+                "value_min_1h": pc.divide(t["mnc_1h"], pa.scalar(100.0)),
+                "value_max_1h": pc.divide(t["mxc_1h"], pa.scalar(100.0)),
+                "value_std_1h": pc.divide(t["sdc_1h"], pa.scalar(100.0)),
+                "value_avg_life": pc.divide(t["avgc_life"], pa.scalar(100.0)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["aggregation_spec_features"] = q_aggregation_spec_features
+ORACLE_SQL["aggregation_spec_features"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events)
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(vc) OVER w AS BIGINT) AS value_count_1h,
+           CAST(SUM(vc) OVER w AS DOUBLE) / 100.0 AS value_sum_1h,
+           MIN(vc) OVER w / 100.0 AS value_min_1h,
+           MAX(vc) OVER w / 100.0 AS value_max_1h,
+           CASE WHEN COUNT(vc) OVER w >= 2 THEN
+             SQRT(GREATEST(CAST(SUM(vc * vc) OVER w AS DOUBLE)
+                           - CAST(SUM(vc) OVER w AS DOUBLE)
+                             * CAST(SUM(vc) OVER w AS DOUBLE)
+                             / GREATEST(COUNT(vc) OVER w, 1),
+                           0.0)
+                  / GREATEST(COUNT(vc) OVER w - 1, 1)) / 100.0
+           END AS value_std_1h,
+           (CAST(SUM(vc) OVER wexp AS DOUBLE)
+            / CAST(COUNT(vc) OVER wexp AS DOUBLE)) / 100.0 AS value_avg_life
+    FROM e
+    WINDOW
+      w AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+      wexp AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+"""

@@ -444,6 +444,117 @@ def add_window_features(
     )
 
 
+@dataclass(frozen=True)
+class Aggregation:
+    """Declarative aggregation spec — the executable mirror of upstream
+    Feast's ``sdk/python/feast/aggregation.py::Aggregation(column,
+    function, time_window, slide_interval)`` (SURVEY §2.5 A1; Feast core
+    only DECLARES these and delegates execution to a stream engine).
+
+    ``function``: count / sum / min / max / avg|mean / stddev|std / last.
+    ``time_window_us`` None declares a lifetime (expanding) aggregate.
+    ``slide_interval_us`` equal to the window (or None) keeps the per-event
+    trailing-window reading; a smaller slide declares a GRID of windows —
+    that shape changes the output's row identity, so it is routed to
+    ``hopping_window_agg`` explicitly rather than silently compiled here.
+    """
+
+    column: str
+    function: str
+    time_window_us: Optional[int] = None
+    slide_interval_us: Optional[int] = None
+    name: Optional[str] = None
+
+    @property
+    def out(self) -> str:
+        if self.name:
+            return self.name
+        if self.time_window_us is None:
+            return f"{self.column}_{self.function}"
+        return f"{self.column}_{self.function}_{self.time_window_us // 1_000_000}s"
+
+
+_AGG_FN_MAP = {
+    "count": "count", "sum": "sum", "min": "min", "max": "max",
+    "avg": "mean", "mean": "mean", "stddev": "std", "std": "std",
+    "last": "last",
+}
+
+
+def compile_aggregations(
+    aggs: Sequence[Aggregation],
+) -> tuple[list[WindowSpec], dict[str, str]]:
+    """Compile declarative ``Aggregation`` specs to this engine's window
+    specs: aggregates sharing (column, window) merge into ONE
+    RollingTime/Expanding spec (one prefix-sum pass each inside the single
+    grouped shuffle).  Returns ``(specs, rename)`` where ``rename`` maps
+    the specs' internal output names to the declared feature names."""
+    merged: dict[tuple[str, Optional[int]], list[Aggregation]] = {}
+    for a in aggs:
+        fn = _AGG_FN_MAP.get(a.function.lower())
+        if fn is None:
+            raise ValueError(
+                f"Aggregation function {a.function!r} is not one of "
+                f"{sorted(set(_AGG_FN_MAP))}"
+            )
+        if (
+            a.slide_interval_us is not None
+            and a.slide_interval_us != a.time_window_us
+        ):
+            raise ValueError(
+                f"Aggregation({a.column!r}, {a.function!r}): slide_interval "
+                "< time_window declares a window GRID (one row per window, "
+                "not per event) — use stages.windows.hopping_window_agg"
+            )
+        merged.setdefault((a.column, a.time_window_us), []).append(a)
+
+    specs: list[WindowSpec] = []
+    rename: dict[str, str] = {}
+    for (col, win), group in merged.items():
+        fns: list[str] = []
+        for a in group:
+            fn = _AGG_FN_MAP[a.function.lower()]
+            if fn not in fns:
+                fns.append(fn)
+        prefix = f"__agg_{col}_{'life' if win is None else win}"
+        if win is None:
+            spec: WindowSpec = Expanding(col, aggs=tuple(fns), prefix=prefix)
+        else:
+            spec = RollingTime(col, win, aggs=tuple(fns), prefix=prefix)
+        specs.append(spec)
+        for a in group:
+            rename[f"{prefix}_{_AGG_FN_MAP[a.function.lower()]}"] = a.out
+    return specs, rename
+
+
+def add_declared_aggregations(
+    ds,
+    *,
+    key: str | Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str],
+    aggs: Sequence[Aggregation],
+    num_buckets: Optional[int] = None,
+):
+    """Materialize declarative ``Aggregation`` features per entity: compile
+    to window specs, run them all in the ONE grouped shuffle, rename to the
+    declared feature names (rename runs as a zero-copy map stage —
+    ``Dataset.rename_columns`` would probe the unknown post-exchange schema
+    with a limit(1) execution)."""
+    specs, rename = compile_aggregations(aggs)
+    out = add_window_features(
+        ds, key=key, ts_col=ts_col, order_cols=order_cols, specs=specs,
+        num_buckets=num_buckets,
+    )
+    if not rename:
+        return out
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+    return out.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hopping_window_agg(
     ds,
     key: str | Sequence[str],

@@ -426,3 +426,79 @@ def test_salt_and_stream_reject_ewma(ray_session, transcripts_tbl):
     a = TurnShardActor.remote(specs=[Ewma("turn_idx", alpha=0.5)])
     with _pytest.raises(Exception, match="full-history"):
         ray.get(a.__ray_ready__.remote())
+
+
+def test_aggregation_adapter_compile():
+    """Declarative Aggregation specs compile to merged window specs with
+    declared output names; grid-slide and unknown functions are rejected."""
+    import pytest
+
+    from feast_ray.stages.windows import (
+        Aggregation,
+        Expanding,
+        RollingTime,
+        compile_aggregations,
+    )
+
+    specs, rename = compile_aggregations(
+        [
+            Aggregation("v", "sum", 60_000_000),
+            Aggregation("v", "avg", 60_000_000),
+            Aggregation("v", "count"),
+        ]
+    )
+    assert len(specs) == 2  # same (col, window) merged
+    rt = [s for s in specs if isinstance(s, RollingTime)][0]
+    assert rt.delta_us == 60_000_000 and rt.aggs == ("sum", "mean")
+    assert [s for s in specs if isinstance(s, Expanding)][0].aggs == ("count",)
+    assert set(rename.values()) == {"v_sum_60s", "v_avg_60s", "v_count"}
+
+    with pytest.raises(ValueError, match="GRID"):
+        compile_aggregations([Aggregation("v", "sum", 60_000_000, 10_000_000)])
+    with pytest.raises(ValueError, match="not one of"):
+        compile_aggregations([Aggregation("v", "median", 60_000_000)])
+
+
+def test_aggregation_adapter_end_to_end(ray_session):
+    """Adapter output equals the directly-specified window features."""
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.windows import (
+        Aggregation,
+        RollingTime,
+        add_declared_aggregations,
+        add_window_features,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime([10, 20, 200, 10, 15], unit="s"),
+            "i": [1, 2, 3, 4, 5],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    got = (
+        add_declared_aggregations(
+            rd.from_pandas(df),
+            key="k",
+            ts_col="ts",
+            order_cols=["ts", "i"],
+            aggs=[Aggregation("v", "sum", 60_000_000, name="s60")],
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    want = (
+        add_window_features(
+            rd.from_pandas(df),
+            key="k",
+            ts_col="ts",
+            order_cols=["ts", "i"],
+            specs=[RollingTime("v", 60_000_000, aggs=("sum",), prefix="p")],
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    assert got["s60"].tolist() == want["p_sum"].tolist() == [1.0, 3.0, 3.0, 4.0, 9.0]
