@@ -30,6 +30,13 @@ Exactness contract:
   (overlap >= 1), but session ids are a per-entity running count — repaired
   exactly by a cheap second phase: per-chunk ``session_start`` sums (a tiny
   aggregate) are prefix-summed per entity and added back as offsets.
+- ``Expanding(col, aggs ⊆ {count, sum, min, max})`` (running extrema /
+  cumulative counters): chunk-LOCAL expanding over real rows only, then the
+  same tiny second phase carries per-entity prefix state across chunks
+  (cumsum offsets for count/sum, exclusive cummin/cummax for min/max).
+  Exact for integer-valued columns; float sums reproduce the unsalted
+  result up to reassociation at chunk boundaries.  Expanding mean/std/last
+  (and Ewma/RowNumber) stay rejected.
 
 The two-phase session repair checkpoints the featured table once
 (``materialize()``); in the backfill sink this checkpoint is the partitioned
@@ -54,6 +61,7 @@ from feast_ray.stages.windows import (
     RollingTime,
     RowNumber,
     Sessionize,
+    _empty_with_spec_columns,
     make_window_kernel,
 )
 
@@ -126,11 +134,22 @@ def salted_window_features(
     :func:`feast_ray.stages.windows.add_window_features` exactly (modulo row
     order) under the overlap contract in the module docstring."""
     specs = list(specs)
-    bad = [s for s in specs if isinstance(s, (Ewma, Expanding, RowNumber))]
+    _EXP_OK = {"count", "sum", "min", "max"}
+    expanding_specs = [
+        s for s in specs
+        if isinstance(s, Expanding) and set(s.aggs) <= _EXP_OK
+    ]
+    bad = [
+        s for s in specs
+        if isinstance(s, (Ewma, RowNumber))
+        or (isinstance(s, Expanding) and not set(s.aggs) <= _EXP_OK)
+    ]
     if bad:
         raise ValueError(
             f"{[type(s).__name__ for s in bad]} need full entity history and "
-            "cannot run under bounded-overlap salting; compute them on the "
+            "cannot run under bounded-overlap salting (Expanding is salted "
+            "only for the prefix-combinable aggs count/sum/min/max — the "
+            "running-extrema / cumulative family); compute the rest on the "
             "unsalted path (their state is O(1) per entity, not O(rows))"
         )
     if (
@@ -148,15 +167,33 @@ def salted_window_features(
     if ovl >= chunk_rows:
         raise ValueError(f"overlap_rows ({ovl}) must be < chunk_rows ({chunk_rows})")
     session_specs = [s for s in specs if isinstance(s, Sessionize)]
-    plain_specs = [s for s in specs if not isinstance(s, Sessionize)]
+    plain_specs = [
+        s for s in specs if not isinstance(s, (Sessionize, Expanding))
+    ]
     want_lead = any(isinstance(s, Lead) for s in specs)
     wk = make_window_kernel(plain_specs, ts_col) if plain_specs else None
+    # chunk-local expanding runs over REAL rows only (overlap copies would
+    # double-count prefix state); "sum" needs the running valid-count for
+    # its null mask, so count is always computed internally
+    exp_internal = [
+        Expanding(
+            e.col,
+            aggs=tuple(
+                list(e.aggs) + (["count"] if "count" not in e.aggs else [])
+            ),
+            prefix=e.prefix,
+        )
+        for e in expanding_specs
+    ]
+    wk_exp = make_window_kernel(exp_internal, ts_col) if exp_internal else None
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         out = wk(t, starts) if wk is not None else t
         n = out.num_rows
         if n == 0:
             out = _append_session_cols(out, session_specs, empty=True)
+            if exp_internal:
+                out = _empty_with_spec_columns(out, exp_internal)
             return out.drop_columns([OVL_COL])
         if session_specs:
             ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -178,10 +215,19 @@ def salted_window_features(
         ovl_mask = out[OVL_COL].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
         # group starts must be recomputed over real rows for the cumsum
         keep_idx = np.flatnonzero(~ovl_mask)
+        gstart_all = starts_to_row_gstart(starts)
+        kept_group = gstart_all[keep_idx]  # original group id (start offset) per kept row
         out = out.take(pa.array(keep_idx))
+        if exp_internal:
+            if out.num_rows:
+                change = np.flatnonzero(kept_group[1:] != kept_group[:-1]) + 1
+                starts_kept = np.concatenate(
+                    ([0], change, [out.num_rows])
+                ).astype(np.int64)
+                out = wk_exp(out, starts_kept)
+            else:
+                out = _empty_with_spec_columns(out, exp_internal)
         if session_specs and out.num_rows:
-            gstart_all = starts_to_row_gstart(starts)
-            kept_group = gstart_all[keep_idx]  # original group id (start offset) per kept row
             m = out.num_rows
             first_of_group = np.ones(m, dtype=bool)
             first_of_group[1:] = kept_group[1:] != kept_group[:-1]
@@ -205,7 +251,7 @@ def salted_window_features(
         sort_keys=list(order_cols),
         num_buckets=num_buckets,
     )
-    if not session_specs:
+    if not session_specs and not expanding_specs:
         return featured.drop_columns([SALT_COL])
 
     # Phase 2: exact session-id repair — prefix-sum per-entity chunk start
@@ -215,25 +261,79 @@ def salted_window_features(
 
     featured = featured.materialize()
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    # per-column chunk aggregates the expanding repair needs
+    exp_needs: dict[str, set] = {}
+    for e in expanding_specs:
+        need = exp_needs.setdefault(e.col, set())
+        need.update(e.aggs)
+        if "sum" in e.aggs or "count" in e.aggs:
+            need.add("count")
 
+    agg_ops: dict[str, str] = {}
+    for spec in session_specs:
+        agg_ops[f"__start_{spec.name}"] = "sum"
+    for col, need in exp_needs.items():
+        if "count" in need:
+            agg_ops[f"__ecnt_{col}"] = "sum"
+        if "sum" in need:
+            agg_ops[f"__esum_{col}"] = "sum"
+        if "min" in need:
+            agg_ops[f"__emin_{col}"] = "min"
+        if "max" in need:
+            agg_ops[f"__emax_{col}"] = "max"
+
+    def partial_counts(t: pa.Table) -> pa.Table:
         cols = {key: t[key], SALT_COL: t[SALT_COL]}
         for spec in session_specs:
             cols[f"__start_{spec.name}"] = t[f"__start_{spec.name}"]
         pdf = pa.table(cols).to_pandas()
-        agg = pdf.groupby([key, SALT_COL], as_index=False).sum()
+        for col, need in exp_needs.items():
+            ser = t[col].to_pandas()
+            if "count" in need:
+                pdf[f"__ecnt_{col}"] = ser.notna().astype("int64")
+            if "sum" in need:
+                pdf[f"__esum_{col}"] = ser.astype("float64").fillna(0.0)
+            if "min" in need:
+                pdf[f"__emin_{col}"] = ser.astype("float64")
+            if "max" in need:
+                pdf[f"__emax_{col}"] = ser.astype("float64")
+        agg = pdf.groupby([key, SALT_COL], as_index=False).agg(agg_ops)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     meta = featured.map_batches(partial_counts, batch_format="pyarrow").to_pandas()
-    meta = meta.groupby([key, SALT_COL], as_index=False).sum().sort_values([key, SALT_COL])
+    meta = (
+        meta.groupby([key, SALT_COL], as_index=False)
+        .agg(agg_ops)
+        .sort_values([key, SALT_COL])
+        .reset_index(drop=True)
+    )
+    first_of_entity = ~meta[key].duplicated().to_numpy()
     off_df = meta[[key, SALT_COL]].copy()
     for spec in session_specs:
         col = f"__start_{spec.name}"
         off_df[f"__off_{spec.name}"] = (
             meta.groupby(key)[col].cumsum() - meta[col]
         ).astype(np.int64)
+    for col, need in exp_needs.items():
+        g = meta.groupby(key)
+        if "count" in need:
+            c = f"__ecnt_{col}"
+            off_df[f"__offcnt_{col}"] = (g[c].cumsum() - meta[c]).astype(np.int64)
+        if "sum" in need:
+            c = f"__esum_{col}"
+            off_df[f"__offsum_{col}"] = g[c].cumsum() - meta[c]
+        if "min" in need:
+            pre = g[f"__emin_{col}"].cummin().shift(1).to_numpy(dtype=float)
+            pre[first_of_entity] = np.nan
+            off_df[f"__premin_{col}"] = pre
+        if "max" in need:
+            pre = g[f"__emax_{col}"].cummax().shift(1).to_numpy(dtype=float)
+            pre[first_of_entity] = np.nan
+            off_df[f"__premax_{col}"] = pre
     off_ref = ray.put(off_df)
+
+    def _np(arr) -> np.ndarray:
+        return arr.combine_chunks().to_numpy(zero_copy_only=False)
 
     def finalize(t: pa.Table) -> pa.Table:
         offs = ray.get(off_ref)
@@ -248,6 +348,33 @@ def salted_window_features(
             )
             out = out.append_column(spec.name, pa.array(base + local))
             out = out.drop_columns([f"__local_{spec.name}", f"__start_{spec.name}"])
+        for e in expanding_specs:
+            cnt_name = e.out("count")
+            local_cnt = _np(out[cnt_name]).astype(np.int64)
+            offcnt = (
+                merged[f"__offcnt_{e.col}"].fillna(0).to_numpy(dtype=np.int64)
+                if f"__offcnt_{e.col}" in merged
+                else np.zeros(out.num_rows, np.int64)
+            )
+            total_cnt = local_cnt + offcnt
+            for a in e.aggs:
+                name = e.out(a)
+                i = out.column_names.index(name)
+                if a == "count":
+                    out = out.set_column(i, name, pa.array(total_cnt))
+                elif a == "sum":
+                    lf = _np(out[name])
+                    offsum = merged[f"__offsum_{e.col}"].fillna(0.0).to_numpy(dtype=float)
+                    v = np.where(np.isnan(lf), 0.0, lf) + offsum
+                    out = out.set_column(i, name, pa.array(v, mask=total_cnt == 0))
+                elif a == "min":
+                    v = np.fmin(_np(out[name]), merged[f"__premin_{e.col}"].to_numpy(dtype=float))
+                    out = out.set_column(i, name, pa.array(v, mask=np.isnan(v)))
+                elif a == "max":
+                    v = np.fmax(_np(out[name]), merged[f"__premax_{e.col}"].to_numpy(dtype=float))
+                    out = out.set_column(i, name, pa.array(v, mask=np.isnan(v)))
+            if "count" not in e.aggs:
+                out = out.drop_columns([cnt_name])
         return out.drop_columns([SALT_COL])
 
     return featured.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
@@ -258,3 +385,94 @@ def _append_session_cols(tbl: pa.Table, session_specs, *, empty: bool) -> pa.Tab
         tbl = tbl.append_column(f"__start_{spec.name}", pa.array([], type=pa.int64()))
         tbl = tbl.append_column(f"__local_{spec.name}", pa.array([], type=pa.int64()))
     return tbl
+
+
+def salted_kernel_map(
+    ds,
+    key: str,
+    kernel,
+    *,
+    lookback_rows: int,
+    ordinal_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    chunk_rows: int,
+    num_buckets: Optional[int] = None,
+):
+    """Run an arbitrary per-entity window KERNEL under hot-entity salting.
+
+    Contract: ``kernel(table, starts)`` appends columns and each row's
+    value depends on at most ``lookback_rows`` PRECEDING rows of its entity
+    (no leads, no unbounded state).  Rows are chunked by
+    ``ordinal_col // chunk_rows``; the last ``lookback_rows`` rows of chunk
+    c ride along into chunk c+1 flagged ``__ovl`` and are dropped on emit,
+    so every real row sees its exact trailing history — identical results
+    to the unsalted ``grouped_map(ds, [key], kernel)``."""
+    if lookback_rows >= chunk_rows:
+        raise ValueError(
+            f"lookback_rows ({lookback_rows}) must be < chunk_rows ({chunk_rows})"
+        )
+
+    def wrapped(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        out = kernel(t, starts)
+        if out.num_rows:
+            ovl = out[OVL_COL].combine_chunks().to_numpy(zero_copy_only=False)
+            out = out.filter(pa.array(ovl == 0))
+        return out.drop_columns(
+            [c for c in (SALT_COL, OVL_COL) if c in out.column_names]
+        )
+
+    tagged = ds.map_batches(
+        lambda t: _salt_and_overlap(t, ordinal_col, chunk_rows, lookback_rows, False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_map(
+        tagged, [key, SALT_COL], wrapped,
+        sort_keys=list(order_cols), num_buckets=num_buckets,
+    )
+
+
+def salted_rolling_corr(
+    ds,
+    key: str,
+    x_col: str,
+    y_col: str,
+    *,
+    k: int,
+    chunk_rows: int,
+    ordinal_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str = "rolling_corr",
+    num_buckets: Optional[int] = None,
+):
+    """Hot-entity-salted twin of ``stats.add_group_rolling_corr`` — same
+    kernel, exact (k-row windows look back k-1 rows <= overlap)."""
+    from feast_ray.stages.stats import rolling_corr_kernel
+
+    return salted_kernel_map(
+        ds, key, rolling_corr_kernel(x_col, y_col, k, out_col),
+        lookback_rows=k - 1, ordinal_col=ordinal_col, order_cols=order_cols,
+        chunk_rows=chunk_rows, num_buckets=num_buckets,
+    )
+
+
+def salted_rolling_zscore(
+    ds,
+    key: str,
+    int_col: str,
+    *,
+    k: int,
+    chunk_rows: int,
+    ordinal_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str = "rolling_z",
+    num_buckets: Optional[int] = None,
+):
+    """Hot-entity-salted twin of ``stats.add_group_rolling_zscore``."""
+    from feast_ray.stages.stats import rolling_zscore_kernel
+
+    return salted_kernel_map(
+        ds, key, rolling_zscore_kernel(int_col, k, out_col),
+        lookback_rows=k - 1, ordinal_col=ordinal_col, order_cols=order_cols,
+        chunk_rows=chunk_rows, num_buckets=num_buckets,
+    )

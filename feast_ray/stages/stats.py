@@ -1317,6 +1317,16 @@ def add_group_rolling_corr(
     below 2^63 — same bound as ``grouped_corr`` but over k rows only.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    return grouped_map(
+        ds, keys, rolling_corr_kernel(x_col, y_col, k, out_col),
+        sort_keys=list(order_cols), num_buckets=num_buckets,
+    )
+
+
+def rolling_corr_kernel(x_col: str, y_col: str, k: int, out_col: str):
+    """Kernel builder for `add_group_rolling_corr` — exposed so the salted
+    hot-entity path (`feast_ray.stages.salt.salted_rolling_corr`) runs the
+    IDENTICAL kernel; per-row lookback is k-1 rows."""
     if k < 2:
         raise ValueError("k must be >= 2")
 
@@ -1347,9 +1357,7 @@ def add_group_rolling_corr(
         bad = (n < 2) | (vx <= 0) | (vy <= 0)
         return t.append_column(out_col, pa.array(r, mask=bad))
 
-    return grouped_map(
-        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
-    )
+    return kernel
 
 
 def add_group_rolling_zscore(
@@ -1374,6 +1382,15 @@ def add_group_rolling_zscore(
     as the other moment kernels.  The per-entity anomaly-flag feature.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    return grouped_map(
+        ds, keys, rolling_zscore_kernel(int_col, k, out_col),
+        sort_keys=list(order_cols), num_buckets=num_buckets,
+    )
+
+
+def rolling_zscore_kernel(int_col: str, k: int, out_col: str):
+    """Kernel builder for `add_group_rolling_zscore` — exposed so the
+    salted hot-entity path runs the IDENTICAL kernel; lookback k-1 rows."""
     if k < 2:
         raise ValueError("k must be >= 2")
 
@@ -1399,6 +1416,4 @@ def add_group_rolling_zscore(
         bad = (n < 2) | (var <= 0)
         return t.append_column(out_col, pa.array(z, mask=bad))
 
-    return grouped_map(
-        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
-    )
+    return kernel

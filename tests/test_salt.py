@@ -88,3 +88,79 @@ def test_required_overlap():
 def test_overlap_must_fit_chunk(ray_session, hot_ds):
     with pytest.raises(ValueError):
         salted_window_features(hot_ds, specs=SPECS, chunk_rows=8, overlap_rows=8)
+
+
+def test_salted_rolling_corr_zscore_equal_unsalted(ray_session, hot_ds):
+    """Salted twins of the round-2/3 window ops must equal the unsalted
+    kernels exactly (same kernel object, overlap = k-1)."""
+    from feast_ray.stages.salt import salted_rolling_corr, salted_rolling_zscore
+    from feast_ray.stages.stats import add_group_rolling_corr, add_group_rolling_zscore
+
+    k = 7
+    want = add_group_rolling_corr(
+        hot_ds, "conv_id", "msg_len", "turn_idx",
+        k=k, order_cols=["ts", "turn_idx"], out_col="rc",
+    ).to_pandas()
+    got = salted_rolling_corr(
+        hot_ds, "conv_id", "msg_len", "turn_idx",
+        k=k, chunk_rows=40, order_cols=["ts", "turn_idx"], out_col="rc",
+    ).to_pandas()
+    _cmp(got, want)
+
+    want = add_group_rolling_zscore(
+        hot_ds, "conv_id", "msg_len",
+        k=k, order_cols=["ts", "turn_idx"], out_col="rz",
+    ).to_pandas()
+    got = salted_rolling_zscore(
+        hot_ds, "conv_id", "msg_len",
+        k=k, chunk_rows=40, order_cols=["ts", "turn_idx"], out_col="rz",
+    ).to_pandas()
+    _cmp(got, want)
+
+
+def test_salted_expanding_extrema_equal_unsalted(ray_session, hot_ds):
+    """Running extrema + cumulative count/sum under salting: chunk-local
+    expanding + the two-phase prefix repair must equal the unsalted path,
+    including when mixed with bounded specs and Sessionize."""
+    from feast_ray.stages.windows import Expanding
+
+    specs = [
+        Lag("msg_len", 1),
+        Expanding("msg_len", aggs=("count", "sum", "min", "max"), prefix="run"),
+        Sessionize(1800 * 1_000_000),
+    ]
+    want = add_window_features(
+        hot_ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=specs
+    ).to_pandas()
+    got = salted_window_features(
+        hot_ds, specs=specs, chunk_rows=40, overlap_rows=4
+    ).to_pandas()
+    _cmp(got, want)
+
+
+def test_salted_expanding_min_only_no_sessions(ray_session, hot_ds):
+    """min/max-only expanding (no count requested, no Sessionize) exercises
+    the internal-count drop and the expanding-only phase-2 path."""
+    from feast_ray.stages.windows import Expanding
+
+    specs = [Expanding("msg_len", aggs=("min", "max"), prefix="run")]
+    want = add_window_features(
+        hot_ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=specs
+    ).to_pandas()
+    got = salted_window_features(
+        hot_ds, specs=specs, chunk_rows=32, overlap_rows=2
+    ).to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    _cmp(got, want)
+
+
+def test_salted_expanding_mean_still_rejected(ray_session, hot_ds):
+    from feast_ray.stages.windows import Expanding
+
+    with pytest.raises(ValueError, match="count/sum/min/max"):
+        salted_window_features(
+            hot_ds,
+            specs=[Expanding("msg_len", aggs=("mean",))],
+            chunk_rows=32,
+            overlap_rows=2,
+        )

@@ -212,8 +212,12 @@ def test_salt_and_stream_reject_full_history_specs(ray_session, transcripts_tbl)
     from feast_ray.state.turn_buffer import TurnShardActor
 
     ds = rd.from_arrow(transcripts_tbl)
+    # Expanding count/sum/min/max is now salted-exact via the two-phase
+    # prefix repair (test_salt.py); mean/std/last remain rejected
     with _pytest.raises(ValueError):
-        salted_window_features(ds, specs=[Expanding("turn_idx")], chunk_rows=64)
+        salted_window_features(
+            ds, specs=[Expanding("turn_idx", aggs=("mean",))], chunk_rows=64
+        )
     with _pytest.raises(ValueError):
         salted_window_features(ds, specs=[RowNumber()], chunk_rows=64)
     a = TurnShardActor.remote([RowNumber()])
