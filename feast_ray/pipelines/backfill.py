@@ -380,6 +380,7 @@ def backfill_incremental(
     num_buckets: Optional[int] = None,
     carry_text: bool = True,
     files_per_task: int = 1,
+    allowed_lateness_s: int = 0,
 ) -> dict:
     """Incremental flagship backfill: recompute only the hash buckets that
     contain conversations with NEW turns since the stored watermark.
@@ -390,6 +391,19 @@ def backfill_incremental(
     partition manifests: affected conversations are recomputed from full
     history (exact for every window/session feature — no lookback-bound
     approximation), unaffected buckets are skipped entirely.
+
+    ``allowed_lateness_s`` is the LATE-DATA contract (the reference's
+    analog: last-write-wins on the next ``materialize`` run): a row may
+    arrive with an event time up to this many seconds BEHIND the stored
+    watermark and still re-open its conversation's closed partition — the
+    affected-bucket scan runs from ``watermark - allowed_lateness`` instead
+    of the watermark, so any partition a late row violates is recomputed
+    from full history (exact, not patched).  Rows later than the bound are
+    out of contract and silently missed until the next config change —
+    size the bound from measured disorder (``disorder_stats_user``:
+    max_late_us per entity).  Cost: every run re-reduces the buckets with
+    events inside the lateness window, so the bound prices recompute, not
+    correctness.
 
     Scale note: with a (conv_id, ts)-partitioned input layout the read of
     unaffected data prunes at the fragment level; in this flat-file local
@@ -442,7 +456,8 @@ def backfill_incremental(
     if wm is None:
         affected = None  # first run or config change: everything
     else:
-        cutoff = pa.scalar(wm["end_ts_us"], type=pa.int64()).cast(
+        scan_from_us = wm["end_ts_us"] - allowed_lateness_s * 1_000_000
+        cutoff = pa.scalar(scan_from_us, type=pa.int64()).cast(
             pa.timestamp("us", tz="UTC")
         )
         new_rows = dset.to_table(

@@ -112,3 +112,57 @@ def test_incremental_config_change_forces_full_recompute(
     backfill_transcripts(in_dir, out_full, num_buckets=4, roll_turns=3)
     got, want = _read_out(out), _read_out(out_full)
     assert len(got) == len(want)
+
+
+def test_allowed_lateness_reopens_closed_partition(ray_session, tmp_path):
+    """A LATE row (event time behind the stored watermark) lands in a
+    closed partition: with allowed_lateness covering its lag the partition
+    is re-opened and recomputed from full history — final output equals the
+    single-shot run on the combined input.  With the default bound of 0
+    the late row is out of contract and missed (the documented trade)."""
+    tbl = gen_transcripts(n_convs=30, mean_turns=10, seed=33)
+    ts = tbl["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # withhold the rows of one conversation that sit ~in the middle of the
+    # timeline: when they "arrive" later, they are LATE vs the watermark
+    conv = tbl["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    target = conv[np.argsort(ts)[len(ts) // 2]]
+    late_mask = (conv == target) & (ts <= np.quantile(ts, 0.9))
+    assert late_mask.any() and not late_mask.all()
+    first = tbl.filter(pa.array(~late_mask))
+    late = tbl.filter(pa.array(late_mask))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(first, in_dir / "batch-000.parquet")
+
+    kw = dict(num_buckets=8, session_gap_s=1800, roll_turns=5, roll_time_s=600)
+    out_miss = str(tmp_path / "out_miss")
+    out_late = str(tmp_path / "out_late")
+    backfill_incremental(str(in_dir), out_miss, **kw)
+    backfill_incremental(str(in_dir), out_late, **kw)
+
+    wm = _load_watermark(out_late)["end_ts_us"]
+    lateness_s = int((wm - int(ts[late_mask].min())) // 1_000_000) + 1
+    pq.write_table(late, in_dir / "batch-001.parquet")
+
+    # default contract (0): the late row does not re-open its partition
+    r0 = backfill_incremental(str(in_dir), out_miss, **kw)
+    assert r0["partitions_written"] == 0
+    got_miss = _read_out(out_miss)
+    assert (got_miss["conv_id"] == target).sum() < int(
+        (conv == target).sum()
+    )  # stale: late turns absent
+
+    # allowed_lateness covering the lag: partition re-opened, exact result
+    r1 = backfill_incremental(
+        str(in_dir), out_late, allowed_lateness_s=lateness_s, **kw
+    )
+    assert r1["partitions_written"] >= 1
+
+    out_full = str(tmp_path / "out_full")
+    backfill_transcripts(str(in_dir), out_full, num_buckets=8)
+    got = _read_out(out_late)
+    want = _read_out(out_full)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
