@@ -681,6 +681,16 @@ from feast_ray.pipelines.queries_docs import (  # noqa: E402
 QUERIES.update(QUERIES_DOCS)
 ORACLE_SQL.update(ORACLE_SQL_DOCS)
 
+# Tabular-ML feature-encoding family (target/frequency encoding, NTILE
+# buckets, shares, negative sampling, CUBE, autocorr, rolling distinct).
+from feast_ray.pipelines.queries_ml import (  # noqa: E402
+    ORACLE_SQL_ML,
+    QUERIES_ML,
+)
+
+QUERIES.update(QUERIES_ML)
+ORACLE_SQL.update(ORACLE_SQL_ML)
+
 
 # ---------------------------------------------------------------------------
 # Feast-core retrieval battery 2: multi-view composition (J2), created_ts

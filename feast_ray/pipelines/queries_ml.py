@@ -1,0 +1,285 @@
+"""Tabular-ML feature-encoding query family: target/frequency encoding,
+per-entity quantile bucketing, activity shares, negative sampling, CUBE
+grouping sets, lag-1 autocorrelation, sliding-window distinct counts.
+
+Upstream Feast leaves these to user-side ``on_demand_feature_view`` UDFs;
+here each is a distributed first-class operator with an exact DuckDB twin
+(same exactness contract as ``pipelines/queries.py``: int64-exact sums,
+one fixed float64 division/schedule per emitted float).
+
+None of these functions call ``ray.init`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feast_ray.sources.parquet import read_pq
+
+QUERIES_ML: dict = {}
+ORACLE_SQL_ML: dict = {}
+
+
+def _events(sf_dir: str, columns=None):
+    return read_pq(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _mix64_sql(expr: str) -> str:
+    """The engine's splitmix multiply (mod-2^64 bijection) as a HUGEINT
+    split-multiply — same constants as ``stages.sampling.mix64`` (hi/lo
+    words of 0x9E3779B97F4A7C15), validated bit-exact in the sample and
+    simhash oracles."""
+    return f"""
+        ((CAST({expr} AS HUGEINT) % 4294967296) * 2135587861
+         + (((CAST({expr} AS HUGEINT) % 4294967296) * 2654435769
+             + (CAST({expr} AS HUGEINT) // 4294967296) * 2135587861)
+            % 4294967296) * 4294967296)
+        % CAST(18446744073709551616 AS HUGEINT)"""
+
+
+def _with_cents(t: pa.Table, out: str = "cents") -> pa.Table:
+    c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+    return t.append_column(out, c)
+
+
+def q_target_encode_events(sf_dir: str):
+    """Leave-one-out target encoding + frequency encoding of event_type
+    against the value target (``stages.encode.target_encode``): the
+    leakage-safe categorical-to-numeric encoder every tabular trainer
+    applies.  One map-side-combined stats pass over a bounded categorical
+    domain, broadcast back into a stateless map — the raw data is never
+    shuffled."""
+    from feast_ray.stages.encode import target_encode
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    ds = ds.map_batches(_with_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = target_encode(ds, key_col="event_type", cents_col="cents")
+    return out.select_columns(["event_id", "event_type", "freq", "loo_mean_cents"])
+
+
+QUERIES_ML["target_encode_events"] = q_target_encode_events
+ORACLE_SQL_ML["target_encode_events"] = """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS na,
+             CAST(COUNT(value) AS BIGINT) AS nv,
+             CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0) AS BIGINT) AS s
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, m.na AS freq,
+           CASE WHEN e.value IS NULL
+                THEN CASE WHEN m.nv > 0
+                          THEN CAST(m.s AS DOUBLE) / CAST(m.nv AS DOUBLE) END
+                ELSE CASE WHEN m.nv > 1
+                          THEN CAST(m.s - CAST(ROUND(e.value * 100) AS BIGINT) AS DOUBLE)
+                               / CAST(m.nv - 1 AS DOUBLE) END
+           END AS loo_mean_cents
+    FROM events e JOIN m USING (event_type)
+"""
+
+
+def q_autocorr_value_user(sf_dir: str):
+    """Lag-1 autocorrelation of the value series per user
+    (``stages.stats.grouped_autocorr``): pairs formed positionally inside
+    ONE grouped exchange, five int64-exact moments, grouped_corr's fixed
+    float schedule."""
+    from feast_ray.stages.stats import grouped_autocorr
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return _with_cents(t).drop_columns(["value"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_autocorr(
+        ds, "user_id", "cents", order_cols=["ts", "event_id"],
+        out_col="autocorr1", count_col="n_pairs",
+    )
+
+
+QUERIES_ML["autocorr_value_user"] = q_autocorr_value_user
+ORACLE_SQL_ML["autocorr_value_user"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    p AS (
+      SELECT user_id, c AS x,
+             LEAD(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM e),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p WHERE y IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n AS n_pairs,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS autocorr1
+    FROM m
+"""
+
+
+def q_type_share_user(sf_dir: str):
+    """Behavioral-mix feature: per (user, event_type) count and its share
+    of the user's total activity (``stages.encode.share_of_entity``) —
+    map-side-combined partials, ONE grouped exchange, share = one float64
+    division of exact counts."""
+    from feast_ray.stages.encode import share_of_entity
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return share_of_entity(ds, key="user_id", sub_key="event_type")
+
+
+QUERIES_ML["type_share_user"] = q_type_share_user
+ORACLE_SQL_ML["type_share_user"] = """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY user_id)
+             AS share
+    FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_value_quartile_user(sf_dir: str):
+    """Within-entity equal-frequency bucketing: SQL NTILE(4) of the value
+    cents per user (``stages.encode.group_ntile``) — the per-user quantile
+    features (is this purchase big FOR THIS USER) that global deciles
+    cannot express.  One grouped exchange, vectorized tile rule."""
+    from feast_ray.stages.encode import group_ntile
+
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return _with_cents(t).drop_columns(["value"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return group_ntile(
+        ds, keys="user_id", val_col="cents", k=4,
+        tie_cols=["event_id"], tile_name="quartile",
+    )
+
+
+QUERIES_ML["value_quartile_user"] = q_value_quartile_user
+ORACLE_SQL_ML["value_quartile_user"] = """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_id, cents,
+           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY cents, event_id)
+                AS BIGINT) AS quartile
+    FROM e
+"""
+
+
+def q_cube_type_day(sf_dir: str):
+    """Full CUBE grouping sets over (event_type, UTC day): count + exact
+    cents sum at all four subset levels (``stages.stats.cube_agg``) — the
+    monitoring rollup that feeds both per-type and per-day dashboards from
+    one scan.  Raw data feeds exactly one map-side-combined exchange;
+    the other grouping sets cascade over the finest cells."""
+    from feast_ray.stages.stats import cube_agg
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_type": t["event_type"], "day": pa.array(us // 86_400_000_000),
+             "cents": c}
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return cube_agg(
+        ds, ["event_type", "day"], "cents", count_name="n_events", sum_name="cents"
+    )
+
+
+QUERIES_ML["cube_type_day"] = q_cube_type_day
+ORACLE_SQL_ML["cube_type_day"] = """
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY CUBE(event_type, day)
+"""
+
+
+def q_negative_samples_user(sf_dir: str):
+    """Deterministic negative sampling (``stages.encode.negative_samples``):
+    the interaction set is "user spent >= $100 on this event type"; for
+    every interacting user, 2 types they never interacted with, picked by
+    the splitmix mixer over (user_id * 64 + type_ordinal) — the
+    implicit-feedback negatives of a recsys training set, reproducible on
+    any cluster shape.  Users and vocabulary both come from the filtered
+    interaction set (self-consistent universe)."""
+    from feast_ray.stages.encode import negative_samples
+
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["value"], 100.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return negative_samples(
+        ds, user_col="user_id", item_col="event_type", k=2, rank_name="neg_rank"
+    )
+
+
+QUERIES_ML["negative_samples_user"] = q_negative_samples_user
+ORACLE_SQL_ML["negative_samples_user"] = f"""
+    WITH i AS (SELECT user_id, event_type FROM events WHERE value >= 100),
+    t AS (SELECT DISTINCT event_type FROM i),
+    o AS (SELECT event_type,
+                 CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS ord
+          FROM t),
+    u AS (SELECT DISTINCT user_id FROM i),
+    cand AS (
+      SELECT u.user_id, o.event_type, o.ord
+      FROM u CROSS JOIN o
+      WHERE NOT EXISTS (SELECT 1 FROM i e
+                        WHERE e.user_id = u.user_id
+                          AND e.event_type = o.event_type)),
+    h AS (SELECT user_id, event_type, ord,
+                 {_mix64_sql("user_id * 64 + ord")} AS hv
+          FROM cand),
+    r AS (SELECT user_id, event_type,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hv, ord)
+                      AS BIGINT) AS neg_rank
+          FROM h)
+    SELECT user_id, event_type, neg_rank FROM r WHERE neg_rank <= 2
+"""
+
+
+def q_rolling_distinct_types(sf_dir: str):
+    """Sliding-window behavioral variety: distinct event types among each
+    user's last 10 events (``stages.windows.rolling_distinct``) — the
+    interval-contribution kernel (no per-window sets, no hashing), ONE
+    grouped exchange."""
+    from feast_ray.stages.windows import rolling_distinct
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    out = rolling_distinct(
+        ds, key="user_id", cat_col="event_type", window=10,
+        order_cols=["ts", "event_id"], out_name="n_distinct_w10",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "n_distinct_w10"])
+
+
+QUERIES_ML["rolling_distinct_types"] = q_rolling_distinct_types
+ORACLE_SQL_ML["rolling_distinct_types"] = """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(DISTINCT event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_distinct_w10
+    FROM events
+"""

@@ -437,6 +437,70 @@ def grouped_corr(
     return grouped_map(ds, keys, kernel, num_buckets=num_buckets)
 
 
+def grouped_autocorr(
+    ds,
+    key: str | Sequence[str],
+    val_col: str,
+    *,
+    order_cols: Sequence[str],
+    out_col: str = "autocorr1",
+    count_col: str = "n_pairs",
+    num_buckets: Optional[int] = None,
+):
+    """Lag-1 autocorrelation per entity: the exact Pearson correlation of
+    ``(v_t, v_{t+1})`` over the entity's values in ``order_cols`` order —
+    the "is this series sticky or mean-reverting" feature of behavioral
+    and time-series models.  SQL twin: ``corr(v, lead(v) over w)``.
+
+    Same exactness contract as :func:`grouped_corr` (``val_col`` integer
+    fixed-point, five int64 moment sums over the consecutive pairs, one
+    fixed float schedule), same overflow guard.  Entities with < 1 pair
+    (fewer than two rows) emit nothing, matching the SQL aggregate over
+    the non-NULL lead pairs.  ONE grouped exchange — pairs are formed
+    positionally inside the kernel, never materialized as rows.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        v = t[val_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(v)
+        # pair i = (v[i], v[i+1]) for every i that is not its group's last row
+        pair_mask = np.ones(max(n_rows - 1, 0), dtype=bool)
+        last_rows = starts[1:] - 1
+        pair_mask[last_rows[last_rows < n_rows - 1]] = False
+        x = v[:-1][pair_mask]
+        y = v[1:][pair_mask]
+        pair_sizes = np.maximum(sizes - 1, 0)
+        keep = pair_sizes > 0  # groups contributing >= 1 pair
+        if not keep.any():
+            cols = {k: t[k].combine_chunks().slice(0, 0) for k in keys}
+            cols[count_col] = pa.array([], pa.int64())
+            cols[out_col] = pa.array([], pa.float64())
+            return pa.table(cols)
+        pair_firsts = np.concatenate(([0], np.cumsum(pair_sizes)))[:-1][keep]
+        n = pair_sizes[keep]
+        sx = np.add.reduceat(x, pair_firsts)
+        sy = np.add.reduceat(y, pair_firsts)
+        sxx = np.add.reduceat(x * x, pair_firsts)
+        syy = np.add.reduceat(y * y, pair_firsts)
+        sxy = np.add.reduceat(x * y, pair_firsts)
+        cov = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / (np.sqrt(vx) * np.sqrt(vy))
+        bad = (n < 2) | (vx <= 0) | (vy <= 0)
+        take_first = pa.array(firsts[keep])
+        cols = {k: pc.take(t[k].combine_chunks(), take_first) for k in keys}
+        cols[count_col] = pa.array(n.astype(np.int64))
+        cols[out_col] = pa.array(r, mask=bad)
+        return pa.table(cols)
+
+    return grouped_map(ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets)
+
+
 def approx_group_quantile(
     ds,
     key: str | Sequence[str],
@@ -721,6 +785,107 @@ def rollup_agg(
         return pa.table(
             {count_name: pa.array([_pc.sum(t[count_name]).as_py() or 0], pa.int64()),
              sum_name: pa.array([_pc.sum(t[sum_name]).as_py() or 0], pa.int64())}
+        )
+
+    tot_rows = finest.map_batches(
+        _tot, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    grand = pa.table(
+        {
+            **{f.name: pa.nulls(1, type=f.type) for f in key_fields},
+            count_name: pa.array(
+                [sum(int(r[count_name]) for r in tot_rows)], type=pa.int64()
+            ),
+            sum_name: pa.array(
+                [sum(int(r[sum_name]) for r in tot_rows)], type=pa.int64()
+            ),
+        },
+        schema=out_schema,
+    )
+    levels.append(rd.from_arrow(grand))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_agg(
+    ds,
+    keys: Sequence[str],
+    val_col: str,
+    *,
+    count_name: str = "n",
+    sum_name: str = "s",
+):
+    """Full CUBE aggregate (SQL ``GROUP BY CUBE(k1, .., km)``): count +
+    exact int64 sum at EVERY key subset (2^m grouping sets), absent key
+    columns NULL.  Same single-scan structure as :func:`rollup_agg` — the
+    raw input feeds exactly one map-side-combined exchange (the finest
+    level); every other grouping set re-aggregates the distinct-keys-sized
+    finest result, so at 100 TB the 2^m - 1 extra cascades move only
+    aggregate rows.  Intended for m <= ~4 bounded-domain dimensions (time
+    bucket x category x source ...) — 2^m grows, and each subset's cost is
+    a tiny-exchange over the finest cells.
+
+    ``val_col`` must be integer (fixed point) so level sums are exact and
+    independent of combination order.
+    """
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from feast_ray.grouped import dataset_schema
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    schema = dataset_schema(ds)
+    if not pa.types.is_integer(schema.field(val_col).type):
+        raise ValueError("val_col must be an integer (fixed-point) column")
+    key_fields = [pa.field(k, schema.field(k).type) for k in keys]
+    out_schema = pa.schema(
+        key_fields + [pa.field(count_name, pa.int64()), pa.field(sum_name, pa.int64())]
+    )
+
+    def canon(present: frozenset):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for fld in key_fields:
+                if fld.name in present:
+                    cols[fld.name] = t[fld.name].cast(fld.type)
+                else:
+                    cols[fld.name] = pa.nulls(n, type=fld.type)
+            cols[count_name] = t[count_name].cast(pa.int64())
+            cols[sum_name] = t[sum_name].cast(pa.int64())
+            return pa.table(cols, schema=out_schema)
+
+        return f
+
+    finest = partial_count_sum(
+        ds, keys, val_col, count_name=count_name, sum_name=sum_name
+    ).materialize()  # feeds every other grouping set + the grand total
+    levels = [
+        finest.map_batches(
+            canon(frozenset(keys)), batch_format="pyarrow", zero_copy_batch=True
+        )
+    ]
+    for m in range(len(keys) - 1, 0, -1):
+        for subset in combinations(keys, m):
+            t = sum_by(finest, list(subset), [count_name, sum_name])
+            levels.append(
+                t.map_batches(
+                    canon(frozenset(subset)),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+    # grand total: per-block fold to one row, driver sums the tiny partials
+    # (full consume — Dataset.aggregate's internal take cancels running tasks)
+    def _tot(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {count_name: pa.array([pc.sum(t[count_name]).as_py() or 0], pa.int64()),
+             sum_name: pa.array([pc.sum(t[sum_name]).as_py() or 0], pa.int64())}
         )
 
     tot_rows = finest.map_batches(

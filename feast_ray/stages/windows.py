@@ -784,3 +784,80 @@ def _ts_us(col: pa.Array) -> np.ndarray:
     if pa.types.is_timestamp(t):
         col = col.cast(pa.timestamp("us", tz=t.tz))
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def rolling_distinct(
+    ds,
+    *,
+    key,
+    cat_col: str,
+    window: int,
+    order_cols,
+    out_name: str = "n_distinct",
+    num_buckets=None,
+):
+    """Sliding-window distinct count per entity: for every row, the number
+    of distinct non-NULL ``cat_col`` values among the entity's last
+    ``window`` rows (inclusive) in ``order_cols`` order — SQL
+    ``COUNT(DISTINCT cat) OVER (PARTITION BY key ORDER BY ... ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``, the behavioral-variety
+    feature (how many different actions in the user's recent history).
+
+    Distinct-in-window is not decomposable into running sums, so the
+    kernel uses the offline interval-contribution identity instead of a
+    per-window set: row ``j`` is counted by window ``i`` iff ``j`` lies in
+    the window AND ``j``'s previous same-value occurrence does not — i.e.
+    ``j`` contributes +1 to exactly the contiguous index range
+    ``[max(j, prev_j + window), j + window - 1]``.  Scatter those
+    intervals into a difference array and prefix-sum: O(n) per bucket
+    after the exchange's sort, zero per-row Python, no hashing.  ONE
+    grouped exchange.
+    """
+    from feast_ray.grouped import grouped_map, starts_to_row_gstart
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = np.int64(window)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        gstart = starts_to_row_gstart(starts)
+        sizes = np.diff(starts)
+        gend = np.repeat(starts[1:], sizes)  # exclusive group end per row
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        codes = (
+            t[cat_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pos = np.arange(n, dtype=np.int64)
+        # previous same-(group, code) occurrence via one lexsort
+        order = np.lexsort((pos, codes, gidx))
+        so_g, so_c, so_p = gidx[order], codes[order], pos[order]
+        prev_sorted = np.full(n, -np.int64(1) - w, dtype=np.int64)  # "none" sentinel
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = (so_g[1:] == so_g[:-1]) & (so_c[1:] == so_c[:-1])
+        prev_sorted[same] = so_p[np.flatnonzero(same) - 1]
+        prev = np.empty(n, dtype=np.int64)
+        prev[order] = prev_sorted
+        # local coordinates
+        j_loc = pos - gstart
+        prev_loc = np.where(prev >= 0, prev - gstart, -w)  # none -> always outside
+        lo = gstart + np.maximum(j_loc, prev_loc + w)
+        hi = gstart + np.minimum(j_loc + w - 1, (gend - gstart) - 1)
+        valid = (codes >= 0) & (lo <= hi)
+        diff = (
+            np.bincount(lo[valid], minlength=n + 1)
+            - np.bincount(hi[valid] + 1, minlength=n + 1)
+        )
+        counts = np.cumsum(diff)[:n]
+        return t.append_column(out_name, pa.array(counts.astype(np.int64)))
+
+    return grouped_map(ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets)

@@ -1,0 +1,281 @@
+"""Feature-encoding stages (encode.py), cube_agg, grouped_autocorr and
+rolling_distinct vs pandas / brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyarrow as pa
+import ray.data as rd
+
+from feast_ray.stages.encode import (
+    group_ntile,
+    negative_samples,
+    share_of_entity,
+    target_encode,
+)
+from feast_ray.stages.sampling import mix64
+
+
+@pytest.fixture()
+def ev(ray_session):
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "user": rng.integers(0, 41, n),
+            "cat": rng.choice(["a", "b", "c", "dd", "e"], n),
+            "cents": rng.integers(-200, 9_000, n).astype(np.int64),
+        }
+    )
+    # a singleton category and some NULL targets
+    df.loc[0, "cat"] = "only_once"
+    cents = df["cents"].astype("Int64")
+    cents.iloc[5:25] = pd.NA
+    df["cents"] = cents
+    return df
+
+
+def _ds(df):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_target_encode_matches_pandas(ev):
+    out = (
+        target_encode(_ds(ev), key_col="cat", cents_col="cents")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g = ev.groupby("cat")["cents"]
+    na = ev.groupby("cat").size()
+    nv = g.count()
+    s = g.sum()
+    exp_freq = ev["cat"].map(na).astype(np.int64)
+    assert (out["freq"].to_numpy() == exp_freq.to_numpy()).all()
+    for i in range(len(ev)):
+        cat = ev.loc[i, "cat"]
+        c = ev.loc[i, "cents"]
+        if pd.isna(c):
+            exp = float(s[cat]) / float(nv[cat]) if nv[cat] > 0 else None
+        elif nv[cat] <= 1:
+            exp = None
+        else:
+            exp = (float(s[cat]) - float(c)) / float(nv[cat] - 1)
+        got = out.loc[i, "loo_mean_cents"]
+        if exp is None:
+            assert pd.isna(got)
+        else:
+            assert got == exp  # single float division of exact ints
+
+
+def test_target_encode_singleton_category_null(ev):
+    out = target_encode(_ds(ev), key_col="cat", cents_col="cents").to_pandas()
+    row = out[out["cat"] == "only_once"]
+    assert len(row) == 1
+    assert row["freq"].iloc[0] == 1
+    assert row["loo_mean_cents"].isna().all()
+
+
+def _sql_ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    q, r = divmod(n, k)
+    out = np.empty(len(rank), dtype=np.int64)
+    for i, rk in enumerate(rank):
+        if rk < r * (q + 1):
+            out[i] = rk // (q + 1) + 1
+        else:
+            out[i] = r + (rk - r * (q + 1)) // q + 1
+    return out
+
+
+def test_group_ntile_matches_sql_rule(ev):
+    df = ev.dropna(subset=["cents"]).copy()
+    df["cents"] = df["cents"].astype(np.int64)
+    out = (
+        group_ntile(
+            _ds(df), keys="user", val_col="cents", k=4,
+            tie_cols=["id"], tile_name="tile",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = {}
+    for _, grp in df.sort_values(["cents", "id"]).groupby("user"):
+        n = len(grp)
+        tiles = _sql_ntile(np.arange(n), n, 4)
+        for row_id, t in zip(grp["id"].to_numpy(), tiles):
+            exp[row_id] = t
+    got = dict(zip(out["id"].to_numpy(), out["tile"].to_numpy()))
+    assert got == exp
+
+
+def test_group_ntile_group_smaller_than_k(ray_session):
+    df = pd.DataFrame({"user": [1, 1, 2], "v": [5, 3, 9], "id": [0, 1, 2]})
+    out = (
+        group_ntile(_ds(df), keys="user", val_col="v", k=4, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["user", "v"])
+    )
+    # n < k: each row gets its own tile 1..n
+    assert out[out["user"] == 1]["ntile"].tolist() == [1, 2]
+    assert out[out["user"] == 2]["ntile"].tolist() == [1]
+
+
+def test_share_of_entity_partition(ev):
+    out = share_of_entity(_ds(ev), key="user", sub_key="cat").to_pandas()
+    exp = ev.groupby(["user", "cat"]).size().rename("n").reset_index()
+    m = out.merge(exp, on=["user", "cat"], suffixes=("", "_exp"), how="outer")
+    assert not m.isna().any().any()
+    assert (m["n"] == m["n_exp"]).all()
+    tot = out.groupby("user")["share"].sum()
+    assert np.allclose(tot.to_numpy(), 1.0)
+    # share is the one-division value
+    totals = ev.groupby("user").size()
+    exp_share = m["n"].to_numpy().astype(np.float64) / m["user"].map(totals).to_numpy()
+    assert (m["share"].to_numpy() == exp_share).all()
+
+
+def test_negative_samples_bruteforce(ray_session):
+    df = pd.DataFrame(
+        {
+            "user": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+            "item": ["a", "b", "a", "c", "a", "a", "b", "c", "d"],
+        }
+    )
+    out = (
+        negative_samples(_ds(df), user_col="user", item_col="item", k=2)
+        .to_pandas()
+        .sort_values(["user", "neg_rank"])
+        .reset_index(drop=True)
+    )
+    vocab = sorted(df["item"].unique())
+    rows = []
+    for u, grp in df.groupby("user"):
+        missing = [(i, it) for i, it in enumerate(vocab) if it not in set(grp["item"])]
+        ranked = sorted(
+            missing, key=lambda p: (int(mix64(np.array([u * 64 + p[0]]))[0]), p[0])
+        )
+        for r, (_, it) in enumerate(ranked[:2], start=1):
+            rows.append((u, it, r))
+    exp = pd.DataFrame(rows, columns=["user", "item", "neg_rank"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # user 3 saw everything -> no rows
+    assert (out["user"] != 3).all()
+
+
+def test_negative_samples_vocab_ceiling(ray_session):
+    df = pd.DataFrame(
+        {"user": np.zeros(70, np.int64), "item": [f"i{j}" for j in range(70)]}
+    )
+    with pytest.raises(ValueError, match="64-bit"):
+        negative_samples(_ds(df), user_col="user", item_col="item", k=1)
+
+
+def test_grouped_autocorr_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 25, n),
+            "ord": np.arange(n, dtype=np.int64),
+            "c": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    # a size-1 group (no pairs) and a constant group (zero variance)
+    df.loc[df["user"] == 0, "user"] = 1
+    df = pd.concat(
+        [df, pd.DataFrame({"user": [0, 99, 99, 99], "ord": [-1, -3, -2, -1],
+                           "c": [5, 7, 7, 7]})],
+        ignore_index=True,
+    )
+    from feast_ray.stages.stats import grouped_autocorr
+
+    out = (
+        grouped_autocorr(_ds(df), "user", "c", order_cols=["ord"])
+        .to_pandas()
+        .set_index("user")
+    )
+    assert 0 not in out.index  # single row -> no pairs -> no output row
+    assert out.loc[99, "n_pairs"] == 2 and pd.isna(out.loc[99, "autocorr1"])
+    for u, grp in df.sort_values("ord").groupby("user"):
+        v = grp["c"].to_numpy()
+        if len(v) < 2:
+            continue
+        x, y = v[:-1].astype(np.float64), v[1:].astype(np.float64)
+        if len(x) >= 2 and np.std(x) > 0 and np.std(y) > 0:
+            exp = np.corrcoef(x, y)[0, 1]
+            assert abs(out.loc[u, "autocorr1"] - exp) < 1e-9
+
+
+def test_rolling_distinct_matches_bruteforce(ray_session):
+    from feast_ray.stages.windows import rolling_distinct
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 17, n),
+            "ord": np.arange(n, dtype=np.int64),
+            "cat": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    # NULL categories never count as distinct but still get output rows
+    cat = df["cat"].astype(object)
+    cat.iloc[rng.choice(n, 60, replace=False)] = None
+    df["cat"] = cat
+    w = 7
+    out = (
+        rolling_distinct(
+            _ds(df), key="user", cat_col="cat", window=w,
+            order_cols=["ord"], out_name="nd",
+        )
+        .to_pandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    exp = {}
+    for _, grp in df.sort_values("ord").groupby("user"):
+        cats = grp["cat"].tolist()
+        ords = grp["ord"].tolist()
+        for i in range(len(cats)):
+            win = [c for c in cats[max(0, i - w + 1): i + 1] if c is not None]
+            exp[ords[i]] = len(set(win))
+    got = dict(zip(out["ord"].to_numpy(), out["nd"].to_numpy()))
+    assert got == exp
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["x", "y", "z"], n),
+            "k2": rng.integers(0, 9, n).astype(np.int64),
+            "c": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    from feast_ray.stages.stats import cube_agg
+
+    out = (
+        cube_agg(_ds(df), ["k1", "k2"], "c", count_name="n", sum_name="s")
+        .to_pandas()
+        .sort_values(["k1", "k2", "n"], na_position="first")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            "SELECT k1, k2, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(c) AS BIGINT) s "
+            "FROM df GROUP BY CUBE(k1, k2)"
+        )
+        .df()
+        .sort_values(["k1", "k2", "n"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
