@@ -1221,3 +1221,28 @@ ORACLE_SQL_DOCS["cooccur_tokens_docs"] = f"""
     JOIN df da ON da.tok = t.tok_a
     JOIN df db ON db.tok = t.tok_b
 """
+
+
+def q_neardup_edit_docs(sf_dir: str):
+    """Edit-distance near-duplicate pairs over the 16-byte text prefix
+    (``stages.editdist.editdist_pairs``): FastSS deletion-neighborhood
+    blocking (lossless for distance <= 1) with an exact vectorized
+    verifier — the typo/OCR-noise dedup family shingle methods miss.
+    Identical prefixes collapse before the variant fan-out, so exact-dup
+    clusters cost one exchange, not a 17x-duplicated quadratic."""
+    from feast_ray.stages.editdist import editdist_pairs
+
+    return editdist_pairs(
+        _docs(sf_dir), id_col="doc_id", text_col="text", prefix_len=16
+    )
+
+
+QUERIES_DOCS["neardup_edit_docs"] = q_neardup_edit_docs
+ORACLE_SQL_DOCS["neardup_edit_docs"] = """
+    WITH d AS (SELECT doc_id, substr(text, 1, 16) AS key FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.key) - length(b.key)) <= 1
+      AND levenshtein(a.key, b.key) <= 1
+"""

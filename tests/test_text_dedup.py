@@ -381,3 +381,64 @@ def test_frame_sampler_means(ray_session, docs_ds, docs_tbl):
     for (r, (did, fi, off, mean)) in zip(got.itertuples(), want):
         assert (r.doc_id, r.frame_idx, r.frame_off) == (did, fi, off)
         assert abs(r.frame_mean - mean) < 1e-9
+
+
+def test_editdist_pairs_bruteforce(ray_session):
+    """FastSS blocking + exact verify vs a brute-force Levenshtein oracle
+    over adversarial prefixes: substitutions, insertions (front/middle/
+    end), an ed-2 transposition that SHARES a deletion variant (must be
+    rejected by the verifier), prefix-of relationships, an exact-dup
+    cluster, and an empty string."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.editdist import editdist_pairs
+
+    texts = [
+        "abcdef",      # 0
+        "abcdef",      # 1 exact dup of 0
+        "abcdef",      # 2 exact dup of 0
+        "abcxef",      # 3 substitution of 0
+        "abcdefg",     # 4 trailing insert on 0
+        "xabcdef",     # 5 front insert on 0
+        "abcqdef",     # 6 middle insert on 0
+        "abdcef",      # 7 transposition of 0 (ed 2, shares del variants)
+        "abcde",       # 8 deletion of 0's last char
+        "zzzzzz",      # 9 unrelated
+        "",            # 10 empty
+        "a",           # 11 ed 1 from empty
+        "ab",          # 12 ed 1 from 11
+    ]
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    import pyarrow as _pa
+
+    out = (
+        editdist_pairs(
+            rd.from_arrow(_pa.Table.from_pandas(df, preserve_index=False)),
+            id_col="doc_id", text_col="text", prefix_len=16,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    exp_rows = [
+        (a, b, lev(texts[a], texts[b]))
+        for a, b in itertools.combinations(range(len(texts)), 2)
+        if lev(texts[a], texts[b]) <= 1
+    ]
+    exp = pd.DataFrame(exp_rows, columns=["doc_a", "doc_b", "edit_dist"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # the transposition must NOT appear
+    assert not (((out["doc_a"] == 0) & (out["doc_b"] == 7)).any())
