@@ -1246,3 +1246,109 @@ ORACLE_SQL_DOCS["neardup_edit_docs"] = """
     WHERE abs(length(a.key) - length(b.key)) <= 1
       AND levenshtein(a.key, b.key) <= 1
 """
+
+
+def q_dedup_chunks_docs(sf_dir: str):
+    """Chunk-level exact dedup (the remove-boilerplate-paragraphs pass):
+    every 32-token/stride-24 chunk seen more than once across the corpus,
+    with its total occurrence count and distinct-doc spread.  Chunking is
+    shuffle-free (``stages.text.chunk_texts``); per-batch distinct
+    (chunk, doc) partials feed ONE grouped exchange on the chunk text
+    whose kernel folds duplicate partials and counts doc runs."""
+    import numpy as np
+
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.text import chunk_texts
+
+    chunks = chunk_texts(
+        _docs(sf_dir), chunk_tokens=32, stride_tokens=24,
+        idx_name="chunk_idx", out_name="chunk_text", len_name="n_tokens",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        txt = t["chunk_text"].combine_chunks()
+        did = t["doc_id"].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {"chunk_text": txt.slice(0, 0), "doc_id": did.slice(0, 0),
+                 "__n": pa.array([], pa.int64())}
+            )
+        ti = txt.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = did.to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, ti))
+        st, sd = ti[order], d[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (st[1:] != st[:-1]) | (sd[1:] != sd[:-1])
+        firsts = order[new]
+        cnt = np.diff(np.concatenate((np.flatnonzero(new), [n])))
+        return pa.table(
+            {
+                "chunk_text": pc.take(txt, pa.array(firsts)),
+                "doc_id": pc.take(did, pa.array(firsts)),
+                "__n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = chunks.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        import numpy as np
+
+        txt = t["chunk_text"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"chunk_text": txt.slice(0, 0),
+                 "n_copies": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
+        firsts = starts[:-1]
+        cnt = t["__n"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_copies = np.add.reduceat(cnt, firsts)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_rows = len(d)
+        new_doc = np.empty(n_rows, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = d[1:] != d[:-1]
+        new_doc[firsts] = True
+        gidx = np.repeat(np.arange(len(firsts)), np.diff(starts))
+        n_docs = np.bincount(gidx[new_doc], minlength=len(firsts)).astype(np.int64)
+        keep = n_copies > 1
+        take = pa.array(firsts[keep])
+        return pa.table(
+            {
+                "chunk_text": pc.take(txt, take),
+                "n_copies": pa.array(n_copies[keep].astype(np.int64)),
+                "n_docs": pa.array(n_docs[keep]),
+            }
+        )
+
+    return grouped_map(partials, ["chunk_text"], kernel, sort_keys=["doc_id"])
+
+
+QUERIES_DOCS["dedup_chunks_docs"] = q_dedup_chunks_docs
+ORACLE_SQL_DOCS["dedup_chunks_docs"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents),
+    mm AS (
+      SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS m
+      FROM toks WHERE len(tl) > 0),
+    cc AS (
+      SELECT doc_id, tl, m,
+             CASE WHEN m <= 32 THEN 1
+                  ELSE 1 + CAST(CEIL((m - 32) / 24.0) AS BIGINT) END AS n_chunks
+      FROM mm),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(tl[g.k * 24 + 1 : LEAST(g.k * 24 + 32, m)], ' ')
+               AS chunk_text
+      FROM cc, LATERAL unnest(range(0, n_chunks)) AS g(k))
+    SELECT chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch GROUP BY chunk_text HAVING COUNT(*) > 1
+"""

@@ -283,3 +283,163 @@ ORACLE_SQL_ML["rolling_distinct_types"] = """
              AS n_distinct_w10
     FROM events
 """
+
+
+def q_robust_scale_events(sf_dir: str):
+    """Per-entity robust scaling + percent rank in ONE grouped exchange:
+    (cents - median) / IQR (outlier-immune standardization, NULL when the
+    IQR is zero) and SQL PERCENT_RANK (rank / (n-1), 0.0 for singleton
+    groups) — the exact order-statistic selections come straight off the
+    exchange's (cents, event_id) sort, so no second pass and no join back
+    to rows."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return _with_cents(t).drop_columns(["value"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        if n_rows == 0:
+            t = t.append_column("pct_rank", pa.array([], pa.float64()))
+            return t.append_column("robust", pa.array([], pa.float64()))
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        n = np.repeat(sizes, sizes)
+        rank = np.arange(n_rows, dtype=np.int64) - gstart
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+
+        def disc(q: float) -> np.ndarray:
+            idx = gstart + np.maximum(
+                np.ceil(q * n.astype(np.float64)).astype(np.int64), 1
+            ) - 1
+            return c[idx]
+
+        med, q25, q75 = disc(0.5), disc(0.25), disc(0.75)
+        iqr = q75 - q25
+        with np.errstate(invalid="ignore", divide="ignore"):
+            robust = (c - med).astype(np.float64) / iqr.astype(np.float64)
+            pct = rank.astype(np.float64) / (n - 1).astype(np.float64)
+        pct = np.where(n == 1, 0.0, pct)
+        t = t.append_column("pct_rank", pa.array(pct))
+        return t.append_column("robust", pa.array(robust, mask=iqr == 0))
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["cents", "event_id"])
+
+
+QUERIES_ML["robust_scale_events"] = q_robust_scale_events
+ORACLE_SQL_ML["robust_scale_events"] = """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    q AS (
+      SELECT user_id,
+             quantile_disc(cents, 0.25) AS q25,
+             quantile_disc(cents, 0.50) AS med,
+             quantile_disc(cents, 0.75) AS q75
+      FROM e GROUP BY user_id)
+    SELECT e.user_id, e.event_id, e.cents,
+           PERCENT_RANK() OVER (PARTITION BY e.user_id
+                                ORDER BY e.cents, e.event_id) AS pct_rank,
+           CASE WHEN q.q75 - q.q25 > 0
+                THEN CAST(e.cents - q.med AS DOUBLE)
+                     / CAST(q.q75 - q.q25 AS DOUBLE) END AS robust
+    FROM e JOIN q USING (user_id)
+"""
+
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def q_covisit_types_session(sf_dir: str):
+    """Session co-visitation matrix (the recsys/item2vec evidence counts):
+    for every unordered event-type pair, the number of (user, session)
+    groups where BOTH occur, sessions cut by the 30-minute gap rule.
+    Sessionization, per-session distinct types and the triangular pair
+    expansion all happen inside ONE grouped exchange on user; the global
+    pair counts are map-side combined (<= |types|^2 rows per bucket) and
+    reduced on a tiny second exchange."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.editdist import _tri_pairs
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "type_a": enc.dictionary.slice(0, 0),
+                    "type_b": enc.dictionary.slice(0, 0),
+                    "n_sess": pa.array([], pa.int64()),
+                }
+            )
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        # dictionary codes are first-appearance ordered; remap to LEXICAL
+        # ranks so code_a < code_b <=> type_a < type_b (a < b contract)
+        k_dict = len(enc.dictionary)
+        perm = np.argsort(np.asarray(enc.dictionary.to_pylist(), dtype=object))
+        rank_of = np.empty(k_dict, dtype=np.int64)
+        rank_of[perm] = np.arange(k_dict, dtype=np.int64)
+        codes = rank_of[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        order = np.lexsort((codes, sess, gidx))
+        sg, ss, sc = gidx[order], sess[order], codes[order]
+        new = np.empty(n_rows, dtype=bool)
+        new[0] = True
+        new[1:] = (sg[1:] != sg[:-1]) | (ss[1:] != ss[:-1]) | (sc[1:] != sc[:-1])
+        dg, dsess, dcode = sg[new], ss[new], sc[new]
+        sess_change = np.empty(len(dg), dtype=bool)
+        sess_change[0] = True
+        sess_change[1:] = (dg[1:] != dg[:-1]) | (dsess[1:] != dsess[:-1])
+        bounds = np.concatenate(
+            (np.flatnonzero(sess_change), [len(dg)])
+        ).astype(np.int64)
+        ai, bi = _tri_pairs(bounds)
+        pack = dcode[ai] * k_dict + dcode[bi]
+        upack, cnt = np.unique(pack, return_counts=True)
+        return pa.table(
+            {
+                "type_a": pc.take(enc.dictionary, pa.array(perm[upack // k_dict])),
+                "type_b": pc.take(enc.dictionary, pa.array(perm[upack % k_dict])),
+                "n_sess": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = grouped_map(
+        ds, ["user_id"], kernel, sort_keys=["ts", "event_id"]
+    )
+    return sum_by(partials, ["type_a", "type_b"], ["n_sess"])
+
+
+QUERIES_ML["covisit_types_session"] = q_covisit_types_session
+ORACLE_SQL_ML["covisit_types_session"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN prev_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(prev_ts) <= {SESSION_GAP_US}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM s)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_sess
+    FROM st a JOIN st b
+      ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
