@@ -443,3 +443,32 @@ ORACLE_SQL_ML["covisit_types_session"] = f"""
          AND a.event_type < b.event_type
     GROUP BY 1, 2
 """
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine 3-NN graph over the embedding corpus
+    (``stages.similarity.knn_graph``): blockpair chunk exchange (each
+    reducer matmuls 2/n_chunks of the corpus, per-node top-k partials),
+    per-node merge on a second exchange — the ANN-graph construction
+    step of semantic dedup / diversity sampling, no driver state."""
+    from feast_ray.stages.similarity import knn_graph
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=3, id_col="vec_id", emb_col="embedding", n_chunks=8)
+
+
+QUERIES_ML["knn_graph"] = q_knn_graph
+ORACLE_SQL_ML["knn_graph"] = """
+    WITH s AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT vec_id, nbr_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, nbr_id)
+                  AS BIGINT) AS nbr_rank
+      FROM s)
+    SELECT vec_id, nbr_id, cos_sim, nbr_rank FROM r WHERE nbr_rank <= 3
+"""

@@ -250,3 +250,161 @@ def ivf_topk(
 
     cands = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return _topk_sort(cands, k, id_col)
+
+
+def knn_graph(
+    ds,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_chunks: int = 8,
+    round_digits: int = 6,
+    rank_name: str = "nbr_rank",
+    num_buckets=None,
+):
+    """Exact cosine k-nearest-neighbor GRAPH: for EVERY node its top-k
+    neighbors (self excluded) — the ANN-graph construction step of
+    embedding-based curation (semantic dedup clustering, kNN
+    classification, graph-based diversity sampling).
+
+    Scale shape = the dedup blockpair exchange (``stages.dedup.
+    embedding_pair_pipeline``): rows chunk by ``id % n_chunks``, every
+    unordered chunk pair is one shuffle group, each reducer matmuls its
+    two chunks and emits PER-NODE top-k partials (``argpartition`` per
+    row, <= k rows per node per pair group).  A second grouped exchange
+    on the node id merges the <= n_chunks * k candidates per node and
+    keeps the global top-k.  No driver state, no broadcast; a reducer
+    holds 2/n_chunks of the corpus.
+
+    Scores are rounded to ``round_digits`` BEFORE ranking so the
+    (cos DESC, nbr_id ASC) order is reproducible against a SQL twin.
+    """
+    from feast_ray.grouped import grouped_map
+
+    B = int(n_chunks)
+    if k < 1 or B < 1:
+        raise ValueError("k and n_chunks must be >= 1")
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), emb_col: t[emb_col],
+                 "__chunk": pa.array([], pa.int32()), "__pk": pa.array([], pa.int64())}
+            )
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (ids % B).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), B))
+        c_rep = np.repeat(c, B)
+        d = np.tile(np.arange(B, dtype=np.int64), n)
+        lo = np.minimum(c_rep, d)
+        hi = np.maximum(c_rep, d)
+        out = t.select([id_col, emb_col]).take(rep)
+        out = out.append_column("__chunk", pa.array(c_rep.astype(np.int32)))
+        return out.append_column("__pk", pa.array(lo * B + hi))
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _row_topk(cs: np.ndarray, row_ids: np.ndarray, col_ids: np.ndarray):
+        """Per-row top-k of a scores matrix -> flat (id, nbr, cos) arrays.
+
+        Scores are rounded BEFORE selection and ties break to the smaller
+        neighbor id (stable argsort over ascending-id columns — the
+        exchange sorts each chunk by id), so the partial candidate set is
+        exactly the prefix of the FINAL (cos DESC, nbr_id ASC) order; a
+        raw-score argpartition would pick arbitrarily among rounded ties.
+        """
+        m = cs.shape[1]
+        kk = min(k, m)
+        if kk == 0 or cs.shape[0] == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.float64)
+        cs_r = np.round(cs, round_digits)
+        part = np.argsort(-cs_r, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(row_ids, part.shape[1])
+        cols = col_ids[part.ravel()]
+        vals = np.take_along_axis(cs_r, part, axis=1).ravel()
+        keep = ~np.isneginf(vals)
+        return rows[keep], cols[keep], vals[keep]
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        outs_i, outs_j, outs_c = [], [], []
+        pk_np = t["__pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ch = t["__chunk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t[emb_col].combine_chunks()
+        for g in range(len(starts) - 1):
+            lo_i, hi_i = int(starts[g]), int(starts[g + 1])
+            pk = int(pk_np[lo_i])
+            a_chunk, b_chunk = pk // B, pk % B
+            mat = _embedding_matrix(emb.slice(lo_i, hi_i - lo_i))
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            mat = mat / nm[:, None]
+            gids = ids[lo_i:hi_i]
+            if a_chunk == b_chunk:
+                cs = mat @ mat.T
+                np.fill_diagonal(cs, -np.inf)  # self excluded
+                r, c, v = _row_topk(cs, gids, gids)
+                outs_i.append(r); outs_j.append(c); outs_c.append(v)
+            else:
+                am = ch[lo_i:hi_i] == a_chunk
+                bm = ~am
+                if not am.any() or not bm.any():
+                    continue
+                cs = mat[am] @ mat[bm].T
+                ia, ib = gids[am], gids[bm]
+                r, c, v = _row_topk(cs, ia, ib)
+                outs_i.append(r); outs_j.append(c); outs_c.append(v)
+                r, c, v = _row_topk(np.ascontiguousarray(cs.T), ib, ia)
+                outs_i.append(r); outs_j.append(c); outs_c.append(v)
+        if not outs_i:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "__negcos": pa.array([], pa.float64())}
+            )
+        cos = np.concatenate(outs_c)  # already rounded in _row_topk
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(outs_i)),
+                "nbr_id": pa.array(np.concatenate(outs_j)),
+                "__negcos": pa.array(-cos),
+            }
+        )
+
+    cands = grouped_map(
+        expanded, ["__pk"], kernel, num_buckets=num_buckets, sort_keys=["__chunk", id_col]
+    )
+
+    def reduce_topk(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64()),
+                 rank_name: pa.array([], pa.int64())}
+            )
+        sizes = np.diff(starts)
+        take_n = np.minimum(sizes, k)
+        rep = np.repeat(take_n, take_n)
+        csum = np.concatenate(([0], np.cumsum(take_n)))
+        local = np.arange(int(take_n.sum()), dtype=np.int64) - np.repeat(csum[:-1], take_n)
+        idx = np.repeat(starts[:-1], take_n) + local
+        out = t.take(pa.array(idx))
+        neg = out["__negcos"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: out[id_col],
+                "nbr_id": out["nbr_id"],
+                "cos_sim": pa.array(-neg),
+                rank_name: pa.array(local + 1),
+            }
+        )
+
+    return grouped_map(
+        cands, [id_col], reduce_topk, sort_keys=["__negcos", "nbr_id"],
+        num_buckets=num_buckets,
+    )

@@ -442,3 +442,45 @@ def test_editdist_pairs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
     # the transposition must NOT appear
     assert not (((out["doc_a"] == 0) & (out["doc_b"] == 7)).any())
+
+
+def test_knn_graph_bruteforce_with_ties(ray_session):
+    """knn_graph vs per-node brute force, with DUPLICATE embeddings so
+    rounded-score ties are real — ties must break to the smaller id at
+    both the partial (per chunk pair) and final selection."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from feast_ray.stages.similarity import knn_graph
+
+    rng = np.random.default_rng(23)
+    n, d, k = 60, 8, 3
+    mat = rng.normal(size=(n, d))
+    mat[10] = mat[3]          # exact duplicates across chunks (10%8=2, 3%8=3)
+    mat[17] = mat[3]
+    mat[25] = mat[9]
+    tbl = _pa.table(
+        {
+            "vec_id": _pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": _pa.array(list(mat.astype(np.float32))),
+        }
+    )
+    out = (
+        knn_graph(rd.from_arrow(tbl), k=k, n_chunks=4)
+        .to_pandas()
+        .sort_values(["vec_id", "nbr_rank"])
+        .reset_index(drop=True)
+    )
+    m64 = mat.astype(np.float32).astype(np.float64)
+    nm = np.linalg.norm(m64, axis=1)
+    cs = np.round((m64 / nm[:, None]) @ (m64 / nm[:, None]).T, 6)
+    rows = []
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i), key=lambda j: (-cs[i, j], j)
+        )
+        for r, j in enumerate(order[:k], start=1):
+            rows.append((i, j, cs[i, j], r))
+    exp = pd.DataFrame(rows, columns=["vec_id", "nbr_id", "cos_sim", "nbr_rank"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
