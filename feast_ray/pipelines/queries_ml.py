@@ -472,3 +472,174 @@ ORACLE_SQL_ML["knn_graph"] = """
       FROM s)
     SELECT vec_id, nbr_id, cos_sim, nbr_rank FROM r WHERE nbr_rank <= 3
 """
+
+
+EMB_CLUSTER_TAU = 0.4
+
+
+def q_cluster_embeddings(sf_dir: str):
+    """Semantic duplicate clusters: embedding-cosine pairs (blockpair
+    exchange, exact, tau=0.4) become an edge list, distributed min-label
+    connected components assign every vector its cluster's min id,
+    singletons cluster as themselves — the semantic-dedup grouping step
+    (SemDeDup-style) over the embedding table."""
+    from feast_ray.stages.cc import connected_components
+    from feast_ray.stages.dedup import embedding_pair_pipeline
+    from feast_ray.stages.join import equi_join
+
+    vecs = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_pair_pipeline(
+        vecs, id_col="vec_id", tau=EMB_CLUSTER_TAU, mode="blockpair"
+    ).select_columns(["doc_a", "doc_b"])
+    ids = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", node_col="vec_id", comp_col="comp"
+    )
+    joined = equi_join(ids, labels, keys=["vec_id"], how="left")
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster_id": pc.coalesce(
+                    t["comp"].combine_chunks(), t["vec_id"].combine_chunks()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES_ML["cluster_embeddings"] = q_cluster_embeddings
+ORACLE_SQL_ML["cluster_embeddings"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+            >= {EMB_CLUSTER_TAU}),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS vec_id, LEAST(MIN(v), u) AS cluster_id
+            FROM reach GROUP BY u)
+    SELECT m.vec_id,
+           COALESCE(l.cluster_id, m.vec_id) AS cluster_id
+    FROM embeddings m LEFT JOIN lab l USING (vec_id)
+"""
+
+
+def q_asof_interp_value(sf_dir: str):
+    """Interpolating as-of join (the sensor-resampling / feature-curve
+    primitive): every click gets the user's purchase value linearly
+    interpolated between the nearest purchase at-or-before and at-or-after
+    the click — backward + forward one-shuffle as-of kernels composed on
+    the same spine, purchases pre-deduped per (user, ts) so ties cannot
+    make the match nondeterministic.  The interpolation is one fixed
+    float schedule: (vn-vp)*(t-tp)/(tn-tp)+vp, exact-int inputs."""
+    from feast_ray.stages.asof import asof_join, asof_join_forward
+    from feast_ray.stages.stats import partial_count_sum
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def purch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    feats = partial_count_sum(
+        ev.map_batches(purch, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "ts"],
+        "cents",
+        count_name="__n",
+        sum_name="cents",
+    ).drop_columns(["__n"])
+
+    prev = asof_join(
+        clicks, feats, key="user_id", feature_cols=["cents"],
+        prefix="prev", matched_ts_name="prev_ts",
+    )
+    both = asof_join_forward(
+        prev, feats, key="user_id", feature_cols=["cents"],
+        prefix="next", matched_ts_name="next_ts",
+    )
+
+    def interp(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tp_a = t["prev_ts"].combine_chunks().cast(pa.int64())
+        tn_a = t["next_ts"].combine_chunks().cast(pa.int64())
+        vp_a = t["prev__cents"].combine_chunks()
+        vn_a = t["next__cents"].combine_chunks()
+        ok = pc.and_(pc.is_valid(tp_a), pc.is_valid(tn_a)).to_numpy(
+            zero_copy_only=False
+        )
+        tp = tp_a.fill_null(0).to_numpy(zero_copy_only=False)
+        tn = tn_a.fill_null(0).to_numpy(zero_copy_only=False)
+        vp = vp_a.fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        vn = vn_a.fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        span = (tn - tp).astype(np.float64)
+        dt = (ts - tp).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            val = (vn - vp) * dt / span + vp
+        val = np.where(span == 0, vp, val)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "prev_cents": vp_a,
+                "next_cents": vn_a,
+                "interp_cents": pa.array(val, mask=~ok),
+            }
+        )
+
+    return both.map_batches(interp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["asof_interp_value"] = q_asof_interp_value
+ORACLE_SQL_ML["asof_interp_value"] = """
+    WITH f AS (
+      SELECT user_id, ts,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT c.user_id, c.event_id, c.ts,
+             p.cents AS prev_cents, p.ts AS prev_ts,
+             n.cents AS next_cents, n.ts AS next_ts
+      FROM c
+      LEFT JOIN LATERAL (
+        SELECT cents, ts FROM f
+        WHERE f.user_id = c.user_id AND f.ts <= c.ts
+        ORDER BY f.ts DESC LIMIT 1) p ON TRUE
+      LEFT JOIN LATERAL (
+        SELECT cents, ts FROM f
+        WHERE f.user_id = c.user_id AND f.ts >= c.ts
+        ORDER BY f.ts LIMIT 1) n ON TRUE)
+    SELECT user_id, event_id, ts, prev_cents, next_cents,
+           CASE
+             WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+             WHEN next_ts = prev_ts THEN CAST(prev_cents AS DOUBLE)
+             ELSE CAST(next_cents - prev_cents AS DOUBLE)
+                  * CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                  / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE)
+                  + CAST(prev_cents AS DOUBLE)
+           END AS interp_cents
+    FROM j
+"""
