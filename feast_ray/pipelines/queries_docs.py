@@ -1352,3 +1352,134 @@ ORACLE_SQL_DOCS["dedup_chunks_docs"] = """
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM ch GROUP BY chunk_text HAVING COUNT(*) > 1
 """
+
+
+BOILER_DF_MAX = 2
+
+
+def q_strip_boilerplate_docs(sf_dir: str):
+    """Boilerplate removal (the header/footer/nav-bar stripping pass of web
+    corpus curation): docs split into NON-overlapping 32-token chunks,
+    chunks appearing in more than BOILER_DF_MAX distinct docs dropped,
+    survivors reassembled in order into a cleaned normalized text.  Chunking
+    is shuffle-free; document frequency is one grouped exchange over
+    per-batch distinct (chunk, doc) partials; the reassembly is one more
+    exchange on doc_id whose kernel is a single vectorized list-join.
+    Docs whose every chunk is boilerplate drop out entirely."""
+    import numpy as np
+
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.text import chunk_texts
+
+    chunks = chunk_texts(
+        _docs(sf_dir), chunk_tokens=32, stride_tokens=32,
+        idx_name="chunk_idx", out_name="chunk_text", len_name="n_tokens",
+    ).drop_columns(["n_tokens"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        txt = t["chunk_text"].combine_chunks()
+        did = t["doc_id"].combine_chunks()
+        if n == 0:
+            return pa.table({"chunk_text": txt.slice(0, 0), "doc_id": did.slice(0, 0)})
+        ti = txt.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = did.to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, ti))
+        st, sd = ti[order], d[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (st[1:] != st[:-1]) | (sd[1:] != sd[:-1])
+        take = pa.array(order[new])
+        return pa.table({"chunk_text": pc.take(txt, take), "doc_id": pc.take(did, take)})
+
+    partials = chunks.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        import numpy as np
+
+        txt = t["chunk_text"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"chunk_text": txt.slice(0, 0), "__df": pa.array([], pa.int64())}
+            )
+        firsts = starts[:-1]
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_rows = len(d)
+        new_doc = np.empty(n_rows, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = d[1:] != d[:-1]
+        new_doc[firsts] = True
+        gidx = np.repeat(np.arange(len(firsts)), np.diff(starts))
+        df = np.bincount(gidx[new_doc], minlength=len(firsts)).astype(np.int64)
+        return pa.table(
+            {"chunk_text": pc.take(txt, pa.array(firsts)), "__df": pa.array(df)}
+        )
+
+    df_tbl = grouped_map(partials, ["chunk_text"], df_kernel, sort_keys=["doc_id"])
+
+    joined = equi_join(chunks, df_tbl, keys=["chunk_text"], how="inner")
+    kept = joined.map_batches(
+        lambda t: t.filter(pc.less_equal(t["__df"], BOILER_DF_MAX)).select(
+            ["doc_id", "chunk_idx", "chunk_text"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def reassemble(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        import numpy as np
+
+        did = t["doc_id"].combine_chunks()
+        txt = t["chunk_text"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": did.slice(0, 0),
+                    "clean_text": txt.slice(0, 0),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        # large_list offsets: bucket row counts are memory-bounded but int32
+        # offsets would silently cap a bucket at 2^31 chunk rows
+        lists = pa.LargeListArray.from_arrays(pa.array(starts), txt)
+        return pa.table(
+            {
+                "doc_id": pc.take(did, pa.array(starts[:-1])),
+                "clean_text": pc.binary_join(lists, " "),
+                "n_kept": pa.array(np.diff(starts).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(kept, ["doc_id"], reassemble, sort_keys=["chunk_idx"])
+
+
+QUERIES_DOCS["strip_boilerplate_docs"] = q_strip_boilerplate_docs
+ORACLE_SQL_DOCS["strip_boilerplate_docs"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents),
+    mm AS (
+      SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS m
+      FROM toks WHERE len(tl) > 0),
+    cc AS (
+      SELECT doc_id, tl, m,
+             CASE WHEN m <= 32 THEN 1
+                  ELSE 1 + CAST(CEIL((m - 32) / 32.0) AS BIGINT) END AS n_chunks
+      FROM mm),
+    ch AS (
+      SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_idx,
+             array_to_string(tl[g.k * 32 + 1 : LEAST(g.k * 32 + 32, m)], ' ')
+               AS chunk_text
+      FROM cc, LATERAL unnest(range(0, n_chunks)) AS g(k)),
+    df AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS df
+           FROM ch GROUP BY chunk_text)
+    SELECT ch.doc_id,
+           string_agg(ch.chunk_text, ' ' ORDER BY ch.chunk_idx) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM ch JOIN df USING (chunk_text)
+    WHERE df.df <= {BOILER_DF_MAX}
+    GROUP BY ch.doc_id
+"""

@@ -484,3 +484,43 @@ def test_knn_graph_bruteforce_with_ties(ray_session):
             rows.append((i, j, cs[i, j], r))
     exp = pd.DataFrame(rows, columns=["vec_id", "nbr_id", "cos_sim", "nbr_rank"])
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_strip_boilerplate_roundtrip(ray_session):
+    """Docs sharing a 32-token boilerplate block lose exactly that block;
+    unique docs keep their full normalized text; an all-boilerplate doc
+    drops out."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from feast_ray.pipelines.queries_docs import BOILER_DF_MAX  # noqa: F401
+
+    boiler = " ".join(f"b{i}" for i in range(32))
+    uniq = [" ".join(f"u{d}x{i}" for i in range(40)) for d in range(4)]
+    texts = [boiler + " " + uniq[d] for d in range(3)] + [uniq[3], boiler]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    from feast_ray.pipelines.queries import QUERIES  # registry import side effect
+
+    import feast_ray.pipelines.queries_docs as qd
+
+    # drive the stage composition directly on an in-memory table
+    import types
+
+    ds = rd.from_arrow(_pa.Table.from_pandas(df, preserve_index=False))
+    orig = qd._docs
+    qd._docs = lambda sf_dir, columns=("doc_id", "text"): ds.select_columns(
+        list(columns)
+    )
+    try:
+        out = qd.q_strip_boilerplate_docs("ignored").to_pandas()
+    finally:
+        qd._docs = orig
+    out = out.set_index("doc_id")
+    # boilerplate block (df=3 > 2) stripped from docs 0-2
+    for d in range(3):
+        assert out.loc[d, "clean_text"] == uniq[d]
+    # unique doc untouched (normalized join equals its own tokens)
+    assert out.loc[3, "clean_text"] == uniq[3]
+    # all-boilerplate doc vanished
+    assert 4 not in out.index
