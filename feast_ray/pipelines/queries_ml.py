@@ -643,3 +643,114 @@ ORACLE_SQL_ML["asof_interp_value"] = """
            END AS interp_cents
     FROM j
 """
+
+
+def q_rolling_distinct_1h(sf_dir: str):
+    """Time-windowed behavioral variety: distinct event types among each
+    user's events in the trailing hour (RANGE window, peers included —
+    ``stages.windows.rolling_distinct_time``): interval-contribution
+    identity over the monotone time-window bounds, three global
+    searchsorteds, ONE grouped exchange."""
+    from feast_ray.stages.windows import rolling_distinct_time
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    out = rolling_distinct_time(
+        ds, key="user_id", cat_col="event_type", ts_col="ts",
+        delta_us=3600 * 1_000_000, order_cols=["ts", "event_id"],
+        out_name="n_distinct_1h",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "n_distinct_1h"])
+
+
+QUERIES_ML["rolling_distinct_1h"] = q_rolling_distinct_1h
+ORACLE_SQL_ML["rolling_distinct_1h"] = """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(DISTINCT event_type) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_distinct_1h
+    FROM events
+"""
+
+
+def q_knn_mutual_pairs(sf_dir: str):
+    """Mutual-kNN edge pruning (the reciprocal-neighbor filter of
+    semantic-dedup graph construction): keep (a, b) only when each is in
+    the other's exact cosine top-3 — composition over
+    ``stages.similarity.knn_graph`` output, one tiny grouped exchange on
+    the unordered pair keeping pairs seen from BOTH directions."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.similarity import knn_graph
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    edges = knn_graph(ds, k=3, id_col="vec_id", emb_col="embedding", n_chunks=8)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["nbr_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(u, v)),
+                "vec_b": pa.array(np.maximum(u, v)),
+                "cos_sim": t["cos_sim"],
+            }
+        )
+
+    pairs = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mutual(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        both = np.diff(starts) == 2  # one row per direction
+        take = pa.array(firsts[both])
+        return t.take(take)
+
+    return grouped_map(pairs, ["vec_a", "vec_b"], mutual)
+
+
+QUERIES_ML["knn_mutual_pairs"] = q_knn_mutual_pairs
+ORACLE_SQL_ML["knn_mutual_pairs"] = """
+    WITH s AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT vec_id, nbr_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nbr_id) AS rk
+      FROM s)
+    SELECT x.vec_id AS vec_a, x.nbr_id AS vec_b, x.cos_sim
+    FROM r x JOIN r y ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
+    WHERE x.rk <= 3 AND y.rk <= 3 AND x.vec_id < x.nbr_id
+"""
+
+
+def q_target_encode_smooth(sf_dir: str):
+    """m-estimate (Bayesian-smoothed) target encoding alongside LOO +
+    frequency (``stages.encode.target_encode`` with smoothing_m=20):
+    (sum + m * global_mean) / (n + m) — the rare-category-robust encoder;
+    fixed float schedule, still zero shuffles of the raw data."""
+    from feast_ray.stages.encode import target_encode
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    ds = ds.map_batches(_with_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = target_encode(
+        ds, key_col="event_type", cents_col="cents", smoothing_m=20.0
+    )
+    return out.select_columns(["event_id", "event_type", "smooth_mean_cents"])
+
+
+QUERIES_ML["target_encode_smooth"] = q_target_encode_smooth
+ORACLE_SQL_ML["target_encode_smooth"] = """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS BIGINT) AS nv,
+             CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0) AS BIGINT) AS s
+      FROM events GROUP BY event_type),
+    g AS (
+      SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(nv) AS DOUBLE) AS prior FROM m)
+    SELECT e.event_id, e.event_type,
+           (CAST(m.s AS DOUBLE) + 20.0 * g.prior)
+             / (CAST(m.nv AS DOUBLE) + 20.0) AS smooth_mean_cents
+    FROM events e JOIN m USING (event_type) CROSS JOIN g
+"""

@@ -33,6 +33,8 @@ def target_encode(
     cents_col: str,
     freq_name: str = "freq",
     loo_name: str = "loo_mean_cents",
+    smoothing_m: Optional[float] = None,
+    smooth_name: str = "smooth_mean_cents",
     num_buckets: Optional[int] = None,
 ):
     """Leave-one-out mean target encoding + frequency encoding of a
@@ -54,6 +56,12 @@ def target_encode(
                                  NULL when the category has no non-NULL;
       - non-NULL, n_nonnull=1 -> NULL (no other rows to average);
       - else                  -> (sum - cents) / (n_nonnull - 1).
+
+    ``smoothing_m`` additionally emits the m-estimate (Bayesian-smoothed)
+    encoding ``(sum + m * prior) / (n_nonnull + m)`` where ``prior`` is
+    the global mean over non-NULL targets — the rare-category-robust
+    variant; fixed float schedule (one prior division, one multiply, one
+    add, one divide), NULL when the corpus has no non-NULL target.
     """
     from feast_ray.stages.stats import sum_by
 
@@ -99,12 +107,18 @@ def target_encode(
             f"ceiling {max_categories}; use a co-partitioned join variant"
         )
     lut = {r[key_col]: (int(r["__na"]), int(r["__nv"]), int(r["__s"])) for r in rows}
+    g_nv = sum(v[1] for v in lut.values())
+    g_s = sum(v[2] for v in lut.values())
+    prior = float(g_s) / float(g_nv) if g_nv > 0 else None
 
     def apply(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
             t = t.append_column(freq_name, pa.array([], pa.int64()))
-            return t.append_column(loo_name, pa.array([], pa.float64()))
+            t = t.append_column(loo_name, pa.array([], pa.float64()))
+            if smoothing_m is not None:
+                t = t.append_column(smooth_name, pa.array([], pa.float64()))
+            return t
         enc = t[key_col].combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         trip = np.array(
@@ -121,7 +135,16 @@ def target_encode(
         with np.errstate(invalid="ignore", divide="ignore"):
             loo = num.astype(np.float64) / den.astype(np.float64)
         t = t.append_column(freq_name, pa.array(na))
-        return t.append_column(loo_name, pa.array(loo, mask=den <= 0))
+        t = t.append_column(loo_name, pa.array(loo, mask=den <= 0))
+        if smoothing_m is not None:
+            if prior is None:
+                t = t.append_column(smooth_name, pa.nulls(n, type=pa.float64()))
+            else:
+                sm = (s.astype(np.float64) + smoothing_m * prior) / (
+                    nv + smoothing_m
+                )
+                t = t.append_column(smooth_name, pa.array(sm))
+        return t
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -861,3 +861,78 @@ def rolling_distinct(
         return t.append_column(out_name, pa.array(counts.astype(np.int64)))
 
     return grouped_map(ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets)
+
+
+def rolling_distinct_time(
+    ds,
+    *,
+    key,
+    cat_col: str,
+    ts_col: str,
+    delta_us: int,
+    order_cols,
+    out_name: str = "n_distinct",
+    num_buckets=None,
+):
+    """Time-windowed distinct count per entity: distinct non-NULL
+    ``cat_col`` values among the entity's rows with ``ts`` in
+    ``[t - delta, t]`` — SQL ``COUNT(DISTINCT cat) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN delta PRECEDING AND CURRENT ROW)``, peers
+    (equal-ts rows) included per RANGE semantics.
+
+    Same interval-contribution identity as :func:`rolling_distinct`,
+    generalized to the monotone per-row windows ``[ws_i, we_i)`` that
+    :func:`rolling_time_bounds` yields: row ``j`` (first occurrence of its
+    value inside window ``i`` iff ``prev_j < ws_i <= j < we_i``)
+    contributes +1 to the contiguous ``i`` range
+    ``[max(searchsorted(we, j, right), searchsorted(ws, prev_j, right)),
+    searchsorted(ws, j, right) - 1]`` — three global searchsorteds over
+    the (globally nondecreasing) bounds arrays, one difference array, one
+    prefix sum.  ONE grouped exchange, zero per-row Python.
+    """
+    from feast_ray.grouped import grouped_map
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if delta_us < 0:
+        raise ValueError("delta_us must be >= 0")
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        ts = _ts_us(t[ts_col].combine_chunks())
+        ws, we = rolling_time_bounds(ts, starts, delta_us)
+        codes = (
+            t[cat_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pos = np.arange(n, dtype=np.int64)
+        order = np.lexsort((pos, codes, gidx))
+        so_g, so_c, so_p = gidx[order], codes[order], pos[order]
+        prev_sorted = np.full(n, -1, dtype=np.int64)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = (so_g[1:] == so_g[:-1]) & (so_c[1:] == so_c[:-1])
+        prev_sorted[same] = so_p[np.flatnonzero(same) - 1]
+        prev = np.empty(n, dtype=np.int64)
+        prev[order] = prev_sorted
+        # i ranges (windows counting row j): we_i > j, ws_i <= j, ws_i > prev_j
+        lo1 = np.searchsorted(we, pos, side="right")
+        hi = np.searchsorted(ws, pos, side="right") - 1
+        lo2 = np.searchsorted(ws, prev, side="right")  # prev=-1 -> 0
+        lo = np.maximum(lo1, lo2)
+        valid = (codes >= 0) & (lo <= hi)
+        diff = (
+            np.bincount(lo[valid], minlength=n + 1)
+            - np.bincount(hi[valid] + 1, minlength=n + 1)
+        )
+        counts = np.cumsum(diff)[:n]
+        return t.append_column(out_name, pa.array(counts.astype(np.int64)))
+
+    return grouped_map(ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets)

@@ -279,3 +279,79 @@ def test_cube_agg_matches_duckdb(ray_session):
     )
     assert len(out) == len(exp)
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_rolling_distinct_time_with_peers(ray_session):
+    """RANGE-window distinct: equal-ts rows are peers (all included in
+    each other's window); brute force over a tie-heavy series with NULL
+    categories."""
+    from feast_ray.stages.windows import rolling_distinct_time
+
+    rng = np.random.default_rng(31)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 11, n),
+            "id": np.arange(n, dtype=np.int64),
+            # coarse ts grid -> many exact ties
+            "ts_us": rng.integers(0, 50, n).astype(np.int64) * 1_000_000,
+            "cat": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    cat = df["cat"].astype(object)
+    cat.iloc[rng.choice(n, 40, replace=False)] = None
+    df["cat"] = cat
+    w_us = 10_000_000  # 10 s window over a 50 s span
+    tbl = pa.table(
+        {
+            "user": pa.array(df["user"].to_numpy()),
+            "id": pa.array(df["id"].to_numpy()),
+            "ts": pa.array(df["ts_us"].to_numpy()).cast(pa.timestamp("us")),
+            "cat": pa.array(df["cat"].tolist(), pa.string()),
+        }
+    )
+    out = (
+        rolling_distinct_time(
+            rd.from_arrow(tbl), key="user", cat_col="cat", ts_col="ts",
+            delta_us=w_us, order_cols=["ts", "id"], out_name="nd",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = {}
+    for _, grp in df.groupby("user"):
+        ts = grp["ts_us"].to_numpy()
+        cats = grp["cat"].tolist()
+        ids = grp["id"].to_numpy()
+        for i in range(len(grp)):
+            win = [
+                cats[j]
+                for j in range(len(grp))
+                if ts[i] - w_us <= ts[j] <= ts[i] and cats[j] is not None
+            ]
+            exp[ids[i]] = len(set(win))
+    got = dict(zip(out["id"].to_numpy(), out["nd"].to_numpy()))
+    assert got == exp
+
+
+def test_target_encode_smoothing(ev):
+    out = (
+        target_encode(
+            _ds(ev), key_col="cat", cents_col="cents", smoothing_m=20.0
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g = ev.groupby("cat")["cents"]
+    nv = g.count()
+    s = g.sum()
+    prior = float(s.sum()) / float(nv.sum())
+    for cat in ev["cat"].unique():
+        exp = (float(s[cat]) + 20.0 * prior) / (float(nv[cat]) + 20.0)
+        got = out.loc[out["cat"] == cat, "smooth_mean_cents"].unique()
+        assert len(got) == 1 and got[0] == exp
+    # singleton category pulled strongly toward the prior
+    row = out[out["cat"] == "only_once"]["smooth_mean_cents"].iloc[0]
+    assert abs(row - prior) < abs(float(ev["cents"].dropna().iloc[0]) - prior) + 1e-9
