@@ -1483,3 +1483,128 @@ ORACLE_SQL_DOCS["strip_boilerplate_docs"] = f"""
     WHERE df.df <= {BOILER_DF_MAX}
     GROUP BY ch.doc_id
 """
+
+
+def q_contamination_stats_docs(sf_dir: str):
+    """Per-training-doc contamination PROFILE (the release-gate report, not
+    just the flag): distinct 4-shingle count, distinct shingles shared with
+    the eval split, and the contamination fraction — decide drop vs keep
+    by threshold instead of binary decontam.  Totals are one grouped
+    exchange over per-batch distinct (doc, shingle) partials; shared
+    counts reuse ``stages.decontam.decontaminate`` (co-partitioned
+    semi-join); one LEFT join stitches the profile.  The fraction is one
+    float64 division of exact counts."""
+    import numpy as np
+
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.decontam import decontaminate, shingle_table
+    from feast_ray.stages.join import equi_join
+
+    docs = _docs(sf_dir)
+
+    def split(keep_eval):
+        def f(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if keep_eval else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    ev = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+
+    tsh = shingle_table(train, w=4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sh = t["shingle"].combine_chunks()
+        did = t["doc_id"].combine_chunks()
+        if n == 0:
+            return pa.table({"doc_id": did.slice(0, 0), "shingle": sh.slice(0, 0)})
+        si = sh.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = did.to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, d))
+        sd, ss = d[order], si[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (sd[1:] != sd[:-1]) | (ss[1:] != ss[:-1])
+        take = pa.array(order[new])
+        return pa.table({"doc_id": pc.take(did, take), "shingle": pc.take(sh, take)})
+
+    partials = tsh.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def totals_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        import numpy as np
+
+        did = t["doc_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": did.slice(0, 0), "n_shingles": pa.array([], pa.int64())}
+            )
+        firsts = starts[:-1]
+        sh = t["shingle"].combine_chunks()
+        codes = sh.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new_run = np.empty(len(codes), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = codes[1:] != codes[:-1]
+        new_run[firsts] = True
+        gidx = np.repeat(np.arange(len(firsts)), np.diff(starts))
+        n_sh = np.bincount(gidx[new_run], minlength=len(firsts)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(did, pa.array(firsts)),
+                "n_shingles": pa.array(n_sh),
+            }
+        )
+
+    totals = grouped_map(partials, ["doc_id"], totals_kernel, sort_keys=["shingle"])
+    shared = decontaminate(train, ev, w=4)
+    joined = equi_join(totals, shared, keys=["doc_id"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tot = t["n_shingles"].combine_chunks().to_numpy(zero_copy_only=False)
+        shr = (
+            t["n_shared"].combine_chunks().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": t["n_shingles"],
+                "n_shared": pa.array(shr),
+                "contam_frac": pa.array(
+                    shr.astype(np.float64) / tot.astype(np.float64)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["contamination_stats_docs"] = q_contamination_stats_docs
+ORACLE_SQL_DOCS["contamination_stats_docs"] = """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                         l[i+3])) AS s
+      FROM lt WHERE len(l) >= 4),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM tr GROUP BY doc_id),
+    shd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(d.n_shared, 0) AS n_shared,
+           CAST(COALESCE(d.n_shared, 0) AS DOUBLE)
+             / CAST(t.n_shingles AS DOUBLE) AS contam_frac
+    FROM tot t LEFT JOIN shd d USING (doc_id)
+"""

@@ -754,3 +754,128 @@ ORACLE_SQL_ML["target_encode_smooth"] = """
              / (CAST(m.nv AS DOUBLE) + 20.0) AS smooth_mean_cents
     FROM events e JOIN m USING (event_type) CROSS JOIN g
 """
+
+
+def q_feature_staleness_user(sf_dir: str):
+    """Materialization-freshness audit (the feature-store monitoring read):
+    per entity, the newest event time and its staleness vs the corpus
+    high-watermark, in exact integer microseconds (no float).  Per-batch
+    (user, max) partials feed one tiny grouped exchange; the global
+    watermark is the driver-side max of the same partials (bounded: one
+    row per distinct user per batch)."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        u_a = t["user_id"].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {"user_id": u_a.slice(0, 0), "__mx": pa.array([], pa.int64())}
+            )
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        enc = u_a.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, codes, us)
+        return pa.table({"user_id": enc.dictionary, "__mx": pa.array(mx)})
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # tiny: one row per distinct user per batch
+    gmax_rows = partials.map_batches(
+        lambda t: pa.table(
+            {"__mx": pa.array([pc.max(t["__mx"]).as_py()], pa.int64())}
+            if t.num_rows
+            else {"__mx": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    gmax = max(int(r["__mx"]) for r in gmax_rows)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        lasts = pa.array(starts[1:] - 1)
+        u = pc.take(t["user_id"].combine_chunks(), lasts)
+        mx = t["__mx"].combine_chunks().to_numpy(zero_copy_only=False)[
+            starts[1:] - 1
+        ] if t.num_rows else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                "last_ts_us": pa.array(mx.astype(np.int64)),
+                "staleness_us": pa.array((gmax - mx).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(partials, ["user_id"], kernel, sort_keys=["__mx"])
+
+
+QUERIES_ML["feature_staleness_user"] = q_feature_staleness_user
+ORACLE_SQL_ML["feature_staleness_user"] = """
+    SELECT user_id,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+           CAST((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts))
+                AS BIGINT) AS staleness_us
+    FROM events GROUP BY user_id
+"""
+
+
+def q_rolling_by_type(sf_dir: str):
+    """Composite-key fused window pass: rolling 5-row count/sum/mean of the
+    value cents per (user_id, event_type) — the same one-shuffle window
+    kernel as the flagship, keyed by TWO entity columns (Feast's
+    multi-join-key feature views)."""
+    from feast_ray.stages.windows import RollingRows, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: _with_cents(t, out="vc").drop_columns(["value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = add_window_features(
+        ds,
+        key=["user_id", "event_type"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[RollingRows("vc", 5, aggs=("count", "sum"), prefix="r5c")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["r5c_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["r5c_count"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "r5_count": t["r5c_count"],
+                "r5_sum_cents": pa.array(s),
+                "r5_mean_cents": pa.array(s / c, mask=c == 0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["rolling_by_type"] = q_rolling_by_type
+ORACLE_SQL_ML["rolling_by_type"] = """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events)
+    SELECT user_id, event_type, event_id, ts,
+           CAST(COUNT(vc) OVER w AS BIGINT) AS r5_count,
+           CAST(SUM(vc) OVER w AS DOUBLE) AS r5_sum_cents,
+           CAST(SUM(vc) OVER w AS DOUBLE) / CAST(COUNT(vc) OVER w AS DOUBLE)
+             AS r5_mean_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
