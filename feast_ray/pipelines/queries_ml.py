@@ -879,3 +879,128 @@ ORACLE_SQL_ML["rolling_by_type"] = """
     WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_knn_triangles(sf_dir: str):
+    """Per-node triangle counts on the mutual-kNN graph (local clustering
+    evidence — how clique-like each vector's semantic neighborhood is):
+    wedges (neighbor pairs around a center, <= C(k,2) per node) off one
+    grouped exchange, closed by a co-partitioned semi-join against the
+    edge list, counted map-side.  Each triangle contributes exactly one
+    closed wedge per vertex."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.editdist import _tri_pairs
+    from feast_ray.stages.join import semi_join
+    from feast_ray.stages.stats import partial_count_sum
+
+    edges = q_knn_mutual_pairs(sf_dir).select_columns(["vec_a", "vec_b"])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].combine_chunks()
+        b = t["vec_b"].combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "v": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    und = edges.map_batches(undirect, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_a": v.slice(0, 0), "vec_b": v.slice(0, 0), "center": u.slice(0, 0)}
+            )
+        ai, bi = _tri_pairs(starts)
+        va = pc.take(v, pa.array(ai))  # sorted by v within group -> va < vb
+        vb = pc.take(v, pa.array(bi))
+        return pa.table(
+            {"vec_a": va, "vec_b": vb, "center": pc.take(u, pa.array(ai))}
+        )
+
+    w = grouped_map(und, ["u"], wedges, sort_keys=["v"])
+    closed = semi_join(w, edges, keys=["vec_a", "vec_b"])
+    out = partial_count_sum(closed, ["center"], count_name="n_triangles")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["center"], "n_triangles": t["n_triangles"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES_ML["knn_triangles"] = q_knn_triangles
+ORACLE_SQL_ML["knn_triangles"] = """
+    WITH s AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT vec_id, nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nbr_id) AS rk
+      FROM s),
+    me AS (
+      SELECT x.vec_id AS vec_a, x.nbr_id AS vec_b
+      FROM r x JOIN r y ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
+      WHERE x.rk <= 3 AND y.rk <= 3 AND x.vec_id < x.nbr_id),
+    und AS (SELECT vec_a AS u, vec_b AS v FROM me
+            UNION ALL SELECT vec_b, vec_a FROM me),
+    wedge AS (
+      SELECT a.u AS center, a.v AS x, b.v AS y
+      FROM und a JOIN und b ON a.u = b.u AND a.v < b.v),
+    closed AS (
+      SELECT w.center FROM wedge w
+      JOIN me ON me.vec_a = w.x AND me.vec_b = w.y)
+    SELECT center AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM closed GROUP BY center
+"""
+
+
+def q_order_count_distribution(sf_dir: str):
+    """Distribution-of-aggregates (TPC-H Q13 shape): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers a plain
+    GROUP BY silently drops — per-customer counts via one LEFT
+    co-partitioned join + map-side-combined count, then the tiny
+    second-level histogram.  The zero bucket is the reason this is a LEFT
+    shape: losing it misstates the inactive-customer mass."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import partial_count_sum, sum_by
+
+    customers = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = partial_count_sum(
+        orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["c_custkey"],
+        count_name="c_count",
+    )
+    joined = equi_join(customers, per_cust, keys=["c_custkey"], how="left")
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_count": t["c_count"].combine_chunks().fill_null(0)}
+        )
+
+    counts = joined.map_batches(zero_fill, batch_format="pyarrow", zero_copy_batch=True)
+    hist = partial_count_sum(counts, ["c_count"], count_name="custdist")
+    return hist
+
+
+QUERIES_ML["order_count_distribution"] = q_order_count_distribution
+ORACLE_SQL_ML["order_count_distribution"] = """
+    WITH pc AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM pc GROUP BY c_count
+"""
