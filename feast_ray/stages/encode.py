@@ -296,13 +296,18 @@ def negative_samples(
     implicit-feedback negatives of a recsys / contrastive training set,
     reproducible on any cluster shape and SQL-checkable.
 
-    The item vocabulary must fit a 64-bit membership mask (<= 64 distinct
-    items — event-type-sized categorical domains).  Per-batch distinct
-    ``(user, item)`` partials feed ONE grouped exchange on user; the
-    kernel ORs the membership mask, expands the missing bits (n_users x
-    |vocab| bit matrix), ranks by hash and keeps ``k`` — all vectorized.
-    For larger vocabularies compose ``stages.join.anti_join`` with
-    ``stages.sampling.stratified_sample`` instead (two exchanges).
+    The item vocabulary is held as a broadcast ordinal list and a
+    per-user multi-word bitset (``ceil(|vocab|/64)`` uint64 words), so it
+    must be a BOUNDED categorical domain (``max_vocab``, default 16384 —
+    the dense n_users x |vocab| missing-bit expansion inside one bucket
+    costs |vocab|/8 bytes per user).  Per-batch distinct ``(user, item)``
+    partials feed ONE grouped exchange on user; the kernel ORs the
+    membership words, expands the missing bits, ranks by hash and keeps
+    ``k`` — all vectorized.  For open-ended item domains (e.g. item =
+    document id) use a hash-restricted candidate pool + anti-join
+    composition instead; the exact "rank over ALL missing items"
+    semantics this stage implements is only meaningful on a bounded
+    vocabulary.
     """
     from feast_ray.stages.stats import sum_by
 
@@ -314,15 +319,18 @@ def negative_samples(
              "__one": pa.array(np.ones(len(enc.dictionary), np.int64))}
         )
 
+    max_vocab = 16_384
     parts = ds.map_batches(item_partial, batch_format="pyarrow", zero_copy_batch=True)
     vocab_rows = sum_by(parts, [item_col], ["__one"]).take_all()
     vocab = sorted(r[item_col] for r in vocab_rows)
     n_items = len(vocab)
-    if n_items > 64:
+    if n_items > max_vocab:
         raise ValueError(
-            f"negative_samples: {n_items} distinct items exceeds the 64-bit "
-            "membership mask; use anti_join + stratified_sample instead"
+            f"negative_samples: {n_items} distinct items exceeds max_vocab="
+            f"{max_vocab}; an open-ended item domain needs the candidate-pool"
+            " + anti_join composition (see docstring)"
         )
+    n_words = max(1, (n_items + 63) // 64)
     ordinal = {v: i for i, v in enumerate(vocab)}
     vocab_arr = pa.array(vocab)
 
@@ -337,7 +345,9 @@ def negative_samples(
         dict_ord = np.array([ordinal[v.as_py()] for v in enc.dictionary], np.int64)
         ords = dict_ord[enc.indices.to_numpy(zero_copy_only=False)]
         u = u_a.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pack = u * 64 + ords
+        # stride must cover the full ordinal range (NOT the 64 used by the
+        # ranking hash, which only needs within-user uniqueness)
+        pack = u * np.int64(n_words * 64) + ords
         _, first_idx = np.unique(pack, return_index=True)  # batch-local distinct
         keep_idx = np.sort(first_idx)
         return pa.table(
@@ -359,14 +369,26 @@ def negative_samples(
                 }
             )
         firsts = starts[:-1]
-        ords = t["__ord"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
-        bits = np.uint64(1) << ords
-        masks = np.bitwise_or.reduceat(bits, firsts)
+        n_groups = len(firsts)
+        ords64 = t["__ord"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        gidx = starts_to_group_index(starts)
+        word = ords64 // 64
+        bits = np.uint64(1) << (ords64 % 64).astype(np.uint64)
+        # rows are sorted by __ord within each group, so (group, word) runs
+        # are contiguous: one reduceat ORs each run's bits
+        gw = gidx * n_words + word
+        run_start = np.empty(n_rows, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = gw[1:] != gw[:-1]
+        rs = np.flatnonzero(run_start)
+        run_masks = np.bitwise_or.reduceat(bits, rs)
+        masks2d = np.zeros((n_groups, n_words), dtype=np.uint64)
+        masks2d[gidx[rs], word[rs]] = run_masks
         users = u_a.cast(pa.int64()).to_numpy(zero_copy_only=False)[firsts]
         missing = (
-            (masks[:, None] >> np.arange(n_items, dtype=np.uint64)[None, :])
+            (masks2d[:, :, None] >> np.arange(64, dtype=np.uint64)[None, None, :])
             & np.uint64(1)
-        ) == 0
+        ).reshape(n_groups, n_words * 64)[:, :n_items] == 0
         gi, oi = np.nonzero(missing)
         cand_u = users[gi]
         hv = mix64(cand_u * 64 + oi)

@@ -167,11 +167,44 @@ def test_negative_samples_bruteforce(ray_session):
     assert (out["user"] != 3).all()
 
 
+def test_negative_samples_multiword_vocab(ray_session):
+    """Vocabulary above 64 items exercises the multi-word bitset path;
+    brute-force parity incl. a user who saw everything (no rows) and a
+    user whose observations span several mask words."""
+    items = [f"i{j:03d}" for j in range(150)]
+    rows = [(0, it) for it in items]               # user 0 saw everything
+    rows += [(1, items[j]) for j in range(0, 150, 7)]   # spans all words
+    rows += [(2, items[64]), (2, items[128])]      # only high words
+    df = pd.DataFrame(rows, columns=["user", "item"])
+    out = (
+        negative_samples(_ds(df), user_col="user", item_col="item", k=3)
+        .to_pandas()
+        .sort_values(["user", "neg_rank"])
+        .reset_index(drop=True)
+    )
+    vocab = sorted(set(items))
+    exp_rows = []
+    for u, grp in df.groupby("user"):
+        seen = set(grp["item"])
+        missing = [(i, it) for i, it in enumerate(vocab) if it not in seen]
+        ranked = sorted(
+            missing, key=lambda p: (int(mix64(np.array([u * 64 + p[0]]))[0]), p[0])
+        )
+        for r, (_, it) in enumerate(ranked[:3], start=1):
+            exp_rows.append((u, it, r))
+    exp = pd.DataFrame(exp_rows, columns=["user", "item", "neg_rank"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert (out["user"] != 0).all()
+
+
 def test_negative_samples_vocab_ceiling(ray_session):
     df = pd.DataFrame(
-        {"user": np.zeros(70, np.int64), "item": [f"i{j}" for j in range(70)]}
+        {
+            "user": np.zeros(16_385, np.int64),
+            "item": [f"i{j:05d}" for j in range(16_385)],
+        }
     )
-    with pytest.raises(ValueError, match="64-bit"):
+    with pytest.raises(ValueError, match="max_vocab"):
         negative_samples(_ds(df), user_col="user", item_col="item", k=1)
 
 
