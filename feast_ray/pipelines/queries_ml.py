@@ -1004,3 +1004,277 @@ ORACLE_SQL_ML["order_count_distribution"] = """
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
     FROM pc GROUP BY c_count
 """
+
+
+def q_rfm_user(sf_dir: str):
+    """RFM segmentation (the classic customer-feature triple): per user,
+    recency vs the corpus high-watermark (exact integer us), purchase
+    frequency, exact monetary cents — each scored 1-5 by GLOBAL
+    equal-frequency NTILE via the range-partitioned global ranking (no
+    Dataset sort), composed into the familiar 3-digit RFM code.  Raw data
+    feeds one map-side-combined exchange; the three rankings run over the
+    tiny per-user table."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "__us": pa.array(us),
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    purch = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        u_a = t["user_id"].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {"user_id": u_a.slice(0, 0), "__mx": pa.array([], pa.int64()),
+                 "freq": pa.array([], pa.int64()), "monetary": pa.array([], pa.int64())}
+            )
+        enc = u_a.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        us = t["__us"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, codes, us)
+        return pa.table(
+            {
+                "user_id": enc.dictionary,
+                "__mx": pa.array(mx),
+                "freq": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+                "monetary": pa.array(
+                    np.bincount(codes, weights=c.astype(np.float64), minlength=k)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    partials = purch.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    gmax_rows = partials.map_batches(
+        lambda t: pa.table(
+            {"__mx": pa.array([pc.max(t["__mx"]).as_py()], pa.int64())}
+            if t.num_rows
+            else {"__mx": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    gmax = max(int(r["__mx"]) for r in gmax_rows)
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        lasts = starts[1:] - 1
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": t["user_id"].combine_chunks().slice(0, 0),
+                 "recency_us": pa.array([], pa.int64()),
+                 "freq": pa.array([], pa.int64()),
+                 "monetary": pa.array([], pa.int64())}
+            )
+        mx = t["__mx"].combine_chunks().to_numpy(zero_copy_only=False)[lasts]
+        firsts = starts[:-1]
+        f = t["freq"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["monetary"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pc.take(t["user_id"].combine_chunks(), pa.array(lasts)),
+                "recency_us": pa.array((gmax - mx).astype(np.int64)),
+                "freq": pa.array(np.add.reduceat(f, firsts).astype(np.int64)),
+                "monetary": pa.array(np.add.reduceat(m, firsts).astype(np.int64)),
+            }
+        )
+
+    rfm = grouped_map(partials, ["user_id"], fold, sort_keys=["__mx"])
+    rfm = global_order_index(rfm, "recency_us", tiebreak="user_id",
+                             pos_name="__r_rank", ntile=5, ntile_name="r_score")
+    rfm = global_order_index(rfm, "freq", tiebreak="user_id",
+                             pos_name="__f_rank", ntile=5, ntile_name="f_score")
+    rfm = global_order_index(rfm, "monetary", tiebreak="user_id",
+                             pos_name="__m_rank", ntile=5, ntile_name="m_score")
+
+    def code(t: pa.Table) -> pa.Table:
+        r = t["r_score"].combine_chunks().to_numpy(zero_copy_only=False)
+        f = t["f_score"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["m_score"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = t.select(["user_id", "recency_us", "freq", "monetary",
+                         "r_score", "f_score", "m_score"])
+        return keep.append_column("rfm", pa.array((r * 100 + f * 10 + m).astype(np.int64)))
+
+    return rfm.map_batches(code, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["rfm_user"] = q_rfm_user
+ORACLE_SQL_ML["rfm_user"] = """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    a AS (
+      SELECT user_id,
+             CAST((SELECT MAX(us) FROM p) - MAX(us) AS BIGINT) AS recency_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(cents) AS BIGINT) AS monetary
+      FROM p GROUP BY user_id),
+    s AS (
+      SELECT user_id, recency_us, freq, monetary,
+             CAST(NTILE(5) OVER (ORDER BY recency_us, user_id) AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+      FROM a)
+    SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM s
+"""
+
+
+def q_percent_change_events(sf_dir: str):
+    """Per-entity percent change vs the previous observation (the
+    return/delta feature of every time-series model): one fused window
+    pass for the lag, one float64 division of exact cents, NULL on the
+    first observation or a zero base."""
+    from feast_ray.stages.windows import Lag, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: _with_cents(t).drop_columns(["value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = add_window_features(
+        ds, key="user_id", ts_col="ts", order_cols=["ts", "event_id"],
+        specs=[Lag("cents", 1, name="prev_cents")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        p_a = t["prev_cents"].combine_chunks()
+        valid = pc.is_valid(p_a).to_numpy(zero_copy_only=False)
+        p = p_a.fill_null(1).to_numpy(zero_copy_only=False)
+        ok = valid & (p != 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chg = (c - p).astype(np.float64) / p.astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cents": t["cents"],
+                "prev_cents": p_a,
+                "pct_change": pa.array(chg, mask=~ok),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["percent_change_events"] = q_percent_change_events
+ORACLE_SQL_ML["percent_change_events"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             LAG(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+      FROM events)
+    SELECT user_id, event_id, ts, cents, prev_cents,
+           CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+                THEN CAST(cents - prev_cents AS DOUBLE)
+                     / CAST(prev_cents AS DOUBLE) END AS pct_change
+    FROM e
+"""
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch attribution report (the marketing composition): each
+    purchase is attributed to the user's most recent preceding event of
+    any other type within 7 days (backward as-of with TTL, ties to the
+    larger event_id = latest-written), then attributed revenue rolls up
+    per touching type — exact cents, map-side combined.  Unattributed
+    purchases land in the 'none' bucket."""
+    from feast_ray.stages.asof import asof_join
+    from feast_ray.stages.stats import partial_count_sum
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.equal(t["event_type"], "purchase"))["user_id"],
+                "ts": t.filter(pc.equal(t["event_type"], "purchase"))["ts"],
+                "event_id": t.filter(pc.equal(t["event_type"], "purchase"))["event_id"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            t.filter(pc.equal(t["event_type"], "purchase"))["value"],
+                            100.0,
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    touches = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.not_equal(t["event_type"], "purchase"))["user_id"],
+                "ts": t.filter(pc.not_equal(t["event_type"], "purchase"))["ts"],
+                "touch_type": t.filter(pc.not_equal(t["event_type"], "purchase"))[
+                    "event_type"
+                ],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = asof_join(
+        purchases, touches, key="user_id", ttl_us=7 * 24 * 3600 * 1_000_000,
+        feature_cols=["touch_type"], matched_ts_name="touch_ts",
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        tt = t["touch_type"].combine_chunks().fill_null("none")
+        return pa.table({"touch_type": tt, "cents": t["cents"]})
+
+    rolled = partial_count_sum(
+        joined.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["touch_type"],
+        "cents",
+        count_name="n_purchases",
+        sum_name="attributed_cents",
+    )
+    return rolled
+
+
+QUERIES_ML["attribution_last_touch"] = q_attribution_last_touch
+ORACLE_SQL_ML["attribution_last_touch"] = """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    tch AS (
+      SELECT user_id, ts, event_type AS touch_type
+      FROM events WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT p.cents, a.touch_type
+      FROM p LEFT JOIN LATERAL (
+        SELECT t.touch_type
+        FROM tch t
+        WHERE t.user_id = p.user_id AND t.ts <= p.ts
+          AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+        ORDER BY t.ts DESC LIMIT 1) a ON TRUE)
+    SELECT COALESCE(touch_type, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM j GROUP BY 1
+"""
