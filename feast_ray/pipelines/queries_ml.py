@@ -1278,3 +1278,54 @@ ORACLE_SQL_ML["attribution_last_touch"] = """
            CAST(SUM(cents) AS BIGINT) AS attributed_cents
     FROM j GROUP BY 1
 """
+
+
+def q_crossset_embedding_leaks(sf_dir: str):
+    """Embedding-space eval contamination: train/eval split by vec_id %
+    20, report every CROSS-SET pair with cosine >= 0.4 — the semantic
+    analog of shingle decontamination (a paraphrased eval item shares no
+    4-gram but sits next to its source in embedding space).  Reuses the
+    exact blockpair pair pipeline; the side restriction is a stateless
+    post-filter, so the exchange shape is unchanged."""
+    from feast_ray.stages.dedup import embedding_pair_pipeline
+
+    vecs = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_pair_pipeline(
+        vecs, id_col="vec_id", tau=0.4, mode="blockpair"
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["doc_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (a % 20 == 0) != (b % 20 == 0)
+        out = t.filter(pa.array(keep))
+        a2 = out["doc_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b2 = out["doc_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev = np.where(a2 % 20 == 0, a2, b2)
+        tr = np.where(a2 % 20 == 0, b2, a2)
+        return pa.table(
+            {
+                "eval_id": pa.array(ev),
+                "train_id": pa.array(tr),
+                "cos_sim": out["cos_sim"],
+            }
+        )
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["crossset_embedding_leaks"] = q_crossset_embedding_leaks
+ORACLE_SQL_ML["crossset_embedding_leaks"] = """
+    WITH p AS (
+      SELECT a.vec_id AS da, b.vec_id AS db,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4)
+    SELECT CASE WHEN da % 20 = 0 THEN da ELSE db END AS eval_id,
+           CASE WHEN da % 20 = 0 THEN db ELSE da END AS train_id,
+           cos_sim
+    FROM p
+    WHERE (da % 20 = 0) <> (db % 20 = 0)
+"""
