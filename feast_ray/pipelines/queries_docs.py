@@ -1497,7 +1497,7 @@ def q_contamination_stats_docs(sf_dir: str):
     import numpy as np
 
     from feast_ray.grouped import grouped_map
-    from feast_ray.stages.decontam import decontaminate, shingle_table
+    from feast_ray.stages.decontam import shingle_table
     from feast_ray.stages.join import equi_join
 
     docs = _docs(sf_dir)
@@ -1533,13 +1533,46 @@ def q_contamination_stats_docs(sf_dir: str):
 
     partials = tsh.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def totals_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+    # eval shingles, globally distinct (the small side), tagged __hit=1
+    esh = shingle_table(ev, w=4)
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"shingle": sh.slice(0, 0)})
+        enc = sh.dictionary_encode()
+        return pa.table({"shingle": enc.dictionary})
+
+    def e_first(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        out = t.take(pa.array(starts[:-1]))
+        return out.append_column(
+            "__hit", pa.array(np.ones(len(starts) - 1, np.int64))
+        )
+
+    eset = grouped_map(
+        esh.map_batches(e_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["shingle"],
+        e_first,
+    )
+
+    # ONE left join flags every (doc, shingle) partial; the doc exchange
+    # dedups batch-local partials (run detection) and counts both totals
+    # and hits in the same kernel — the train shingles are generated and
+    # shuffled exactly once
+    flagged = equi_join(partials, eset, keys=["shingle"], how="left")
+
+    def profile_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         import numpy as np
 
         did = t["doc_id"].combine_chunks()
         if t.num_rows == 0:
             return pa.table(
-                {"doc_id": did.slice(0, 0), "n_shingles": pa.array([], pa.int64())}
+                {
+                    "doc_id": did.slice(0, 0),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "contam_frac": pa.array([], pa.float64()),
+                }
             )
         firsts = starts[:-1]
         sh = t["shingle"].combine_chunks()
@@ -1549,38 +1582,23 @@ def q_contamination_stats_docs(sf_dir: str):
         new_run[1:] = codes[1:] != codes[:-1]
         new_run[firsts] = True
         gidx = np.repeat(np.arange(len(firsts)), np.diff(starts))
+        hit = pc.is_valid(t["__hit"].combine_chunks()).to_numpy(zero_copy_only=False)
         n_sh = np.bincount(gidx[new_run], minlength=len(firsts)).astype(np.int64)
+        n_hit = np.bincount(
+            gidx[new_run & hit], minlength=len(firsts)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pc.take(did, pa.array(firsts)),
                 "n_shingles": pa.array(n_sh),
-            }
-        )
-
-    totals = grouped_map(partials, ["doc_id"], totals_kernel, sort_keys=["shingle"])
-    shared = decontaminate(train, ev, w=4)
-    joined = equi_join(totals, shared, keys=["doc_id"], how="left")
-
-    def finish(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        tot = t["n_shingles"].combine_chunks().to_numpy(zero_copy_only=False)
-        shr = (
-            t["n_shared"].combine_chunks().fill_null(0)
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_shingles": t["n_shingles"],
-                "n_shared": pa.array(shr),
+                "n_shared": pa.array(n_hit),
                 "contam_frac": pa.array(
-                    shr.astype(np.float64) / tot.astype(np.float64)
+                    n_hit.astype(np.float64) / n_sh.astype(np.float64)
                 ),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_map(flagged, ["doc_id"], profile_kernel, sort_keys=["shingle"])
 
 
 QUERIES_DOCS["contamination_stats_docs"] = q_contamination_stats_docs
