@@ -1047,15 +1047,14 @@ def q_rfm_user(sf_dir: str):
         c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
         mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(mx, codes, us)
+        s = np.zeros(k, dtype=np.int64)  # exact int64 (bincount weights are float64)
+        np.add.at(s, codes, c)
         return pa.table(
             {
                 "user_id": enc.dictionary,
                 "__mx": pa.array(mx),
                 "freq": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
-                "monetary": pa.array(
-                    np.bincount(codes, weights=c.astype(np.float64), minlength=k)
-                    .astype(np.int64)
-                ),
+                "monetary": pa.array(s),
             }
         )
 
