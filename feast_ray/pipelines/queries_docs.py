@@ -1626,3 +1626,33 @@ ORACLE_SQL_DOCS["contamination_stats_docs"] = """
              / CAST(t.n_shingles AS DOUBLE) AS contam_frac
     FROM tot t LEFT JOIN shd d USING (doc_id)
 """
+
+
+def q_dedup_minhash_incremental(sf_dir: str):
+    """Incremental near-dedup (the daily-ingest story): docs with
+    doc_id % 10 == 9 are the NEW ARRIVALS, the rest the existing corpus;
+    report every verified Jaccard >= 0.5 pair involving at least one new
+    doc.  The at-least-one-new predicate prunes candidates AT THE BAND
+    BUCKET (``minhash_pair_pipeline(pair_keep=...)``), so candidate
+    generation, pair dedup and exact verification all scale with the new
+    batch — at 100 TB you never re-verify existing-vs-existing pairs, and
+    the band signatures of the existing corpus are reusable from a prior
+    run's persisted output."""
+    import numpy as np
+
+    from feast_ray.stages.dedup import minhash_pair_pipeline
+
+    pairs = minhash_pair_pipeline(
+        _docs(sf_dir), k=JACCARD_K, tau=MINHASH_TAU,
+        pair_keep=lambda lo, hi: (lo % 10 == 9) | (hi % 10 == 9),
+    )
+    return pairs.select_columns(["doc_a", "doc_b", "jaccard"])
+
+
+QUERIES_DOCS["dedup_minhash_incremental"] = q_dedup_minhash_incremental
+ORACLE_SQL_DOCS["dedup_minhash_incremental"] = f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc_a, doc_b, j AS jaccard FROM jac
+    WHERE j >= {MINHASH_TAU}
+      AND (doc_a % 10 = 9 OR doc_b % 10 = 9)
+"""

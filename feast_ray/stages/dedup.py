@@ -157,7 +157,13 @@ def pairs_within_groups(vals: np.ndarray, starts: np.ndarray) -> tuple[np.ndarra
     return vals[L], vals[R]
 
 
-def _pair_gen_kernel(max_df: Optional[int]):
+def _pair_gen_kernel(max_df: Optional[int], pair_keep=None):
+    """``pair_keep(lo, hi) -> bool mask`` drops candidate pairs AT THE
+    BUCKET, before they are ever counted or verified — the incremental-
+    dedup hook (skip existing-vs-existing pairs when only new arrivals
+    need checking), so candidate volume scales with the new batch, not
+    the corpus."""
+
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         docs = t["doc_id"].to_numpy()
         if max_df is not None:
@@ -172,6 +178,9 @@ def _pair_gen_kernel(max_df: Optional[int]):
         a, b = pairs_within_groups(docs, starts)
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
+        if pair_keep is not None:
+            keep = pair_keep(lo, hi)
+            lo, hi = lo[keep], hi[keep]
         return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)})
 
     return kernel
@@ -456,6 +465,7 @@ def minhash_pair_pipeline(
     num_perm: int = 64,
     n_bands: int = 32,
     seed: int = 11,
+    pair_keep=None,
     num_buckets: Optional[int] = None,
 ):
     """LSH candidate pairs verified with exact Jaccard (>= tau).
@@ -463,6 +473,12 @@ def minhash_pair_pipeline(
     False positives are impossible (exact verify); false negatives require
     every one of ``n_bands`` bands to differ — P(miss) = (1 - J^r)^bands,
     ~1e-6 at J=0.5 with r=2, b=32.
+
+    ``pair_keep(lo, hi) -> bool mask`` restricts candidates at the band
+    bucket (see :func:`_pair_gen_kernel`) — the incremental-ingest hook:
+    with signatures of the EXISTING corpus persisted and unioned with the
+    new batch, ``pair_keep = at-least-one-new`` makes candidate count,
+    dedup and verify volume all proportional to the new batch.
     """
     import ray
 
@@ -482,7 +498,7 @@ def minhash_pair_pipeline(
         )
 
     bands = ds.map_batches(sig_bands, batch_format="pyarrow", zero_copy_batch=True)
-    pair_cands = grouped_map(bands, ["bk"], _pair_gen_kernel(None), num_buckets=num_buckets)
+    pair_cands = grouped_map(bands, ["bk"], _pair_gen_kernel(None, pair_keep), num_buckets=num_buckets)
     counted = _count_pairs(pair_cands, num_buckets)  # dedup (band collisions merge)
 
     grams = ds.map_batches(
