@@ -529,8 +529,57 @@ def verify_pairs_distributed(grams, cand, *, tau: float, num_buckets: Optional[i
 
     jaccard = inter / (|A| + |B| - inter), emitted raw (un-rounded — ratio
     of small ints; see :func:`jaccard_pair_pipeline`).
+
+    Gram rows are pruned to CANDIDATE docs before the attach shuffle —
+    without this, every doc's gram rows enter the exchange only for
+    non-candidates to be dropped at the reducer (corpus-proportional
+    bytes when candidates are few, e.g. the incremental-ingest path).
+    Small candidate id sets broadcast for a shuffle-free ``isin``; past
+    the threshold the grams are semi-joined co-partitioned on doc_id.
     """
     _G, _PA, _PB = np.int8(-1), np.int8(0), np.int8(1)
+
+    cand = cand.materialize()  # bounded by the candidate pair count
+    broadcast_max_ids = 5_000_000  # ~40 MB of int64 ids
+    n_pairs = cand.count()
+    if 2 * n_pairs <= broadcast_max_ids:
+        import ray
+
+        cdf = cand.to_pandas()
+        cand_ids = np.unique(
+            np.concatenate(
+                (cdf["doc_a"].to_numpy(dtype=np.int64),
+                 cdf["doc_b"].to_numpy(dtype=np.int64))
+            )
+        )
+        ref = ray.put(cand_ids)
+
+        def keep_cand(t: pa.Table) -> pa.Table:
+            ids_sorted = ray.get(ref)
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            if not len(ids_sorted):
+                return t.slice(0, 0)
+            pos = np.searchsorted(ids_sorted, ids)
+            hit = (pos < len(ids_sorted)) & (
+                ids_sorted[np.clip(pos, 0, len(ids_sorted) - 1)] == ids
+            )
+            return t.filter(pa.array(hit))
+
+        grams = grams.map_batches(keep_cand, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        from feast_ray.stages.join import semi_join
+
+        cand_ids_ds = cand.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pa.concat_arrays(
+                    [t["doc_a"].combine_chunks().cast(pa.int64()),
+                     t["doc_b"].combine_chunks().cast(pa.int64())]
+                )}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        grams = semi_join(grams, cand_ids_ds, keys=["doc_id"], num_buckets=num_buckets)
 
     def gram_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
