@@ -513,6 +513,11 @@ _VERIFY_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
 )
 
+# candidate-id broadcast ceiling for verify's gram pruning (~40 MB of
+# int64 ids); above it the co-partitioned semi-join path runs.  Module
+# level so tests can force the fallback branch.
+_VERIFY_BROADCAST_MAX_IDS = 5_000_000
+
 
 def verify_pairs_distributed(grams, cand, *, tau: float, num_buckets: Optional[int] = None):
     """Exact-Jaccard verification of candidate pairs with NO driver-side
@@ -540,7 +545,7 @@ def verify_pairs_distributed(grams, cand, *, tau: float, num_buckets: Optional[i
     _G, _PA, _PB = np.int8(-1), np.int8(0), np.int8(1)
 
     cand = cand.materialize()  # bounded by the candidate pair count
-    broadcast_max_ids = 5_000_000  # ~40 MB of int64 ids
+    broadcast_max_ids = _VERIFY_BROADCAST_MAX_IDS
     n_pairs = cand.count()
     if 2 * n_pairs <= broadcast_max_ids:
         import ray

@@ -524,3 +524,31 @@ def test_strip_boilerplate_roundtrip(ray_session):
     assert out.loc[3, "clean_text"] == uniq[3]
     # all-boilerplate doc vanished
     assert 4 not in out.index
+
+
+def test_verify_pruning_semijoin_branch_parity(ray_session, monkeypatch):
+    """Force the candidate-id semi-join fallback (threshold 0) and assert
+    the minhash pair pipeline output is identical to the broadcast path."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data as rd
+
+    import feast_ray.stages.dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [base, base + "extra tail", base.replace("quick", "quack"),
+             "completely different text body " * 6, base]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_arrow(_pa.Table.from_pandas(df, preserve_index=False))
+
+    out_bc = (
+        dd.minhash_pair_pipeline(ds, k=8, tau=0.3)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "_VERIFY_BROADCAST_MAX_IDS", 0)
+    out_sj = (
+        dd.minhash_pair_pipeline(ds, k=8, tau=0.3)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(out_bc) > 0
+    pd.testing.assert_frame_equal(out_bc, out_sj)
