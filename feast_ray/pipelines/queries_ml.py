@@ -1328,3 +1328,95 @@ ORACLE_SQL_ML["crossset_embedding_leaks"] = """
     FROM p
     WHERE (da % 20 = 0) <> (db % 20 = 0)
 """
+
+
+def q_conversion_by_value_decile(sf_dir: str):
+    """Label-calibration table (the sanity check before training on a
+    conversion label): clicks labeled by purchase-within-1-day (forward
+    as-of), bucketed by GLOBAL click-value decile, conversion rate per
+    decile — click count, conversions, one float64 division.  Composition:
+    one forward as-of shuffle for the label, the range-partitioned global
+    NTILE for the bucket, one map-side-combined rollup."""
+    from feast_ray.stages.asof import asof_join_forward
+    from feast_ray.stages.stats import global_order_index, partial_count_sum
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: _with_cents(
+            t.filter(pc.equal(t["event_type"], "click"))
+        ).select(["user_id", "event_id", "ts", "cents"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    purchases = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.equal(t["event_type"], "purchase"))["user_id"],
+                "ts": t.filter(pc.equal(t["event_type"], "purchase"))["ts"],
+                "p_event_id": t.filter(pc.equal(t["event_type"], "purchase"))["event_id"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labeled = asof_join_forward(
+        clicks, purchases, key="user_id", tie_col="p_event_id",
+        lookahead_us=86_400_000_000, feature_cols=[], matched_ts_name="conv_ts",
+    )
+    ranked = global_order_index(
+        labeled, "cents", tiebreak="event_id",
+        pos_name="__rank", ntile=10, ntile_name="decile",
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = pc.is_valid(t["conv_ts"].combine_chunks())
+        return pa.table(
+            {
+                "decile": t["decile"],
+                "__conv": conv.cast(pa.int64()),
+            }
+        )
+
+    rolled = partial_count_sum(
+        ranked.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        ["decile"],
+        "__conv",
+        count_name="n_clicks",
+        sum_name="n_conversions",
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_clicks"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["n_conversions"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "conv_rate", pa.array(c.astype(np.float64) / n.astype(np.float64))
+        )
+
+    return rolled.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["conversion_by_value_decile"] = q_conversion_by_value_decile
+ORACLE_SQL_ML["conversion_by_value_decile"] = """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    lab AS (
+      SELECT c.cents, c.event_id,
+             EXISTS (SELECT 1 FROM p
+                     WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                       AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000)
+               AS conv
+      FROM c),
+    d AS (
+      SELECT CAST(NTILE(10) OVER (ORDER BY cents, event_id) AS BIGINT) AS decile,
+             conv
+      FROM lab)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS conv_rate
+    FROM d GROUP BY decile
+"""
