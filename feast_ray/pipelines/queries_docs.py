@@ -1656,3 +1656,55 @@ ORACLE_SQL_DOCS["dedup_minhash_incremental"] = f"""
     WHERE j >= {MINHASH_TAU}
       AND (doc_a % 10 = 9 OR doc_b % 10 = 9)
 """
+
+
+def q_tokens_by_source(sf_dir: str):
+    """Corpus token budget per source (the number every mixing decision
+    starts from): doc count, exact token total and share of the corpus
+    token budget per source — one stateless tokenize map, one
+    map-side-combined exchange over the (tiny) source domain, shares from
+    the driver-side total of the per-source aggregates (one division)."""
+    import numpy as np
+
+    from feast_ray.stages.stats import partial_count_sum
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def toks(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(parent[keep], minlength=t.num_rows).astype(np.int64)
+        return pa.table({"source": t["source"], "n_tokens": pa.array(n_tok)})
+
+    per_doc = docs.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_count_sum(
+        per_doc, ["source"], "n_tokens", count_name="n_docs", sum_name="n_tokens"
+    ).materialize()  # tiny: one row per source
+    total = sum(int(r["n_tokens"]) for r in agg.take_all())
+
+    def share(t: pa.Table) -> pa.Table:
+        s = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "token_share",
+            pa.array(s.astype(np.float64) / np.float64(total)),
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["tokens_by_source"] = q_tokens_by_source
+ORACLE_SQL_DOCS["tokens_by_source"] = """
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE)
+             / CAST((SELECT SUM(n_tokens) FROM d) AS DOUBLE) AS token_share
+    FROM d GROUP BY source
+"""

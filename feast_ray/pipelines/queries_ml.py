@@ -1420,3 +1420,156 @@ ORACLE_SQL_ML["conversion_by_value_decile"] = """
              / CAST(COUNT(*) AS DOUBLE) AS conv_rate
     FROM d GROUP BY decile
 """
+
+
+def q_trimmed_mean_user(sf_dir: str):
+    """Robust location per entity: the mean of value cents RESTRICTED to
+    the entity's own [q10, q90] band (exact disc quantiles off the
+    exchange sort, conditional int64 sum, one division) — the
+    outlier-immune per-user average; NULL is impossible (the band always
+    contains the median).  ONE grouped exchange."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return _with_cents(t).select(["user_id", "cents"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": u_a.slice(0, 0), "n_in_band": pa.array([], pa.int64()),
+                 "trimmed_mean_cents": pa.array([], pa.float64())}
+            )
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        n = np.repeat(sizes, sizes)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+
+        def disc(q: float) -> np.ndarray:
+            idx = gstart + np.maximum(
+                np.ceil(q * n.astype(np.float64)).astype(np.int64), 1
+            ) - 1
+            return c[idx]
+
+        lo, hi = disc(0.10), disc(0.90)
+        in_band = (c >= lo) & (c <= hi)
+        gidx = np.repeat(np.arange(len(sizes)), sizes)
+        s = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(s, gidx[in_band], c[in_band])
+        cnt = np.bincount(gidx[in_band], minlength=len(sizes)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pc.take(u_a, pa.array(starts[:-1])),
+                "n_in_band": pa.array(cnt),
+                "trimmed_mean_cents": pa.array(
+                    s.astype(np.float64) / cnt.astype(np.float64)
+                ),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["cents"])
+
+
+QUERIES_ML["trimmed_mean_user"] = q_trimmed_mean_user
+ORACLE_SQL_ML["trimmed_mean_user"] = """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    q AS (
+      SELECT user_id,
+             quantile_disc(c, 0.10) AS lo, quantile_disc(c, 0.90) AS hi
+      FROM e GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(COUNT(*) FILTER (WHERE e.c BETWEEN q.lo AND q.hi) AS BIGINT)
+             AS n_in_band,
+           CAST(SUM(e.c) FILTER (WHERE e.c BETWEEN q.lo AND q.hi) AS DOUBLE)
+             / CAST(COUNT(*) FILTER (WHERE e.c BETWEEN q.lo AND q.hi) AS DOUBLE)
+             AS trimmed_mean_cents
+    FROM e JOIN q USING (user_id)
+    GROUP BY e.user_id
+"""
+
+
+def q_streak_days_user(sf_dir: str):
+    """Longest consecutive-active-day streak per user (the engagement
+    feature; SQL gaps-and-islands): distinct active days off the
+    exchange's sort, island id = day - active-day ordinal (constant
+    within a consecutive run), longest island per user — all run
+    detection, zero per-row Python, ONE grouped exchange."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": u_a.slice(0, 0),
+                 "n_active_days": pa.array([], pa.int64()),
+                 "max_streak_days": pa.array([], pa.int64())}
+            )
+        n_rows = t.num_rows
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes)), sizes)
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        # distinct days per user (sorted by day within group)
+        new_day = np.empty(n_rows, dtype=bool)
+        new_day[0] = True
+        new_day[1:] = (d[1:] != d[:-1]) | (gidx[1:] != gidx[:-1])
+        dd = d[new_day]
+        dg = gidx[new_day]
+        n_active = np.bincount(dg, minlength=len(sizes)).astype(np.int64)
+        # islands: a new streak starts when the day gap is not exactly 1
+        new_streak = np.empty(len(dd), dtype=bool)
+        new_streak[0] = True
+        new_streak[1:] = (dg[1:] != dg[:-1]) | (dd[1:] != dd[:-1] + 1)
+        sid = np.cumsum(new_streak) - 1
+        streak_len = np.bincount(sid)
+        streak_user = dg[np.flatnonzero(new_streak)]
+        mx = np.zeros(len(sizes), dtype=np.int64)
+        np.maximum.at(mx, streak_user, streak_len)
+        return pa.table(
+            {
+                "user_id": pc.take(u_a, pa.array(starts[:-1])),
+                "n_active_days": pa.array(n_active),
+                "max_streak_days": pa.array(mx),
+            }
+        )
+
+    return grouped_map(days, ["user_id"], kernel, sort_keys=["day"])
+
+
+QUERIES_ML["streak_days_user"] = q_streak_days_user
+ORACLE_SQL_ML["streak_days_user"] = """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    i AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM i GROUP BY user_id, island),
+    a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_active_days
+          FROM d GROUP BY user_id),
+    m AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak_days
+          FROM s GROUP BY user_id)
+    SELECT user_id, n_active_days, max_streak_days
+    FROM a JOIN m USING (user_id)
+"""
