@@ -1573,3 +1573,80 @@ ORACLE_SQL_ML["streak_days_user"] = """
     SELECT user_id, n_active_days, max_streak_days
     FROM a JOIN m USING (user_id)
 """
+
+
+def q_seq_pairs_1h(sf_dir: str):
+    """Temporal sequence-pair mining: for every ordered type pair (a, b),
+    how often an a-event is followed by a b-event BY THE SAME USER within
+    one hour (all pairs in the horizon, not just adjacent — the
+    sequence-rule evidence adjacent-transition counts miss).  Kernel: per
+    user, one searchsorted gives each row's horizon end; per-type prefix
+    sums turn every row's window type-histogram into two gathers; row
+    contributions accumulate into the <= T^2 cells map-side, so the final
+    exchange moves tiny partials.  ONE grouped exchange + a tiny reduce."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.windows import rolling_time_bounds
+
+    HORIZON_US = 3600 * 1_000_000
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "type_a": enc.dictionary.slice(0, 0),
+                    "type_b": enc.dictionary.slice(0, 0),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        n = t.num_rows
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # negate to reuse the backward bounds helper for a FORWARD horizon:
+        # rows with ts_j in (ts_i, ts_i + H] are exactly the rows after i
+        # (strictly later ts) within the horizon
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        gend = np.repeat(starts[1:], sizes)
+        pos = np.arange(n, dtype=np.int64)
+        # horizon end: first index with ts > ts_i + H (groups rebased onto
+        # disjoint ranges exactly like rolling_time_bounds)
+        tmin = ts[starts[:-1]]
+        ranges = ts[starts[1:] - 1] - tmin
+        rel = ts - np.repeat(tmin, sizes)
+        offs = np.concatenate(([0], np.cumsum(ranges + HORIZON_US + 2)))[:-1]
+        key = rel + np.repeat(offs, sizes)
+        hi = np.searchsorted(key, key + HORIZON_US, side="right")
+        lo = np.searchsorted(key, key, side="right")  # strictly-later start
+        # per-type prefix sums of the one-hot type indicators
+        cells = np.zeros((k, k), dtype=np.int64)
+        for tb in range(k):
+            p = np.concatenate(([0], np.cumsum(codes == tb)))
+            wcnt = p[hi] - p[lo]
+            np.add.at(cells[:, tb], codes, wcnt)
+        ga, gb = np.nonzero(cells)
+        return pa.table(
+            {
+                "type_a": pc.take(enc.dictionary, pa.array(ga)),
+                "type_b": pc.take(enc.dictionary, pa.array(gb)),
+                "n_pairs": pa.array(cells[ga, gb]),
+            }
+        )
+
+    partials = grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+    return sum_by(partials, ["type_a", "type_b"], ["n_pairs"])
+
+
+QUERIES_ML["seq_pairs_1h"] = q_seq_pairs_1h
+ORACLE_SQL_ML["seq_pairs_1h"] = """
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    GROUP BY 1, 2
+"""
