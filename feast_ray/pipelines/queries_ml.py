@@ -1650,3 +1650,71 @@ ORACLE_SQL_ML["seq_pairs_1h"] = """
      AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
     GROUP BY 1, 2
 """
+
+
+def q_salted_rolling_chunks(sf_dir: str):
+    """The HOT-ENTITY path as a driver-checkable query: documents are
+    chunked (32/24 token windows — chunk_idx is the per-entity dense
+    ordinal salting keys on), then per-doc rolling 3-chunk token sums and
+    the previous chunk's length are computed through
+    ``stages.salt.salted_window_features`` with chunk_rows=4, far below
+    the per-doc chunk counts — every long doc is actually split into
+    overlapping salt chunks and re-stitched.  The oracle is the plain SQL
+    window over the chunk CTE: salting must be invisible in the output
+    (the parity the salt module's contract promises, proven here under
+    the driver's hash compare, not just pytest)."""
+    from feast_ray.stages.salt import salted_window_features
+    from feast_ray.stages.text import chunk_texts
+    from feast_ray.stages.windows import Lag, RollingRows
+    from feast_ray.sources.parquet import read_pq as _rp
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    chunks = chunk_texts(
+        docs, chunk_tokens=32, stride_tokens=24,
+        idx_name="chunk_idx", out_name="chunk_text", len_name="n_tokens",
+    ).drop_columns(["chunk_text"])
+    out = salted_window_features(
+        chunks,
+        key="doc_id",
+        ts_col="chunk_idx",
+        ordinal_col="chunk_idx",
+        order_cols=["chunk_idx"],
+        specs=[
+            RollingRows("n_tokens", 3, aggs=("count", "sum"), prefix="r3"),
+            Lag("n_tokens", 1, name="prev_tokens"),
+        ],
+        chunk_rows=4,
+    )
+    return out.select_columns(
+        ["doc_id", "chunk_idx", "n_tokens", "r3_count", "r3_sum", "prev_tokens"]
+    )
+
+
+QUERIES_ML["salted_rolling_chunks"] = q_salted_rolling_chunks
+ORACLE_SQL_ML["salted_rolling_chunks"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents),
+    mm AS (
+      SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS m
+      FROM toks WHERE len(tl) > 0),
+    cc AS (
+      SELECT doc_id, tl, m,
+             CASE WHEN m <= 32 THEN 1
+                  ELSE 1 + CAST(CEIL((m - 32) / 24.0) AS BIGINT) END AS n_chunks
+      FROM mm),
+    ch AS (
+      SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_idx,
+             LEAST(g.k * 24 + 32, m) - g.k * 24 AS n_tokens
+      FROM cc, LATERAL unnest(range(0, n_chunks)) AS g(k))
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(COUNT(n_tokens) OVER w AS BIGINT) AS r3_count,
+           CAST(SUM(n_tokens) OVER w AS DOUBLE) AS r3_sum,
+           LAG(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+             AS prev_tokens
+    FROM ch
+    WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
