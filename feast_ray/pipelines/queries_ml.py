@@ -1718,3 +1718,59 @@ ORACLE_SQL_ML["salted_rolling_chunks"] = """
     WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_global_value_percentiles(sf_dir: str):
+    """Exact GLOBAL percentiles of the value cents (p50/p90/p99) without a
+    global sort: the range-partitioned global rank assigns every row its
+    exact position; the three target ranks (SQL quantile_disc = element at
+    rank ceil(q*n)) are filtered out — three rows leave the cluster.
+    The corpus-level summary every data-quality dashboard pins."""
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return _with_cents(t).select(["event_id", "cents"])
+
+    thin = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = global_order_index(thin, "cents", tiebreak="event_id",
+                                pos_name="grank").materialize()
+    n = ranked.count()
+    # integer-exact target ranks: ceil(q*n) - 1 with q in thousandths
+    tgt = {q: (int(q * 1000) * n + 999) // 1000 - 1 for q in (0.5, 0.9, 0.99)}
+    tgt_vals = np.array(sorted(set(tgt.values())), dtype=np.int64)
+
+    def pick2(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.isin(g, tgt_vals)
+        return t.filter(pa.array(keep))
+
+    picked = ranked.map_batches(pick2, batch_format="pyarrow", zero_copy_batch=True)
+    rows = picked.take_all()  # <= 3 rows
+    by_rank = {int(r["grank"]): int(r["cents"]) for r in rows}
+    import ray.data as rd
+
+    out = pa.table(
+        {
+            "q": pa.array([0.5, 0.9, 0.99], pa.float64()),
+            "cents": pa.array(
+                [by_rank[tgt[q]] for q in (0.5, 0.9, 0.99)], pa.int64()
+            ),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+QUERIES_ML["global_value_percentiles"] = q_global_value_percentiles
+ORACLE_SQL_ML["global_value_percentiles"] = """
+    WITH e AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL)
+    SELECT 0.5 AS q, quantile_disc(c, 0.5) AS cents FROM e
+    UNION ALL
+    SELECT 0.9, quantile_disc(c, 0.9) FROM e
+    UNION ALL
+    SELECT 0.99, quantile_disc(c, 0.99) FROM e
+"""
