@@ -1774,3 +1774,20 @@ ORACLE_SQL_ML["global_value_percentiles"] = """
     UNION ALL
     SELECT 0.99, quantile_disc(c, 0.99) FROM e
 """
+
+
+def q_knn_graph_lsh(sf_dir: str):
+    """APPROXIMATE kNN graph (the 100-TB path — multi-table hyperplane
+    buckets, exact cosine within buckets, per-node multi-table merge;
+    ``stages.similarity.knn_graph_lsh``).  Recall pinned by
+    tests/test_text_dedup.py against the exact blockpair graph; no SQL
+    twin (the bucketing is a seeded random projection), so the driver
+    records the weaker rows-only check — precision is exact by
+    construction."""
+    from feast_ray.stages.similarity import knn_graph_lsh
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_graph_lsh(ds, k=3, n_planes=5, n_tables=4)
+
+
+QUERIES_ML["knn_graph_lsh"] = q_knn_graph_lsh

@@ -408,3 +408,143 @@ def knn_graph(
         cands, [id_col], reduce_topk, sort_keys=["__negcos", "nbr_id"],
         num_buckets=num_buckets,
     )
+
+
+def knn_graph_lsh(
+    ds,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+    round_digits: int = 6,
+    rank_name: str = "nbr_rank",
+    num_buckets=None,
+):
+    """APPROXIMATE cosine kNN graph — the 100-TB path where the exact
+    blockpair matmul (:func:`knn_graph`, O(n^2 / n_chunks) per reducer) is
+    infeasible: every row hashes into ``n_tables`` independent
+    random-hyperplane buckets, each (table, bucket) group computes exact
+    per-node top-k WITHIN the bucket, and a final per-node exchange merges
+    the multi-table candidates (duplicates collapse) into the global
+    top-k.  Recall per true neighbor at cosine angle theta is
+    ``1 - (1 - (1 - theta/pi)^n_planes)^n_tables`` — tune planes/tables;
+    precision is exact (true cosine, same rounding + tie rule as the
+    exact graph).  Fan-out is ``n_tables`` rows per vector; a bucket
+    holds ~n / 2^n_planes rows (size planes so a bucket fits a worker).
+    Deterministic: plane matrices are seeded per (table, dim).
+    """
+    from feast_ray.grouped import grouped_map
+
+    if k < 1 or n_tables < 1:
+        raise ValueError("k and n_tables must be >= 1")
+
+    def tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), emb_col: t[emb_col],
+                 "__tb": pa.array([], pa.int64())}
+            )
+        mat = _embedding_matrix(t[emb_col])
+        dim = mat.shape[1]
+        keys = []
+        for tb in range(n_tables):
+            h = _HyperplaneHasher(dim, n_planes=n_planes, seed=seed + 1000 * tb)
+            keys.append(np.int64(tb) << np.int64(32) | h.bucket(mat))
+        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
+        out = t.select([id_col, emb_col]).take(rep)
+        return out.append_column("__tb", pa.array(np.concatenate(keys)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _row_topk(cs: np.ndarray, row_ids: np.ndarray, col_ids: np.ndarray):
+        m = cs.shape[1]
+        kk = min(k, m)
+        if kk == 0 or cs.shape[0] == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.float64)
+        cs_r = np.round(cs, round_digits)
+        part = np.argsort(-cs_r, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(row_ids, part.shape[1])
+        cols = col_ids[part.ravel()]
+        vals = np.take_along_axis(cs_r, part, axis=1).ravel()
+        keep = ~np.isneginf(vals)
+        return rows[keep], cols[keep], vals[keep]
+
+    def bucket_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        outs_i, outs_j, outs_c = [], [], []
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t[emb_col].combine_chunks()
+        for g in range(len(starts) - 1):
+            lo_i, hi_i = int(starts[g]), int(starts[g + 1])
+            if hi_i - lo_i < 2:
+                continue
+            mat = _embedding_matrix(emb.slice(lo_i, hi_i - lo_i))
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            mat = mat / nm[:, None]
+            cs = mat @ mat.T
+            np.fill_diagonal(cs, -np.inf)
+            gids = ids[lo_i:hi_i]
+            r, c, v = _row_topk(cs, gids, gids)
+            outs_i.append(r); outs_j.append(c); outs_c.append(v)
+        if not outs_i:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "__negcos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(outs_i)),
+                "nbr_id": pa.array(np.concatenate(outs_j)),
+                "__negcos": pa.array(-np.concatenate(outs_c)),
+            }
+        )
+
+    cands = grouped_map(
+        tagged, ["__tb"], bucket_kernel, sort_keys=[id_col], num_buckets=num_buckets
+    )
+
+    def reduce_topk(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64()),
+                 rank_name: pa.array([], pa.int64())}
+            )
+        # multi-table duplicates are adjacent after the (negcos, nbr) sort;
+        # keep first-of-run, then the first k survivors per node
+        gidx = np.repeat(np.arange(len(starts) - 1, dtype=np.int64), np.diff(starts))
+        nbr = t["nbr_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.empty(t.num_rows, dtype=bool)
+        first[0] = True
+        first[1:] = (gidx[1:] != gidx[:-1]) | (nbr[1:] != nbr[:-1])
+        keep_idx = np.flatnonzero(first)
+        kg = gidx[keep_idx]
+        new_g = np.empty(len(keep_idx), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = kg[1:] != kg[:-1]
+        rank = np.arange(len(keep_idx)) - np.maximum.accumulate(
+            np.where(new_g, np.arange(len(keep_idx)), 0)
+        )
+        sel = rank < k
+        out = t.take(pa.array(keep_idx[sel]))
+        neg = out["__negcos"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: out[id_col],
+                "nbr_id": out["nbr_id"],
+                "cos_sim": pa.array(-neg),
+                rank_name: pa.array((rank[sel] + 1).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(
+        cands, [id_col], reduce_topk, sort_keys=["__negcos", "nbr_id"],
+        num_buckets=num_buckets,
+    )

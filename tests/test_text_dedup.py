@@ -552,3 +552,39 @@ def test_verify_pruning_semijoin_branch_parity(ray_session, monkeypatch):
     )
     assert len(out_bc) > 0
     pd.testing.assert_frame_equal(out_bc, out_sj)
+
+
+def test_knn_graph_lsh_recall(ray_session):
+    """Approximate kNN graph: recall of true top-3 edges vs the exact
+    blockpair graph on random vectors; precision is exact by construction
+    (true cosine, same rounding + tie rule), so every returned edge must
+    also appear in the exact graph at the same or better rank."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from feast_ray.stages.similarity import knn_graph, knn_graph_lsh
+
+    rng = np.random.default_rng(47)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = _pa.table(
+        {"vec_id": _pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": _pa.array(list(mat))}
+    )
+    ds = rd.from_arrow(tbl)
+    exact = knn_graph(ds, k=3, n_chunks=4).to_pandas()
+    approx = knn_graph_lsh(ds, k=3, n_planes=4, n_tables=6).to_pandas()
+    exact_edges = set(zip(exact["vec_id"], exact["nbr_id"]))
+    approx_edges = set(zip(approx["vec_id"], approx["nbr_id"]))
+    recall = len(exact_edges & approx_edges) / len(exact_edges)
+    assert recall >= 0.6, recall
+    # cos_sim values must agree exactly on shared edges (exact verify)
+    m = approx.merge(exact, on=["vec_id", "nbr_id"], suffixes=("_a", "_e"))
+    assert (m["cos_sim_a"] == m["cos_sim_e"]).all()
+    # determinism
+    approx2 = knn_graph_lsh(ds, k=3, n_planes=4, n_tables=6).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True),
+        approx2.sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True),
+    )
