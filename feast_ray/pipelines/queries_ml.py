@@ -1791,3 +1791,142 @@ def q_knn_graph_lsh(sf_dir: str):
 
 
 QUERIES_ML["knn_graph_lsh"] = q_knn_graph_lsh
+
+
+def q_column_profile_events(sf_dir: str):
+    """Data-quality column profile (the dbt/GE-style report a feature
+    pipeline gates ingest on): one row per numeric column — row count,
+    null count, EXACT distinct count, integer min/max (value profiled in
+    cents, ts as epoch micros).  Per-batch partials carry (column, batch
+    mins/maxes/null counts) plus batch-DISTINCT values per column; ONE
+    grouped exchange on the column id merges them (run detection over
+    (column, value) for the distinct count).  Everything integer.
+
+    Scale note: EXACT distinct concentrates each column's distinct-value
+    stream on one reducer (there are only as many groups as columns) — at
+    100 TB profile high-cardinality columns with the HLL sketch instead
+    (``stages.sketch``, query ``approx_distinct_users``); the exact path
+    here is for the bounded-cardinality gate columns."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    COLS = ["event_id", "user_id", "cents", "ts_us"]
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+                "ts_us": us,
+            }
+        )
+
+    dv = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    # stream of per-batch DISTINCT (column, value) pairs + count/null partials
+    def partial(t: pa.Table) -> pa.Table:
+        cols_out, vals_out = [], []
+        meta_rows = []
+        for ci, name in enumerate(COLS):
+            arr = t[name].combine_chunks()
+            v = arr.fill_null(0).to_numpy(zero_copy_only=False)
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            uv = np.unique(v[valid])
+            cols_out.append(np.full(len(uv), ci, np.int64))
+            vals_out.append(uv)
+            n_valid = int(valid.sum())
+            meta_rows.append(
+                (ci, t.num_rows, t.num_rows - n_valid,
+                 int(v[valid].min()) if n_valid else np.iinfo(np.int64).max,
+                 int(v[valid].max()) if n_valid else np.iinfo(np.int64).min)
+            )
+        mr = np.array(meta_rows, dtype=np.int64).reshape(-1, 5)
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(cols_out + [mr[:, 0]])),
+                "val": pa.array(np.concatenate(vals_out + [np.zeros(len(mr), np.int64)])),
+                "is_meta": pa.array(
+                    np.concatenate(
+                        [np.zeros(sum(len(c) for c in cols_out), np.int64),
+                         np.ones(len(mr), np.int64)]
+                    )
+                ),
+                "n": pa.array(np.concatenate([np.zeros(sum(len(c) for c in cols_out), np.int64), mr[:, 1]])),
+                "nulls": pa.array(np.concatenate([np.zeros(sum(len(c) for c in cols_out), np.int64), mr[:, 2]])),
+                "mn": pa.array(np.concatenate([np.zeros(sum(len(c) for c in cols_out), np.int64), mr[:, 3]])),
+                "mx": pa.array(np.concatenate([np.zeros(sum(len(c) for c in cols_out), np.int64), mr[:, 4]])),
+            }
+        )
+
+    partials = dv.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"column": pa.array([], pa.string()),
+                 "n_rows": pa.array([], pa.int64()),
+                 "n_nulls": pa.array([], pa.int64()),
+                 "n_distinct": pa.array([], pa.int64()),
+                 "min_val": pa.array([], pa.int64()),
+                 "max_val": pa.array([], pa.int64())}
+            )
+        ci = t["ci"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["val"].combine_chunks().to_numpy(zero_copy_only=False)
+        meta = t["is_meta"].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        gidx = np.repeat(np.arange(len(starts) - 1, dtype=np.int64), np.diff(starts))
+        # distinct: run detection over (group=column, value) for non-meta rows
+        nm = ~meta
+        new_run = np.empty(t.num_rows, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (gidx[1:] != gidx[:-1]) | (val[1:] != val[:-1]) | meta[1:] | meta[:-1]
+        n_groups = len(starts) - 1
+        nd = np.bincount(gidx[new_run & nm], minlength=n_groups).astype(np.int64)
+        n = np.zeros(n_groups, np.int64)
+        nulls = np.zeros(n_groups, np.int64)
+        mn = np.full(n_groups, np.iinfo(np.int64).max)
+        mx = np.full(n_groups, np.iinfo(np.int64).min)
+        np.add.at(n, gidx[meta], t["n"].combine_chunks().to_numpy(zero_copy_only=False)[meta])
+        np.add.at(nulls, gidx[meta], t["nulls"].combine_chunks().to_numpy(zero_copy_only=False)[meta])
+        np.minimum.at(mn, gidx[meta], t["mn"].combine_chunks().to_numpy(zero_copy_only=False)[meta])
+        np.maximum.at(mx, gidx[meta], t["mx"].combine_chunks().to_numpy(zero_copy_only=False)[meta])
+        names = pa.array([COLS[int(c)] for c in ci[starts[:-1]]], pa.string())
+        return pa.table(
+            {
+                "column": names,
+                "n_rows": pa.array(n),
+                "n_nulls": pa.array(nulls),
+                "n_distinct": pa.array(nd),
+                "min_val": pa.array(mn),
+                "max_val": pa.array(mx),
+            }
+        )
+
+    return grouped_map(partials, ["ci"], kernel, sort_keys=["is_meta", "val"])
+
+
+QUERIES_ML["column_profile_events"] = q_column_profile_events
+ORACLE_SQL_ML["column_profile_events"] = """
+    WITH d AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us
+      FROM events)
+    SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS BIGINT) AS min_val,
+           CAST(MAX(event_id) AS BIGINT) AS max_val
+    FROM d
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) FROM d
+    UNION ALL
+    SELECT 'cents', COUNT(*), COUNT(*) - COUNT(cents),
+           COUNT(DISTINCT cents), MIN(cents), MAX(cents) FROM d
+    UNION ALL
+    SELECT 'ts_us', COUNT(*), COUNT(*) - COUNT(ts_us),
+           COUNT(DISTINCT ts_us), MIN(ts_us), MAX(ts_us) FROM d
+"""
