@@ -388,3 +388,68 @@ def test_target_encode_smoothing(ev):
     # singleton category pulled strongly toward the prior
     row = out[out["cat"] == "only_once"]["smooth_mean_cents"].iloc[0]
     assert abs(row - prior) < abs(float(ev["cents"].dropna().iloc[0]) - prior) + 1e-9
+
+
+def test_rolling_distinct_hypothesis(ray_session):
+    """Property: both distinct-window kernels (ROWS and RANGE) match brute
+    force across random group shapes, window sizes, tie densities and
+    null rates."""
+    from feast_ray.stages.windows import rolling_distinct, rolling_distinct_time
+
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(50, 800))
+        w = int(rng.integers(1, 12))
+        n_users = int(rng.integers(1, 9))
+        ts_grid = int(rng.integers(1, 30))
+        df = pd.DataFrame(
+            {
+                "user": rng.integers(0, n_users, n),
+                "ord": np.arange(n, dtype=np.int64),
+                "ts_us": rng.integers(0, ts_grid, n).astype(np.int64) * 1_000_000,
+                "cat": rng.choice(["a", "b", "c"], n),
+            }
+        )
+        cat = df["cat"].astype(object)
+        null_idx = rng.choice(n, int(0.1 * n), replace=False)
+        cat.iloc[null_idx] = None
+        df["cat"] = cat
+        tbl = pa.table(
+            {
+                "user": pa.array(df["user"].to_numpy()),
+                "ord": pa.array(df["ord"].to_numpy()),
+                "ts": pa.array(df["ts_us"].to_numpy()).cast(pa.timestamp("us")),
+                "cat": pa.array(df["cat"].tolist(), pa.string()),
+            }
+        )
+        # ROWS window
+        out = (
+            rolling_distinct(
+                rd.from_arrow(tbl), key="user", cat_col="cat", window=w,
+                order_cols=["ord"], out_name="nd",
+            ).to_pandas().set_index("ord")["nd"]
+        )
+        for _, grp in df.groupby("user"):
+            cats = grp["cat"].tolist()
+            for i in range(len(cats)):
+                win = [c for c in cats[max(0, i - w + 1): i + 1] if c is not None]
+                assert out[grp["ord"].iloc[i]] == len(set(win)), (seed, "rows")
+        # RANGE window
+        w_us = w * 1_000_000
+        out_t = (
+            rolling_distinct_time(
+                rd.from_arrow(tbl), key="user", cat_col="cat", ts_col="ts",
+                delta_us=w_us, order_cols=["ts", "ord"], out_name="nd",
+            ).to_pandas().set_index("ord")["nd"]
+        )
+        for _, grp in df.sort_values(["ts_us", "ord"]).groupby("user"):
+            ts = grp["ts_us"].to_numpy()
+            cats = grp["cat"].tolist()
+            ords = grp["ord"].to_numpy()
+            for i in range(len(grp)):
+                win = {
+                    cats[j]
+                    for j in range(len(grp))
+                    if ts[i] - w_us <= ts[j] <= ts[i] and cats[j] is not None
+                }
+                assert out_t[ords[i]] == len(win), (seed, "range")
