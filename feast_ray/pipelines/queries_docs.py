@@ -1708,3 +1708,70 @@ ORACLE_SQL_DOCS["tokens_by_source"] = """
              / CAST((SELECT SUM(n_tokens) FROM d) AS DOUBLE) AS token_share
     FROM d GROUP BY source
 """
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Corpus hygiene by provenance: per source, doc count, docs belonging
+    to an exact-duplicate text cluster, and the duplicate rate (one
+    division of exact counts) — the report that decides which feeds need
+    upstream dedup.  ONE grouped exchange on the text (source carried),
+    per-source counts map-side combined off the kernel's flags."""
+    import numpy as np
+
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        src = t["source"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"source": src.slice(0, 0),
+                 "__n": pa.array([], pa.int64()),
+                 "__dup": pa.array([], pa.int64())}
+            )
+        sizes = np.diff(starts)
+        is_dup = np.repeat(sizes > 1, sizes).astype(np.int64)
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        n_src = np.bincount(codes, minlength=k).astype(np.int64)
+        d_src = np.zeros(k, dtype=np.int64)
+        np.add.at(d_src, codes, is_dup)
+        return pa.table(
+            {"source": enc.dictionary, "__n": pa.array(n_src),
+             "__dup": pa.array(d_src)}
+        )
+
+    partials = grouped_map(docs, ["text"], kernel)
+    agg = sum_by(partials, ["source"], ["__n", "__dup"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["__n"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["__dup"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(n),
+                "n_dup_docs": pa.array(d),
+                "dup_rate": pa.array(d.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["dup_rate_by_source"] = q_dup_rate_by_source
+ORACLE_SQL_DOCS["dup_rate_by_source"] = """
+    WITH d AS (
+      SELECT source,
+             (COUNT(*) OVER (PARTITION BY text)) > 1 AS is_dup
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM d GROUP BY source
+"""

@@ -1930,3 +1930,95 @@ ORACLE_SQL_ML["column_profile_events"] = """
     SELECT 'ts_us', COUNT(*), COUNT(*) - COUNT(ts_us),
            COUNT(DISTINCT ts_us), MIN(ts_us), MAX(ts_us) FROM d
 """
+
+
+def q_value_drift_halves(sf_dir: str):
+    """Distribution-drift evidence (the train/serve skew monitor): the
+    event stream splits at its median timestamp; value cents bucket into
+    10 equal-WIDTH bands over the global [min, max]; the output is the
+    (band, half) contingency — all integers (the PSI/chi-square log is
+    left to consumers, per the engine's libm-free contract).  Global
+    extrema and the median come from tiny partial-aggregate passes; the
+    banded counts are ONE map-side-combined exchange."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"ts_us": us,
+             "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())}
+        )
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # global extrema: one-row-per-block partials, driver folds ints
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table(
+            {"mn": pa.array([pc.min(t["cents"]).as_py()], pa.int64()),
+             "mx": pa.array([pc.max(t["cents"]).as_py()], pa.int64())}
+        )
+
+    ex = dv.map_batches(extrema, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    mn = min(int(r["mn"]) for r in ex)
+    mx = max(int(r["mx"]) for r in ex)
+
+    # median ts: exact disc selection via the global rank (thin input)
+    from feast_ray.stages.stats import global_order_index
+
+    ranked = global_order_index(
+        dv.map_batches(
+            lambda t: pa.table({"ts_us": t["ts_us"],
+                                "rid": pc.add(t["ts_us"], 0)}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "ts_us", tiebreak="rid", pos_name="grank",
+    ).materialize()
+    n = ranked.count()
+    med_rank = (n + 1) // 2 - 1  # ceil(0.5 * n) - 1
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(g == med_rank)).select(["ts_us"])
+
+    med_ts = int(
+        ranked.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()[0]["ts_us"]
+    )
+
+    span = mx - mn + 1
+
+    def band(t: pa.Table) -> pa.Table:
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = t["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": pa.array(((c - mn) * 10) // span),
+                "half": pa.array(np.where(us <= med_ts, 1, 2).astype(np.int64)),
+            }
+        )
+
+    banded = dv.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_count_sum(banded, ["band", "half"], count_name="n_events")
+
+
+QUERIES_ML["value_drift_halves"] = q_value_drift_halves
+ORACLE_SQL_ML["value_drift_halves"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT MIN(c) AS mn, MAX(c) AS mx, quantile_disc(us, 0.5) AS med
+      FROM e)
+    SELECT ((e.c - g.mn) * 10) // (g.mx - g.mn + 1) AS band,
+           CASE WHEN e.us <= g.med THEN 1 ELSE 2 END AS half,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e CROSS JOIN g
+    GROUP BY 1, 2
+"""
