@@ -2022,3 +2022,106 @@ ORACLE_SQL_ML["value_drift_halves"] = """
     FROM e CROSS JOIN g
     GROUP BY 1, 2
 """
+
+
+def q_session_profile(sf_dir: str):
+    """The per-session feature table (what a session-model trains on):
+    one row per (user, session) under the 30-minute gap rule — event
+    count, exact duration (integer us), distinct event types, exact value
+    cents, entry and exit event types.  Sessionization, per-session
+    boundaries, distinct-type counting (one lexsort) and the
+    boundary-row gathers all happen inside ONE grouped exchange."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: _with_cents(t).drop_columns(["value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        types = t["event_type"].combine_chunks()
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": u_a.slice(0, 0),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                    "entry_type": types.slice(0, 0),
+                    "exit_type": types.slice(0, 0),
+                }
+            )
+        n = t.num_rows
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        # global session run id (rows sorted by user, ts)
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (gidx[1:] != gidx[:-1]) | (sess[1:] != sess[:-1])
+        s_first = np.flatnonzero(new_s)
+        s_last = np.concatenate((s_first[1:] - 1, [n - 1]))
+        sid_of_row = np.cumsum(new_s) - 1
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_sess = len(s_first)
+        sums = np.zeros(n_sess, dtype=np.int64)
+        np.add.at(sums, sid_of_row, c)
+        # distinct types per session: lexsort (session, code), count runs
+        codes = (
+            types.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.lexsort((codes, sid_of_row))
+        ss, sc = sid_of_row[order], codes[order]
+        new_tc = np.empty(n, dtype=bool)
+        new_tc[0] = True
+        new_tc[1:] = (ss[1:] != ss[:-1]) | (sc[1:] != sc[:-1])
+        n_types = np.bincount(ss[new_tc], minlength=n_sess).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pc.take(u_a, pa.array(s_first)),
+                "session_id": pa.array(sess[s_first].astype(np.int64)),
+                "n_events": pa.array(
+                    (s_last - s_first + 1).astype(np.int64)
+                ),
+                "duration_us": pa.array((ts[s_last] - ts[s_first]).astype(np.int64)),
+                "n_types": pa.array(n_types),
+                "sum_cents": pa.array(sums),
+                "entry_type": pc.take(types, pa.array(s_first)),
+                "exit_type": pc.take(types, pa.array(s_last)),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["session_profile"] = q_session_profile
+ORACLE_SQL_ML["session_profile"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, ts, event_type, cents,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev_ts) <= {1800 * 1_000_000}
+                           THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM e)
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+           LAST(event_type ORDER BY ts, event_id) AS exit_type
+    FROM s GROUP BY user_id, session_id
+"""
