@@ -1775,3 +1775,105 @@ ORACLE_SQL_DOCS["dup_rate_by_source"] = """
              / CAST(COUNT(*) AS DOUBLE) AS dup_rate
     FROM d GROUP BY source
 """
+
+
+def q_doc_rarity_score(sf_dir: str):
+    """Lexical-rarity quality signal: per doc, the mean document frequency
+    of its DISTINCT tokens (exact int64 df sum, one division) plus the
+    count of singleton tokens (df = 1 — typo/garbage evidence).  Distinct
+    (doc, token) pairs meet the global token-df table on ONE
+    co-partitioned exchange keyed by token; per-doc folding is a second
+    exchange; everything else is map-side."""
+    import numpy as np
+
+    from feast_ray.grouped import grouped_map
+
+    docs = _docs(sf_dir)
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent[keep]
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"].combine_chunks().slice(0, 0),
+                 "tok": flat}
+            )
+        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, parent))
+        sp, sc = parent[order], codes[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])
+        take = pa.array(order[new])
+        return pa.table(
+            {"doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(sp[new])),
+             "tok": pc.take(flat, take)}
+        )
+
+    dt = docs.map_batches(doc_tokens, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return t.append_column("df", pa.array([], pa.int64()))
+        # rows within a token group are distinct (doc, token) pairs
+        return t.append_column(
+            "df",
+            pa.array(np.repeat(np.diff(starts), np.diff(starts)).astype(np.int64)),
+        )
+
+    with_df = grouped_map(dt, ["tok"], df_kernel)
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        import numpy as np
+
+        did = t["doc_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": did.slice(0, 0),
+                 "n_tokens_distinct": pa.array([], pa.int64()),
+                 "n_singletons": pa.array([], pa.int64()),
+                 "mean_df": pa.array([], pa.float64())}
+            )
+        firsts = starts[:-1]
+        df = t["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.diff(starts)
+        s = np.add.reduceat(df, firsts)
+        gidx = np.repeat(np.arange(len(firsts)), n)
+        singles = np.bincount(gidx[df == 1], minlength=len(firsts)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(did, pa.array(firsts)),
+                "n_tokens_distinct": pa.array(n.astype(np.int64)),
+                "n_singletons": pa.array(singles),
+                "mean_df": pa.array(s.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return grouped_map(with_df, ["doc_id"], fold)
+
+
+QUERIES_DOCS["doc_rarity_score"] = q_doc_rarity_score
+ORACLE_SQL_DOCS["doc_rarity_score"] = """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, u.t AS tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok)
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_distinct,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(df.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
+    FROM dt JOIN df USING (tok)
+    GROUP BY dt.doc_id
+"""

@@ -2125,3 +2125,77 @@ ORACLE_SQL_ML["session_profile"] = f"""
            LAST(event_type ORDER BY ts, event_id) AS exit_type
     FROM s GROUP BY user_id, session_id
 """
+
+
+def q_anomaly_days_user(sf_dir: str):
+    """Aggregate-of-aggregate outlier detection: user-days whose event
+    count exceeds the user's own mean + 3 sigma over their active days
+    (population variance from exact int64 moments, fixed float schedule)
+    — the per-entity burst detector.  Daily counts are one map-side-
+    combined exchange; moments + the threshold filter fold on a second
+    tiny exchange over the per-day rows."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    daily = partial_count_sum(days, ["user_id", "day"], count_name="n_events")
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": u_a.slice(0, 0), "day": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "user_day_mean": pa.array([], pa.float64())}
+            )
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        c = t["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = np.add.reduceat(c, firsts)
+        s2 = np.add.reduceat(c * c, firsts)
+        n = sizes
+        mean = s.astype(np.float64) / n.astype(np.float64)
+        var = (n * s2 - s * s).astype(np.float64) / (n * n).astype(np.float64)
+        thr = mean + 3.0 * np.sqrt(var)
+        per_row_thr = np.repeat(thr, sizes)
+        per_row_mean = np.repeat(mean, sizes)
+        keep = c.astype(np.float64) > per_row_thr
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "user_id": pc.take(u_a, idx),
+                "day": pc.take(t["day"].combine_chunks(), idx),
+                "n_events": pc.take(t["n_events"].combine_chunks(), idx),
+                "user_day_mean": pa.array(per_row_mean[keep]),
+            }
+        )
+
+    return grouped_map(daily, ["user_id"], kernel, sort_keys=["day"])
+
+
+QUERIES_ML["anomaly_days_user"] = q_anomaly_days_user
+ORACLE_SQL_ML["anomaly_days_user"] = """
+    WITH d AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, day),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(n_events) AS s, SUM(n_events * n_events) AS s2
+      FROM d GROUP BY user_id)
+    SELECT d.user_id, d.day, d.n_events,
+           CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS user_day_mean
+    FROM d JOIN m USING (user_id)
+    WHERE CAST(d.n_events AS DOUBLE)
+          > CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)
+            + 3.0 * sqrt(CAST(m.n * m.s2 - m.s * m.s AS DOUBLE)
+                         / CAST(m.n * m.n AS DOUBLE))
+"""
