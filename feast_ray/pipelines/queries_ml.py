@@ -2199,3 +2199,72 @@ ORACLE_SQL_ML["anomaly_days_user"] = """
             + 3.0 * sqrt(CAST(m.n * m.s2 - m.s * m.s AS DOUBLE)
                          / CAST(m.n * m.n AS DOUBLE))
 """
+
+
+def q_orders_above_global_p99(sf_dir: str):
+    """Global-threshold filter (TPC-H Q18 flavor): orders whose total
+    price is at or above the GLOBAL p99 (exact disc quantile via the
+    range-partitioned rank — a driver scalar, never a sorted array),
+    joined to their customer segment — the whale-order report.  The
+    threshold broadcast is one int; the join is one co-partitioned
+    exchange."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import global_order_index
+
+    orders = read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+             "price_cents": c}
+        )
+
+    oc = orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    ranked = global_order_index(
+        oc.select_columns(["o_orderkey", "price_cents"]),
+        "price_cents", tiebreak="o_orderkey", pos_name="grank",
+    ).materialize()
+    n = ranked.count()
+    tgt = (99 * n + 99) // 100 - 1  # ceil(0.99 * n) - 1
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(g == tgt)).select(["price_cents"])
+
+    thr = int(
+        ranked.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()[0]["price_cents"]
+    )
+
+    big = oc.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["price_cents"], thr)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return equi_join(big, cust, keys=["o_custkey"], how="left")
+
+
+QUERIES_ML["orders_above_global_p99"] = q_orders_above_global_p99
+ORACLE_SQL_ML["orders_above_global_p99"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders),
+    t AS (SELECT quantile_disc(price_cents, 0.99) AS thr FROM o)
+    SELECT o.o_orderkey, o.o_custkey, o.price_cents, c.c_mktsegment
+    FROM o CROSS JOIN t
+    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.price_cents >= t.thr
+"""
