@@ -2268,3 +2268,183 @@ ORACLE_SQL_ML["orders_above_global_p99"] = """
     LEFT JOIN customer c ON c.c_custkey = o.o_custkey
     WHERE o.price_cents >= t.thr
 """
+
+
+def q_attribution_first_touch(sf_dir: str):
+    """First-touch attribution (the acquisition-credit twin of last-touch):
+    each purchase credits the EARLIEST non-purchase touch within the 7
+    days before it — the forward as-of kernel launched from (ts - 7d)
+    with a 7-day lookahead covers exactly [ts-7d, ts]; revenue rolls up
+    per touch type map-side.  Unattributed purchases land in 'none'."""
+    from feast_ray.stages.asof import asof_join_forward
+    from feast_ray.stages.stats import partial_count_sum
+
+    W_US = 7 * 24 * 3600 * 1_000_000
+    ev = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def purch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": pa.array(us - W_US).cast(pa.timestamp("us")),
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    spine = ev.map_batches(purch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def touch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["event_type"], "purchase"))
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "t_event_id": t["event_id"], "touch_type": t["event_type"]}
+        )
+
+    touches = ev.map_batches(touch, batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join_forward(
+        spine, touches, key="user_id", tie_col="t_event_id",
+        lookahead_us=W_US, feature_cols=["touch_type"],
+        matched_ts_name="touch_ts",
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        tt = t["touch_type"].combine_chunks().fill_null("none")
+        return pa.table({"touch_type": tt, "cents": t["cents"]})
+
+    return partial_count_sum(
+        joined.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["touch_type"], "cents",
+        count_name="n_purchases", sum_name="attributed_cents",
+    )
+
+
+QUERIES_ML["attribution_first_touch"] = q_attribution_first_touch
+ORACLE_SQL_ML["attribution_first_touch"] = """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    tch AS (
+      SELECT user_id, ts, event_id, event_type AS touch_type
+      FROM events WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT p.cents, a.touch_type
+      FROM p LEFT JOIN LATERAL (
+        SELECT t.touch_type
+        FROM tch t
+        WHERE t.user_id = p.user_id
+          AND t.ts <= p.ts
+          AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+        ORDER BY t.ts, t.event_id LIMIT 1) a ON TRUE)
+    SELECT COALESCE(touch_type, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM j GROUP BY 1
+"""
+
+
+def q_dau_wau_daily(sf_dir: str):
+    """DAU / WAU per day (the stickiness series): daily distinct actives
+    plus the 7-day trailing distinct actives, via the interval-
+    contribution identity applied to the CALENDAR axis — a user's active
+    day d (previous active day p) adds +1 to WAU(x) for the contiguous
+    day range [max(d, p+7), d+6], so per-bucket partials are day-indexed
+    difference arrays (bounded by the calendar span), and the final
+    reduce is a tiny day-keyed sum + prefix over days.  One exchange on
+    user; no per-day distinct sets ever materialize."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "dau": pa.array([], pa.int64()),
+                 "wau_delta": pa.array([], pa.int64())}
+            )
+        n = t.num_rows
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        # distinct (user, day), rows sorted by day within user
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (gidx[1:] != gidx[:-1]) | (d[1:] != d[:-1])
+        dd = d[new]
+        dg = gidx[new]
+        first = np.empty(len(dd), dtype=bool)
+        first[0] = True
+        first[1:] = dg[1:] != dg[:-1]
+        prev = np.empty(len(dd), dtype=np.int64)
+        prev[1:] = dd[:-1]
+        prev[first] = np.iinfo(np.int64).min // 2  # none -> always outside
+        lo = np.maximum(dd, prev + 7)
+        hi = dd + 6
+        # day-indexed difference partials (bounded by the bucket's span)
+        dmin = int(dd.min())
+        dmax = int(hi.max())
+        span = dmax - dmin + 2
+        diff = np.zeros(span, dtype=np.int64)
+        np.add.at(diff, lo - dmin, 1)
+        np.add.at(diff, hi - dmin + 1, -1)
+        dau = np.zeros(span, dtype=np.int64)
+        np.add.at(dau, dd - dmin, 1)
+        keep = (diff != 0) | (dau != 0)
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "day": pa.array(idx + dmin),
+                "dau": pa.array(dau[idx]),
+                "wau_delta": pa.array(diff[idx]),
+            }
+        )
+
+    partials = grouped_map(days, ["user_id"], kernel, sort_keys=["day"])
+    agg = sum_by(partials, ["day"], ["dau", "wau_delta"]).materialize()
+    rows = sorted(agg.take_all(), key=lambda r: r["day"])  # bounded: calendar days
+    import ray.data as rd
+
+    # WAU(x) = prefix of wau_delta over days <= x; delta rows exist at every
+    # interval boundary, so accumulating over the emitted rows is exact
+    day_arr, dau_arr, wau_arr = [], [], []
+    run = 0
+    for r in rows:
+        run += int(r["wau_delta"])
+        if int(r["dau"]) > 0:
+            day_arr.append(int(r["day"]))
+            dau_arr.append(int(r["dau"]))
+            wau_arr.append(run)
+    out = pa.table(
+        {"day": pa.array(day_arr, pa.int64()),
+         "dau": pa.array(dau_arr, pa.int64()),
+         "wau": pa.array(wau_arr, pa.int64())}
+    )
+    return rd.from_arrow(out)
+
+
+QUERIES_ML["dau_wau_daily"] = q_dau_wau_daily
+ORACLE_SQL_ML["dau_wau_daily"] = """
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    d AS (SELECT DISTINCT day FROM p)
+    SELECT d.day,
+           CAST((SELECT COUNT(*) FROM p WHERE p.day = d.day) AS BIGINT) AS dau,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM p
+                 WHERE p.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau
+    FROM d
+"""
