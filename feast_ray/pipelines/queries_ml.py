@@ -2448,3 +2448,71 @@ ORACLE_SQL_ML["dau_wau_daily"] = """
                  WHERE p.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau
     FROM d
 """
+
+
+def q_new_vs_returning_daily(sf_dir: str):
+    """Growth accounting: per day, how many active users are NEW (first
+    day ever) vs RETURNING — per-user first day and per-(user, day)
+    distinct flags fold inside ONE grouped exchange on user (the kernel
+    knows each user's first day from the sorted group head), day-keyed
+    partials reduce on a tiny second exchange."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // 86_400_000_000)}
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "n_new": pa.array([], pa.int64()),
+                 "n_returning": pa.array([], pa.int64())}
+            )
+        n = t.num_rows
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (gidx[1:] != gidx[:-1]) | (d[1:] != d[:-1])
+        dd = d[new]
+        dg = gidx[new]
+        first = np.empty(len(dd), dtype=bool)
+        first[0] = True
+        first[1:] = dg[1:] != dg[:-1]
+        uday, inv = np.unique(dd, return_inverse=True)
+        n_new = np.bincount(inv[first], minlength=len(uday)).astype(np.int64)
+        n_ret = np.bincount(inv[~first], minlength=len(uday)).astype(np.int64)
+        return pa.table(
+            {"day": pa.array(uday),
+             "n_new": pa.array(n_new),
+             "n_returning": pa.array(n_ret)}
+        )
+
+    partials = grouped_map(days, ["user_id"], kernel, sort_keys=["day"])
+    return sum_by(partials, ["day"], ["n_new", "n_returning"])
+
+
+QUERIES_ML["new_vs_returning_daily"] = q_new_vs_returning_daily
+ORACLE_SQL_ML["new_vs_returning_daily"] = """
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY user_id)
+    SELECT p.day,
+           CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN p.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM p JOIN f USING (user_id)
+    GROUP BY p.day
+"""
