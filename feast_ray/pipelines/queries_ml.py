@@ -2516,3 +2516,167 @@ ORACLE_SQL_ML["new_vs_returning_daily"] = """
     FROM p JOIN f USING (user_id)
     GROUP BY p.day
 """
+
+
+def q_conversion_path_length(sf_dir: str):
+    """Funnel-depth feature: per converting user, the number of events
+    STRICTLY between their first view and their first purchase AFTER that
+    view, plus the elapsed time (exact integer us) — how much browsing a
+    conversion takes.  All three anchors (first view, first subsequent
+    purchase, the between-count via two searchsorteds over the group's
+    packed timestamps) come off ONE grouped exchange; users who never
+    view or never purchase after viewing emit nothing."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": u_a.slice(0, 0),
+                 "n_between": pa.array([], pa.int64()),
+                 "elapsed_us": pa.array([], pa.int64())}
+            )
+        n = t.num_rows
+        sizes = np.diff(starts)
+        n_groups = len(sizes)
+        gidx = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+        pos = np.arange(n, dtype=np.int64)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_view = codes == "view"
+        is_purch = codes == "purchase"
+        big = np.int64(np.iinfo(np.int64).max)
+        # first view position per group (rows sorted by ts, event_id)
+        fv = np.full(n_groups, big)
+        np.minimum.at(fv, gidx[is_view], pos[is_view])
+        # first purchase strictly after the first view: min purchase pos > fv
+        fp = np.full(n_groups, big)
+        cand = is_purch & (pos > fv[gidx])
+        np.minimum.at(fp, gidx[cand], pos[cand])
+        ok = (fv < big) & (fp < big)
+        gi = np.flatnonzero(ok)
+        a, b = fv[gi], fp[gi]
+        return pa.table(
+            {
+                "user_id": pc.take(u_a, pa.array(starts[:-1][gi])),
+                "n_between": pa.array((b - a - 1).astype(np.int64)),
+                "elapsed_us": pa.array((ts[b] - ts[a]).astype(np.int64)),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["conversion_path_length"] = q_conversion_path_length
+ORACLE_SQL_ML["conversion_path_length"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events),
+    fv AS (SELECT user_id, MIN(rn) AS v_rn FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    fp AS (SELECT e.user_id, MIN(e.rn) AS p_rn
+           FROM e JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.rn > fv.v_rn
+           GROUP BY e.user_id)
+    SELECT fv.user_id,
+           CAST(fp.p_rn - fv.v_rn - 1 AS BIGINT) AS n_between,
+           CAST((SELECT epoch_us(ts) FROM e
+                 WHERE e.user_id = fv.user_id AND e.rn = fp.p_rn)
+                - (SELECT epoch_us(ts) FROM e
+                   WHERE e.user_id = fv.user_id AND e.rn = fv.v_rn)
+                AS BIGINT) AS elapsed_us
+    FROM fv JOIN fp USING (user_id)
+"""
+
+
+def q_value_by_session_position(sf_dir: str):
+    """Position-in-session value curve (position-bias evidence): mean
+    value cents by the event's ordinal within its session (positions 5+
+    pooled) — sessionize + within-session rank + map-side-combined sums
+    inside ONE exchange kernel, tiny final reduce, one division per
+    bucket row."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: _with_cents(t).drop_columns(["value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"position": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "sum_cents": pa.array([], pa.int64())}
+            )
+        n = t.num_rows
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (gidx[1:] != gidx[:-1]) | (sess[1:] != sess[:-1])
+        pos_in_sess = np.arange(n, dtype=np.int64) - np.maximum.accumulate(
+            np.where(new_s, np.arange(n, dtype=np.int64), 0)
+        ) + 1
+        position = np.minimum(pos_in_sess, 5)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        upos, inv = np.unique(position, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(upos), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {"position": pa.array(upos),
+             "n_events": pa.array(cnt),
+             "sum_cents": pa.array(s)}
+        )
+
+    partials = grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+    agg = sum_by(partials, ["position"], ["n_events", "sum_cents"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["sum_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "mean_cents", pa.array(s.astype(np.float64) / n.astype(np.float64))
+        )
+
+    return agg.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["value_by_session_position"] = q_value_by_session_position
+ORACLE_SQL_ML["value_by_session_position"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, ts, cents,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev_ts) <= {1800 * 1_000_000}
+                           THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM e),
+    r AS (
+      SELECT cents,
+             LEAST(CAST(ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                           ORDER BY ts, event_id) AS BIGINT),
+                   5) AS position
+      FROM s)
+    SELECT position,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+    FROM r GROUP BY position
+"""
