@@ -1877,3 +1877,37 @@ ORACLE_SQL_DOCS["doc_rarity_score"] = """
     FROM dt JOIN df USING (tok)
     GROUP BY dt.doc_id
 """
+
+
+def q_lang_mix_by_source(sf_dir: str):
+    """Language mix per source (the per-feed quality dashboard a corpus
+    operator watches): doc counts per (source, predicted language) and
+    the share within the source — language ID is the engine's stateless
+    stopword-argmax scan, counts map-side combined on the tiny
+    (source x lang) domain, share computed per source off ONE grouped
+    exchange."""
+    import numpy as np
+
+    from feast_ray.stages.encode import share_of_entity
+    from feast_ray.stages.text import add_lang_id
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+    tagged = add_lang_id(docs).select_columns(["source", "lang_pred"])
+    return share_of_entity(
+        tagged, key="source", sub_key="lang_pred",
+        count_name="n_docs", share_name="lang_share",
+    )
+
+
+QUERIES_DOCS["lang_mix_by_source"] = q_lang_mix_by_source
+ORACLE_SQL_DOCS["lang_mix_by_source"] = f"""
+    WITH lp AS ({_lang_sql()}),
+    j AS (
+      SELECT d.source, lp.lang_pred
+      FROM documents d JOIN lp USING (doc_id))
+    SELECT source, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY source) AS lang_share
+    FROM j GROUP BY source, lang_pred
+"""
