@@ -1911,3 +1911,70 @@ ORACLE_SQL_DOCS["lang_mix_by_source"] = f"""
              / SUM(COUNT(*)) OVER (PARTITION BY source) AS lang_share
     FROM j GROUP BY source, lang_pred
 """
+
+
+def q_neardup_survival_by_source(sf_dir: str):
+    """Near-dedup observability: per source, docs before and after the
+    MinHash keep-smallest-id rule and the survival rate — which feeds
+    lose the most to near-duplication (complements the exact-dup
+    `dup_rate_by_source`).  The dedup pipeline runs once; survivors
+    LEFT-mark the corpus via the thresholded drop-set broadcast already
+    inside `minhash_dedup_pipeline`; per-source counts map-side
+    combined."""
+    import numpy as np
+
+    from feast_ray.stages.dedup import minhash_dedup_pipeline
+    from feast_ray.stages.stats import partial_count_sum, sum_by
+    from feast_ray.stages.join import equi_join
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+    kept = minhash_dedup_pipeline(
+        docs.select_columns(["doc_id", "text"]), tau=MINHASH_TAU, k=JACCARD_K
+    ).select_columns(["doc_id"])
+    kept = kept.map_batches(
+        lambda t: t.append_column(
+            "__kept", pa.array(np.ones(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    marked = equi_join(
+        docs.select_columns(["doc_id", "source"]), kept, keys=["doc_id"], how="left"
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        k = t["__kept"].combine_chunks().fill_null(0)
+        return pa.table({"source": t["source"], "__kept": k})
+
+    flagged = marked.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_count_sum(
+        flagged, ["source"], "__kept", count_name="n_docs", sum_name="n_kept"
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["n_kept"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "survival_rate", pa.array(s.astype(np.float64) / n.astype(np.float64))
+        )
+
+    return agg.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["neardup_survival_by_source"] = q_neardup_survival_by_source
+ORACLE_SQL_DOCS["neardup_survival_by_source"] = f"""
+    WITH {_JACCARD_PAIRS_CTE},
+    kept AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM jac WHERE j >= {MINHASH_TAU})),
+    m AS (
+      SELECT d.source,
+             CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+      FROM documents d LEFT JOIN kept k USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS survival_rate
+    FROM m GROUP BY source
+"""
