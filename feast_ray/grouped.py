@@ -124,7 +124,20 @@ def _infer_schema_local(ds) -> Optional[pa.Schema]:
                 return None
             with _quiet_footer_unify():
                 sch = _unwrap_schema(infer())
-            return sch.empty_table() if sch is not None else None
+            if sch is not None and len(sch.names) > 0:
+                return sch.empty_table()
+            # ray 2.49 drops the schema of EMPTY from_arrow/input blocks at
+            # the metadata layer, but the stored block object keeps it —
+            # read the (empty, local) block directly
+            bundles = getattr(node, "input_data", None) or ()
+            for b in bundles:
+                for ref in getattr(b, "block_refs", ()):
+                    import ray as _ray
+
+                    t0 = _ray.get(ref)
+                    if isinstance(t0, pa.Table):
+                        return t0.slice(0, 0)
+            return None
         ins = [sim(d) for d in deps]
         if any(t is None for t in ins):
             return None
@@ -174,11 +187,15 @@ def dataset_schema(ds) -> pa.Schema:
     2.49 fatal race that kills long gate sessions."""
     with _quiet_footer_unify():
         sch = ds.schema(fetch_if_missing=False)
+    if sch is not None and len(sch.names) == 0:
+        sch = None  # ray 2.49 reports a ZERO-FIELD schema for empty mapped blocks
     if sch is None:
         local = _infer_schema_local(ds)
         if local is not None:
             return local
         sch = ds.schema(fetch_if_missing=True)
+    if sch is not None and len(sch.names) == 0:
+        sch = None
     if sch is None:
         raise ValueError(
             "dataset schema is unknown (empty dataset from a row-filter?); "
@@ -430,6 +447,11 @@ def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
         # metadata — no synchronous barrier.  (ray 2.49's from_arrow_refs
         # drops empty-block schemas, so returning the empty reduce outputs
         # would yield an UNKNOWN-schema dataset.)
+        # ray 2.49 bundle metadata reports a ZERO-FIELD schema for empty
+        # mapped blocks — treat it as unknown and re-derive (the local
+        # plan simulation replays pyarrow map UDFs on a typed empty)
+        if in_schema is not None and len(in_schema.names) == 0:
+            in_schema = None
         empty = (in_schema if in_schema is not None else dataset_schema(ds)).empty_table()
         out = kernel(empty, np.array([0], dtype=np.int64))
         return rd.from_arrow(out)

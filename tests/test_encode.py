@@ -453,3 +453,59 @@ def test_rolling_distinct_hypothesis(ray_session):
                     if ts[i] - w_us <= ts[j] <= ts[i] and cats[j] is not None
                 }
                 assert out_t[ords[i]] == len(win), (seed, "range")
+
+
+def test_round3_new_stages_empty_input(ray_session):
+    """0 rows in -> 0 rows out, correct schema, no crash — for every stage
+    family added this round (the grouped exchange's zero-input sentinel
+    must hold through each kernel's empty branch)."""
+    import pyarrow as _pa
+
+    from feast_ray.stages.editdist import editdist_pairs
+    from feast_ray.stages.similarity import knn_graph, knn_graph_lsh
+    from feast_ray.stages.stats import cube_agg, grouped_autocorr
+    from feast_ray.stages.windows import rolling_distinct, rolling_distinct_time
+
+    empty_ev = rd.from_arrow(
+        _pa.table(
+            {
+                "user": _pa.array([], _pa.int64()),
+                "ord": _pa.array([], _pa.int64()),
+                "ts": _pa.array([], _pa.timestamp("us")),
+                "cat": _pa.array([], _pa.string()),
+                "c": _pa.array([], _pa.int64()),
+            }
+        )
+    )
+    empty_docs = rd.from_arrow(
+        _pa.table(
+            {"doc_id": _pa.array([], _pa.int64()),
+             "text": _pa.array([], _pa.string())}
+        )
+    )
+    empty_vec = rd.from_arrow(
+        _pa.table(
+            {
+                "vec_id": _pa.array([], _pa.int64()),
+                "embedding": _pa.array([], _pa.list_(_pa.float32())),
+            }
+        )
+    )
+
+    assert target_encode(empty_ev, key_col="cat", cents_col="c").count() == 0
+    assert group_ntile(empty_ev, keys="user", val_col="c", k=4).count() == 0
+    assert share_of_entity(empty_ev, key="user", sub_key="cat").count() == 0
+    assert negative_samples(empty_ev, user_col="user", item_col="cat", k=2).count() == 0
+    assert grouped_autocorr(empty_ev, "user", "c", order_cols=["ord"]).count() == 0
+    assert cube_agg(empty_ev.select_columns(["cat", "ord", "c"]),
+                    ["cat", "ord"], "c").count() == 1  # the grand-total row
+    assert rolling_distinct(
+        empty_ev, key="user", cat_col="cat", window=3, order_cols=["ord"]
+    ).count() == 0
+    assert rolling_distinct_time(
+        empty_ev, key="user", cat_col="cat", ts_col="ts", delta_us=1,
+        order_cols=["ts", "ord"],
+    ).count() == 0
+    assert editdist_pairs(empty_docs, id_col="doc_id", text_col="text").count() == 0
+    assert knn_graph(empty_vec, k=3).count() == 0
+    assert knn_graph_lsh(empty_vec, k=3).count() == 0
