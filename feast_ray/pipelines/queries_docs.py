@@ -1978,3 +1978,66 @@ ORACLE_SQL_DOCS["neardup_survival_by_source"] = f"""
              AS survival_rate
     FROM m GROUP BY source
 """
+
+
+def q_word_stats_docs(sf_dir: str):
+    """Readability proxies per doc (the cheap quality gates): token count,
+    exact total token chars, mean word length (one division of exact
+    ints), longest token, and long-word (> 7 chars) count — one stateless
+    tokenize map, no shuffle."""
+    import numpy as np
+
+    docs = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        parent = parent[keep]
+        lens = lens[keep].astype(np.int64)
+        n_tok = np.bincount(parent, minlength=n).astype(np.int64)
+        tot = np.zeros(n, dtype=np.int64)
+        np.add.at(tot, parent, lens)
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, parent, lens)
+        nlong = np.bincount(parent[lens > 7], minlength=n).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = tot.astype(np.float64) / n_tok.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "total_chars": pa.array(tot),
+                "max_word_len": pa.array(mx),
+                "n_long_words": pa.array(nlong),
+                "mean_word_len": pa.array(mean, mask=n_tok == 0),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["word_stats_docs"] = q_word_stats_docs
+ORACLE_SQL_DOCS["word_stats_docs"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(tl) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(tl, x -> length(x))), 0)
+                AS BIGINT) AS total_chars,
+           CAST(COALESCE(list_max(list_transform(tl, x -> length(x))), 0)
+                AS BIGINT) AS max_word_len,
+           CAST(len(list_filter(tl, x -> length(x) > 7)) AS BIGINT)
+             AS n_long_words,
+           CASE WHEN len(tl) > 0
+                THEN CAST(COALESCE(list_sum(list_transform(tl, x -> length(x))), 0)
+                          AS DOUBLE) / CAST(len(tl) AS DOUBLE) END
+             AS mean_word_len
+    FROM d
+"""
