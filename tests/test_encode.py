@@ -509,3 +509,52 @@ def test_round3_new_stages_empty_input(ray_session):
     assert editdist_pairs(empty_docs, id_col="doc_id", text_col="text").count() == 0
     assert knn_graph(empty_vec, k=3).count() == 0
     assert knn_graph_lsh(empty_vec, k=3).count() == 0
+
+
+def test_seq_pairs_bruteforce_ties(ray_session):
+    """Horizon pair mining vs brute force on a tie-dense series (many
+    equal timestamps — strictly-later semantics must exclude peers)."""
+    from feast_ray.pipelines.queries_ml import q_seq_pairs_1h  # noqa: F401
+    from feast_ray.grouped import grouped_map  # noqa: F401
+    import itertools
+
+    import feast_ray.pipelines.queries_ml as qm
+
+    rng = np.random.default_rng(71)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 7, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts_us": rng.integers(0, 40, n).astype(np.int64) * 600_000_000,
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    tbl = pa.table(
+        {
+            "user_id": pa.array(df["user_id"].to_numpy()),
+            "event_id": pa.array(df["event_id"].to_numpy()),
+            "ts": pa.array(df["ts_us"].to_numpy()).cast(pa.timestamp("us")),
+            "event_type": pa.array(df["event_type"].tolist()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    orig = qm._events
+    qm._events = lambda sf_dir, columns=None: (
+        ds.select_columns(list(columns)) if columns else ds
+    )
+    try:
+        out = qm.q_seq_pairs_1h("ignored").to_pandas()
+    finally:
+        qm._events = orig
+    got = {(r.type_a, r.type_b): r.n_pairs for r in out.itertuples()}
+    H = 3600 * 1_000_000
+    exp: dict = {}
+    for _, g in df.groupby("user_id"):
+        ts = g["ts_us"].to_numpy()
+        tys = g["event_type"].to_numpy()
+        for i, j in itertools.permutations(range(len(g)), 2):
+            if ts[j] > ts[i] and ts[j] - ts[i] <= H:
+                k = (tys[i], tys[j])
+                exp[k] = exp.get(k, 0) + 1
+    assert got == exp
