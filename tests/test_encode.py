@@ -558,3 +558,84 @@ def test_seq_pairs_bruteforce_ties(ray_session):
                 k = (tys[i], tys[j])
                 exp[k] = exp.get(k, 0) + 1
     assert got == exp
+
+
+def _run_events_query(qfn, df):
+    """Drive a queries_ml events query against an in-memory frame."""
+    import feast_ray.pipelines.queries_ml as qm
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array(df["user_id"].to_numpy()),
+            "event_id": pa.array(df["event_id"].to_numpy()),
+            "ts": pa.array(df["ts_us"].to_numpy()).cast(pa.timestamp("us")),
+            "event_type": pa.array(df["event_type"].tolist()),
+            "value": pa.array(df.get("value", pd.Series(np.ones(len(df)))).to_numpy()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    orig = qm._events
+    qm._events = lambda sf_dir, columns=None: (
+        ds.select_columns(list(columns)) if columns else ds
+    )
+    try:
+        return qfn("ignored").to_pandas()
+    finally:
+        qm._events = orig
+
+
+def test_dau_wau_bruteforce(ray_session):
+    """Calendar-axis interval-contribution WAU vs per-day brute force,
+    with multi-day gaps and users returning exactly at the 7-day edge."""
+    from feast_ray.pipelines.queries_ml import q_dau_wau_daily
+
+    rng = np.random.default_rng(83)
+    rows = []
+    eid = 0
+    for u in range(12):
+        days = sorted(rng.choice(60, size=rng.integers(1, 12), replace=False))
+        for d in days:
+            rows.append((u, eid, int(d) * 86_400_000_000 + 1000, "view"))
+            eid += 1
+    # a user active ONLY on days exactly 7 apart (boundary: day d counts
+    # toward WAU(d..d+6), NOT d+7)
+    rows += [(99, eid, 0 * 86_400_000_000, "view"),
+             (99, eid + 1, 7 * 86_400_000_000, "view")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_us", "event_type"])
+    out = _run_events_query(q_dau_wau_daily, df).set_index("day")
+    pairs = df.assign(day=df["ts_us"] // 86_400_000_000)[
+        ["user_id", "day"]
+    ].drop_duplicates()
+    for d in sorted(pairs["day"].unique()):
+        dau = pairs[pairs["day"] == d]["user_id"].nunique()
+        wau = pairs[(pairs["day"] >= d - 6) & (pairs["day"] <= d)][
+            "user_id"
+        ].nunique()
+        assert out.loc[d, "dau"] == dau, d
+        assert out.loc[d, "wau"] == wau, d
+
+
+def test_conversion_path_bruteforce(ray_session):
+    """First-view -> first-subsequent-purchase anchors vs brute force,
+    incl. a purchase BEFORE any view (must not match), a user with views
+    only, and an immediate view->purchase adjacency (0 between)."""
+    from feast_ray.pipelines.queries_ml import q_conversion_path_length
+
+    M = 1_000_000
+    rows = [
+        # u1: purchase BEFORE the first view, then view, 2 events, purchase
+        (1, 0, 1 * M, "purchase"), (1, 1, 2 * M, "view"),
+        (1, 2, 3 * M, "click"), (1, 3, 4 * M, "click"),
+        (1, 4, 5 * M, "purchase"),
+        # u2: views only -> no row
+        (2, 5, 1 * M, "view"), (2, 6, 2 * M, "view"),
+        # u3: view immediately followed by purchase -> 0 between
+        (3, 7, 9 * M, "view"), (3, 8, 10 * M, "purchase"),
+        # u4: purchases only -> no row
+        (4, 9, 1 * M, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_us", "event_type"])
+    out = _run_events_query(q_conversion_path_length, df).set_index("user_id")
+    assert set(out.index) == {1, 3}
+    assert out.loc[1, "n_between"] == 2 and out.loc[1, "elapsed_us"] == 3 * M
+    assert out.loc[3, "n_between"] == 0 and out.loc[3, "elapsed_us"] == 1 * M
