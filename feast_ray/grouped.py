@@ -56,6 +56,13 @@ GroupKernel = Callable[[pa.Table, np.ndarray], pa.Table]
 # Per-map-task byte ceiling in the exchange: one map task concats its chunk
 # of upstream blocks before splitting, so this bounds that concat's heap.
 _MAP_TASK_TARGET_BYTES = 128 << 20
+# Shuffle object count is O(map_tasks x buckets); a per-task byte target
+# alone would launch ~total_bytes/128MB map tasks (millions of objects at
+# the 100-TB design point).  Cap task count and let per-task bytes grow past
+# the target instead — map_split streams one chunk per task, so a larger
+# chunk raises per-task heap linearly but keeps the object-store metadata
+# bounded.  4096 tasks x 128MB ≈ 0.5 TB per exchange before chunks grow.
+_MAX_MAP_TASKS = 4096
 
 
 def _unwrap_schema(sch) -> Optional[pa.Schema]:
@@ -149,8 +156,14 @@ def _infer_schema_local(ds) -> Optional[pa.Schema]:
             fn = getattr(node, "_fn", None)
             if not callable(fn) or isinstance(fn, type):
                 return None  # callable-class (actor) stage — state too heavy
+            if getattr(fn, "__feast_ray_no_local_sim__", False):
+                return None  # UDF opted out (side effects / not empty-stable)
             out = fn(t, *(node._fn_args or ()), **(node._fn_kwargs or {}))
-            return out if isinstance(out, pa.Table) else None
+            # a UDF that fabricates rows on empty input is not a pure
+            # per-batch map — don't trust its plan-time schema
+            if not isinstance(out, pa.Table) or out.num_rows != 0:
+                return None
+            return out
         if name == "Project":
             if getattr(node, "_exprs", None):
                 return None
@@ -192,6 +205,20 @@ def dataset_schema(ds) -> pa.Schema:
     if sch is None:
         local = _infer_schema_local(ds)
         if local is not None:
+            # debug-mode cross-check (ADVICE r03): UDFs must be schema-stable
+            # on empty input for the local simulation to be trusted; set
+            # FEAST_RAY_SCHEMA_CHECK=1 to verify against the probe execution.
+            import os
+
+            if os.environ.get("FEAST_RAY_SCHEMA_CHECK"):
+                probe = _unwrap_schema(ds.schema(fetch_if_missing=True))
+                if probe is not None and len(probe.names) and probe != local:
+                    raise RuntimeError(
+                        "plan-time schema simulation diverged from the probe "
+                        f"execution: simulated={local} probed={probe} — a "
+                        "map_batches UDF is not schema-stable on empty input "
+                        "(mark it __feast_ray_no_local_sim__ = True)"
+                    )
             return local
         sch = ds.schema(fetch_if_missing=True)
     if sch is not None and len(sch.names) == 0:
@@ -465,6 +492,9 @@ def _grouped_map_exchange(ds, keys, kernel, order_cols, num_buckets: int):
     except Exception:  # pragma: no cover
         cpus = 8
     target = min(_MAP_TASK_TARGET_BYTES, max(4 << 20, total_bytes // (2 * cpus) + 1))
+    # task-count ceiling (ADVICE r03): bytes target governs small/medium
+    # inputs; past _MAX_MAP_TASKS x target the per-task chunk grows instead
+    target = max(target, total_bytes // _MAX_MAP_TASKS + 1)
     chunks: list[list] = []
     cur: list = []
     cur_bytes = 0

@@ -322,13 +322,22 @@ def salted_window_features(
         if "sum" in need:
             c = f"__esum_{col}"
             off_df[f"__offsum_{col}"] = g[c].cumsum() - meta[c]
+        # An all-null chunk yields a NaN chunk aggregate; pandas cummin/cummax
+        # would emit NaN AT that chunk, so shift(1) hands the NEXT chunk a NaN
+        # prefix and the earlier running extremum is lost.  Fill with +/-inf so
+        # the running extremum carries through null chunks, then map the
+        # sentinel (and the per-entity first chunk) back to NaN.
         if "min" in need:
-            pre = g[f"__emin_{col}"].cummin().shift(1).to_numpy(dtype=float)
+            filled = meta[f"__emin_{col}"].fillna(np.inf)
+            pre = filled.groupby(meta[key]).cummin().shift(1).to_numpy(dtype=float)
             pre[first_of_entity] = np.nan
+            pre[np.isposinf(pre)] = np.nan
             off_df[f"__premin_{col}"] = pre
         if "max" in need:
-            pre = g[f"__emax_{col}"].cummax().shift(1).to_numpy(dtype=float)
+            filled = meta[f"__emax_{col}"].fillna(-np.inf)
+            pre = filled.groupby(meta[key]).cummax().shift(1).to_numpy(dtype=float)
             pre[first_of_entity] = np.nan
+            pre[np.isneginf(pre)] = np.nan
             off_df[f"__premax_{col}"] = pre
     off_ref = ray.put(off_df)
 

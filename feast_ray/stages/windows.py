@@ -483,12 +483,16 @@ _AGG_FN_MAP = {
 
 def compile_aggregations(
     aggs: Sequence[Aggregation],
-) -> tuple[list[WindowSpec], dict[str, str]]:
+) -> tuple[list[WindowSpec], dict[str, list[str]]]:
     """Compile declarative ``Aggregation`` specs to this engine's window
     specs: aggregates sharing (column, window) merge into ONE
     RollingTime/Expanding spec (one prefix-sum pass each inside the single
     grouped shuffle).  Returns ``(specs, rename)`` where ``rename`` maps
-    the specs' internal output names to the declared feature names."""
+    each spec's internal output name to the (possibly several) declared
+    feature names — two Aggregations with the same (column, window,
+    function) but different declared names share one physical pass and the
+    column is emitted once per declared name.  Two Aggregations declaring
+    the SAME output name is ambiguous and raises."""
     merged: dict[tuple[str, Optional[int]], list[Aggregation]] = {}
     for a in aggs:
         fn = _AGG_FN_MAP.get(a.function.lower())
@@ -509,7 +513,8 @@ def compile_aggregations(
         merged.setdefault((a.column, a.time_window_us), []).append(a)
 
     specs: list[WindowSpec] = []
-    rename: dict[str, str] = {}
+    rename: dict[str, list[str]] = {}
+    declared: set[str] = set()
     for (col, win), group in merged.items():
         fns: list[str] = []
         for a in group:
@@ -523,7 +528,15 @@ def compile_aggregations(
             spec = RollingTime(col, win, aggs=tuple(fns), prefix=prefix)
         specs.append(spec)
         for a in group:
-            rename[f"{prefix}_{_AGG_FN_MAP[a.function.lower()]}"] = a.out
+            if a.out in declared:
+                raise ValueError(
+                    f"duplicate declared feature name {a.out!r} — two "
+                    "Aggregations map to the same output column"
+                )
+            declared.add(a.out)
+            rename.setdefault(
+                f"{prefix}_{_AGG_FN_MAP[a.function.lower()]}", []
+            ).append(a.out)
     return specs, rename
 
 
@@ -550,7 +563,20 @@ def add_declared_aggregations(
         return out
 
     def _rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns([rename.get(c, c) for c in t.column_names])
+        # one physical window column may back several declared features:
+        # emit it once under each declared name (zero-copy column refs)
+        names: list[str] = []
+        arrays = []
+        for c, arr in zip(t.column_names, t.columns):
+            outs = rename.get(c)
+            if outs is None:
+                names.append(c)
+                arrays.append(arr)
+            else:
+                for o in outs:
+                    names.append(o)
+                    arrays.append(arr)
+        return pa.table(arrays, names=names)
 
     return out.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
 

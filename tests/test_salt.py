@@ -154,6 +154,46 @@ def test_salted_expanding_min_only_no_sessions(ray_session, hot_ds):
     _cmp(got, want)
 
 
+def test_salted_expanding_extrema_through_all_null_chunk(ray_session):
+    """ADVICE r03 (high): an entity whose middle salt chunk is ALL null must
+    still carry the running min/max from earlier chunks into later ones —
+    NaN chunk aggregates must not poison the prefix cummin/cummax."""
+    import ray.data as rd
+
+    from feast_ray.stages.windows import Expanding
+
+    n = 120  # 3 chunks at chunk_rows=40; chunk 1 entirely null
+    vals: list = list(range(61, 101)) + [None] * 40 + list(range(580, 620))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["hot"] * n + ["cold"] * 3),
+            "turn_idx": pa.array(list(range(n)) + [0, 1, 2], type=pa.int32()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i * 1_000_000 for i in range(n)]
+                + [1_700_000_000_000_000, 1_700_000_001_000_000, 1_700_000_002_000_000],
+                type=pa.timestamp("us"),
+            ),
+            "val": pa.array(vals + [7, None, 3], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    specs = [Expanding("val", aggs=("count", "sum", "min", "max"), prefix="run")]
+    want = add_window_features(
+        ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=specs
+    ).to_pandas()
+    got = salted_window_features(
+        ds, specs=specs, chunk_rows=40, overlap_rows=4
+    ).to_pandas()
+    # pin the regression shape explicitly: every chunk-2 row's running min is 61
+    hot2 = got[(got.conv_id == "hot") & (got.turn_idx >= 80)]
+    assert (hot2["run_min"] == 61).all()
+    assert (hot2["run_max"].to_numpy() == np.arange(580, 620)).all()
+    # and chunk-1 (null) rows keep chunk-0's extrema
+    hot1 = got[(got.conv_id == "hot") & (got.turn_idx >= 40) & (got.turn_idx < 80)]
+    assert (hot1["run_min"] == 61).all() and (hot1["run_max"] == 100).all()
+    _cmp(got, want)
+
+
 def test_salted_expanding_mean_still_rejected(ray_session, hot_ds):
     from feast_ray.stages.windows import Expanding
 

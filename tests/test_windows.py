@@ -455,12 +455,31 @@ def test_aggregation_adapter_compile():
     rt = [s for s in specs if isinstance(s, RollingTime)][0]
     assert rt.delta_us == 60_000_000 and rt.aggs == ("sum", "mean")
     assert [s for s in specs if isinstance(s, Expanding)][0].aggs == ("count",)
-    assert set(rename.values()) == {"v_sum_60s", "v_avg_60s", "v_count"}
+    assert {n for outs in rename.values() for n in outs} == {
+        "v_sum_60s", "v_avg_60s", "v_count"
+    }
+
+    # same (column, window, function) under two declared names: ONE physical
+    # pass, both names present in the rename fan-out (ADVICE r03 medium)
+    specs2, rename2 = compile_aggregations(
+        [
+            Aggregation("v", "sum", 60_000_000, name="a"),
+            Aggregation("v", "sum", 60_000_000, name="b"),
+        ]
+    )
+    assert len(specs2) == 1 and specs2[0].aggs == ("sum",)
+    (outs,) = rename2.values()
+    assert outs == ["a", "b"]
 
     with pytest.raises(ValueError, match="GRID"):
         compile_aggregations([Aggregation("v", "sum", 60_000_000, 10_000_000)])
     with pytest.raises(ValueError, match="not one of"):
         compile_aggregations([Aggregation("v", "median", 60_000_000)])
+    with pytest.raises(ValueError, match="duplicate declared"):
+        compile_aggregations(
+            [Aggregation("v", "sum", 60_000_000, name="x"),
+             Aggregation("v", "count", None, name="x")]
+        )
 
 
 def test_aggregation_adapter_end_to_end(ray_session):
