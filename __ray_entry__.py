@@ -57,9 +57,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from feast_ray.pipelines.queries import QUERIES
+    # core-first ordering: a driver that samples the registry always covers
+    # the SURVEY §2 operator ledger before the derived-analytics long tail
+    from feast_ray.pipelines.queries import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -132,11 +132,31 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
+    # The driver captures only the TAIL of stdout (2000 chars — BENCH_r03's
+    # 124-query line outgrew it and parsed as null).  Print a compact line:
+    # core-query timings + battery totals; full per-query detail goes to a
+    # sidecar file committed with the repo.
+    from feast_ray.pipelines.queries import CORE_QUERIES
+
+    detail_path = None
+    if qtimes:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(
+                {"sf": sf_dir, "num_cpus": num_cpus, "queries": qtimes}, f,
+                indent=1, sort_keys=True,
+            )
+    compact = {k: qtimes[k] for k in CORE_QUERIES[:20] if k in qtimes}
     return {
         "metric": "transcript_backfill_sec",
         "value": round(metrics["wall_s"], 3),
         "unit": "sec",
-        "queries": qtimes,
+        "queries": compact,
+        "battery_total_s": round(sum(qtimes.values()), 3),
+        "battery_n": len(qtimes),
+        "query_detail": "BENCH_QUERIES.json" if detail_path else None,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "backfill_rows": metrics["rows"],
