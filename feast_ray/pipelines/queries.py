@@ -3946,6 +3946,7 @@ CORE_QUERIES = [
     "dedup_minhash_docs", "neardup_jaccard_docs", "simhash_pairs_docs",
     "neardup_embedding_pairs", "dedup_cluster_docs", "knn_topk",
     "knn_lsh_topk", "knn_ivf_topk", "multimodal_features",
+    "bmp_decode_docs", "wav_decode_docs",
     "curate_corpus_docs", "decontam_docs", "pack_docs", "mix_corpus_docs",
 ]
 

@@ -140,7 +140,9 @@ def q_simhash_pairs_docs(sf_dir: str):
 
 
 def q_neardup_embedding_pairs(sf_dir: str):
-    """Embedding cosine near-duplicate pairs >= 0.4 (broadcast matmul)."""
+    """Embedding cosine near-duplicate pairs >= 0.4 (default blockpair mode
+    — distributed chunk-pair exchange, the 100-TB scale path; broadcast is
+    an explicit small-corpus opt-in on embedding_pair_pipeline)."""
     import ray.data as rd
 
     from feast_ray.stages.dedup import embedding_pair_pipeline
@@ -486,6 +488,94 @@ ORACLE_SQL_DOCS["frame_sample_docs"] = """
            frame_idx * 256 AS frame_off,
            CAST(256 AS BIGINT) AS frame_len
     FROM f
+"""
+
+
+def q_bmp_decode_docs(sf_dir: str):
+    """REAL image decode (no image library): each doc gets a deterministic
+    24-bit BMP — true on-disk layout (BGR channel order, 4-byte row padding,
+    bottom-up) — whose logical top-down RGB byte k is (doc_id%256 + k)%256;
+    the actor-pool decoder parses the header and recovers width/height and
+    the exact pixel moments.  The DuckDB twin re-derives every pixel with
+    generate_series and the identical moment arithmetic (exact integer sums
+    -> bit-equal doubles, no epsilon)."""
+    from feast_ray.stages.multimodal import add_media_features, attach_bmp_payloads
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        attach_bmp_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_media_features(
+        ds, id_cols=("doc_id",), mode="decode", concurrency=2, batch_size=64
+    )
+    return out.select_columns(
+        ["doc_id", "width", "height", "byte_mean", "byte_std", "n_bytes"]
+    )
+
+
+QUERIES_DOCS["bmp_decode_docs"] = q_bmp_decode_docs
+ORACLE_SQL_DOCS["bmp_decode_docs"] = """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 37 + 1 AS w, doc_id % 23 + 1 AS h,
+             doc_id % 256 AS v
+      FROM documents),
+    px AS (
+      SELECT doc_id, (v + u.k) % 256 AS b
+      FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS u(k)),
+    s AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(b) AS DOUBLE) AS sb, CAST(sum(b * b) AS DOUBLE) AS sq
+      FROM px GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           s.sb / s.n AS byte_mean,
+           SQRT(GREATEST(s.sq / s.n - (s.sb / s.n) * (s.sb / s.n), 0.0))
+             AS byte_std,
+           CAST(54 + d.h * (((3 * d.w + 3) // 4) * 4) AS BIGINT) AS n_bytes
+    FROM dims d JOIN s USING (doc_id)
+"""
+
+
+def q_wav_decode_docs(sf_dir: str):
+    """REAL audio decode (no audio library): each doc gets a deterministic
+    mono 16-bit PCM WAV (sample i = (doc_id*31 + i*7)%65536 - 32768,
+    n = doc_id%400 + 100, 8 kHz); the actor-pool decoder walks the RIFF
+    chunks and computes exact sample moments.  SQL twin re-derives every
+    sample with generate_series — identical moment arithmetic."""
+    from feast_ray.stages.multimodal import add_audio_features, attach_wav_payloads
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        attach_wav_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_audio_features(
+        ds, id_cols=("doc_id",), mode="decode", concurrency=2, batch_size=64
+    )
+    return out.select_columns(
+        ["doc_id", "sample_rate", "n_channels", "n_samples",
+         "amp_mean", "amp_std", "duration_s"]
+    )
+
+
+QUERIES_DOCS["wav_decode_docs"] = q_wav_decode_docs
+ORACLE_SQL_DOCS["wav_decode_docs"] = """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 400 + 100 AS n FROM documents),
+    smp AS (
+      SELECT doc_id, (doc_id * 31 + u.i * 7) % 65536 - 32768 AS s
+      FROM dims, unnest(generate_series(0, n - 1)) AS u(i)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(s) AS DOUBLE) AS sb, CAST(sum(s * s) AS DOUBLE) AS sq
+      FROM smp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(d.n AS BIGINT) AS n_samples,
+           a.sb / a.n AS amp_mean,
+           SQRT(GREATEST(a.sq / a.n - (a.sb / a.n) * (a.sb / a.n), 0.0))
+             AS amp_std,
+           CAST(d.n AS DOUBLE) / 8000.0 AS duration_s
+    FROM dims d JOIN agg a USING (doc_id)
 """
 
 

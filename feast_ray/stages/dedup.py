@@ -979,6 +979,9 @@ _EMB_PAIR_SCHEMA = pa.schema(
 )
 
 
+_BROADCAST_BYTE_CEILING = 2 << 30  # 2 GiB of embedding matrix on the driver
+
+
 def _embedding_pairs_broadcast(ds, *, id_col, emb_col, tau, round_digits):
     import ray
 
@@ -986,7 +989,25 @@ def _embedding_pairs_broadcast(ds, *, id_col, emb_col, tau, round_digits):
 
     from feast_ray.grouped import block_refs_of
 
-    parts = [ray.get(r) for r in block_refs_of(ds)]
+    refs = block_refs_of(ds)
+    # explicit small-corpus mode: refuse to driver-materialize a corpus that
+    # cannot possibly fit, with the actionable alternative, instead of OOMing
+    try:
+        import ray.experimental
+
+        total = sum(
+            ray.experimental.get_object_locations([r])[r].get("object_size") or 0
+            for r in refs
+        )
+    except Exception:  # pragma: no cover - locations API unavailable
+        total = 0
+    if total > _BROADCAST_BYTE_CEILING:
+        raise ValueError(
+            f"embedding broadcast mode would materialize ~{total >> 20} MiB "
+            f"on the driver (ceiling {_BROADCAST_BYTE_CEILING >> 20} MiB) — "
+            "use mode='blockpair' (the distributed default) for this corpus"
+        )
+    parts = [ray.get(r) for r in refs]
     full = pa.concat_tables(parts)
     ids_all = full[id_col].to_numpy().astype(np.int64)
     mat = _embedding_matrix(full[emb_col])

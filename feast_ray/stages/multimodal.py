@@ -7,16 +7,21 @@ buffers, never Python objects.
 
 Decode / feature-extraction runs as an ACTOR-POOL ``map_batches`` stage
 (``concurrency=N``): expensive setup (codec contexts, model weights) happens
-once per actor in ``__init__``, per-batch work in ``__call__``.  Because the
-image/audio libraries are not available in this container, the actual codec
-call is STUBBED:
+once per actor in ``__init__``, per-batch work in ``__call__``.  Decode
+modes:
 
-- ``mode="fake"`` (default): a deterministic, fully-vectorized stand-in
-  that derives (width, height, channel stats) from the payload bytes — the
-  Ray-side plumbing (schema, batch sizing, actor lifecycle, output layout)
-  is real and tested.
-- ``mode="pil"`` / ``mode="librosa"``: raise ``NotImplementedError`` unless
-  the library imports — the marked integration point for real decoders.
+- ``mode="decode"``: REAL dependency-free decoders — uncompressed 24-bit
+  BMP (padded rows, bottom-up or top-down, BGR) and binary PPM (P6) for
+  images (:func:`decode_bmp` / :func:`decode_ppm`), RIFF/WAVE 16-bit PCM
+  for audio (:func:`decode_wav`).  Container format is dispatched on magic
+  bytes; header parse is struct-level, pixel/sample math is numpy over the
+  raw buffer (no image/audio library needed).
+- ``mode="pil"`` / ``mode="librosa"``: use the library when installed;
+  when absent they FALL BACK to the built-in ``decode`` path (which covers
+  the formats this engine's synthetic fixtures emit) instead of raising.
+- ``mode="fake"``: a deterministic, fully-vectorized stand-in that derives
+  (width, height, channel stats) from the payload bytes — kept for
+  plumbing tests and as the zero-cost path for opaque formats.
 
 Batch-size note: payload blobs dominate block bytes; callers should pass a
 small ``batch_size`` (e.g. 64) so batch x concurrency fits the worker heap
@@ -40,6 +45,129 @@ def attach_fake_payloads(tbl: pa.Table, *, text_col: str = "text", out_col: str 
     out = out.append_column("media_type", pa.array(["image/fake"] * tbl.num_rows))
     out = out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free codecs (uncompressed BMP / PPM / WAV) — real header parse
+# + numpy pixel/sample math, no image or audio library required.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP from an RGB uint8 array of shape (h, w, 3),
+    written in the canonical on-disk layout: BGR channel order, rows padded
+    to 4 bytes, bottom-up."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + dib + data
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, RGB uint8 (h, w, 3) top-down) from an uncompressed
+    24-bit BMP.  Handles row padding and both bottom-up (positive height)
+    and top-down (negative height) layouts."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (px_off,) = struct.unpack_from("<I", buf, 10)
+    dib_size, w, h_raw = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_raw)
+    stride = (3 * w + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=px_off)
+    rows = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up on disk -> top-down
+    return w, h, rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) from an RGB uint8 array of shape (h, w, 3)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, RGB uint8 (h, w, 3)) from a binary PPM (P6) with
+    whitespace/comment-tolerant header parsing."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, *, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """RIFF/WAVE, 16-bit PCM, from an int16 sample array (interleaved if
+    multi-channel)."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, n_channels, int16 samples) from a RIFF/WAVE 16-bit PCM
+    payload — chunk-walking parse, so extra chunks (LIST/fact) are skipped."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", buf, body)
+            (bits,) = struct.unpack_from("<H", buf, body + 14)
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(buf, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, channels, data
+
+
+def decode_image(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-byte dispatch over the built-in image codecs."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    raise ValueError(f"unrecognized image magic {buf[:2]!r}")
 
 
 def _flat_binary(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -74,22 +202,26 @@ class MediaFeatureExtractor:
     ):
         self.payload_col = payload_col
         self.id_cols = list(id_cols)
-        self.mode = mode
-        if mode == "fake":
-            self._decoder = None  # the deterministic stand-in needs no state
-        elif mode == "pil":
+        if mode == "pil":
+            # library when present, built-in codecs otherwise — once per actor
             try:
                 from PIL import Image  # noqa: F401  (absent in this container)
 
-                self._decoder = Image
-            except ImportError as e:  # pragma: no cover - marked stub
-                raise NotImplementedError(
-                    "PIL decode requested but Pillow is not installed in this "
-                    "environment; use mode='fake' (deterministic stub) or add "
-                    "the dependency at deploy time"
-                ) from e
-        else:
+                self._pil = Image
+                mode = "pil_lib"
+            except ImportError:
+                mode = "decode"
+        if mode not in ("fake", "decode", "pil_lib"):
             raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
+
+    def _decode_one(self, buf: bytes) -> tuple[int, int, np.ndarray]:
+        if self.mode == "pil_lib":  # pragma: no cover - library absent here
+            import io
+
+            im = self._pil.open(io.BytesIO(buf)).convert("RGB")
+            return im.width, im.height, np.asarray(im)
+        return decode_image(buf)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         data, offsets = _flat_binary(tbl[self.payload_col])
@@ -101,7 +233,36 @@ class MediaFeatureExtractor:
                 t = pa.int32() if name in ("width", "height") else pa.float64()
                 out = out.append_column(name, pa.array([], type=t))
             return out.append_column("n_bytes", pa.array([], type=pa.int64()))
-        # "decode": fake dimensions derived from payload size (deterministic),
+        empty = lens == 0
+        if self.mode != "fake":
+            # real decode: per-payload header parse (necessarily per blob —
+            # same shape as any image library), numpy stats over pixel bytes
+            width = np.zeros(n, dtype=np.int32)
+            height = np.zeros(n, dtype=np.int32)
+            mean = np.zeros(n, dtype=np.float64)
+            std = np.zeros(n, dtype=np.float64)
+            for i in range(n):
+                if lens[i] == 0:
+                    continue
+                w, h, px = self._decode_one(
+                    data[offsets[i] : offsets[i + 1]].tobytes()
+                )
+                width[i], height[i] = w, h
+                # moment formula over EXACT integer sums (byte values — the
+                # sums are exactly representable in float64 at any image
+                # size), so a SQL oracle computing sum/count the same way is
+                # bit-identical — no epsilon needed in the value-hash compare
+                pf = px.astype(np.float64).ravel()
+                nn = float(pf.size)
+                m = pf.sum() / nn
+                mean[i] = m
+                std[i] = np.sqrt(max((pf * pf).sum() / nn - m * m, 0.0))
+            out = out.append_column("width", pa.array(width))
+            out = out.append_column("height", pa.array(height))
+            out = out.append_column("byte_mean", pa.array(mean, mask=empty))
+            out = out.append_column("byte_std", pa.array(std, mask=empty))
+            return out.append_column("n_bytes", pa.array(lens.astype(np.int64)))
+        # "fake": dimensions derived from payload size (deterministic),
         # channel statistics computed vectorized over the flat byte buffer.
         width = (lens % 640 + 1).astype(np.int32)
         height = (lens % 480 + 1).astype(np.int32)
@@ -113,7 +274,6 @@ class MediaFeatureExtractor:
         ln = np.maximum(lens, 1).astype(np.float64)
         mean = s / ln
         var = np.maximum(q / ln - mean * mean, 0.0)
-        empty = lens == 0
         out = out.append_column("width", pa.array(width))
         out = out.append_column("height", pa.array(height))
         out = out.append_column("byte_mean", pa.array(mean, mask=empty))
@@ -141,6 +301,133 @@ def add_media_features(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+class AudioFeatureExtractor:
+    """Actor-pool audio decode stage: RIFF/WAVE 16-bit PCM -> per-clip
+    moments.  Output schema: id columns + (sample_rate, n_channels,
+    n_samples, amp_mean, amp_std, duration_s).
+
+    ``mode="librosa"`` uses the library when installed and falls back to the
+    built-in :func:`decode_wav` otherwise (same shape as the image stage).
+    """
+
+    def __init__(
+        self,
+        *,
+        payload_col: str = "payload",
+        id_cols: Sequence[str] = ("doc_id",),
+        mode: str = "decode",
+    ):
+        self.payload_col = payload_col
+        self.id_cols = list(id_cols)
+        if mode == "librosa":
+            try:  # pragma: no cover - library absent here
+                import librosa  # noqa: F401
+
+                self._lib = librosa
+                mode = "librosa_lib"
+            except ImportError:
+                mode = "decode"
+        if mode not in ("decode", "librosa_lib"):
+            raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        data, offsets = _flat_binary(tbl[self.payload_col])
+        lens = np.diff(offsets)
+        n = len(lens)
+        out = tbl.select(self.id_cols)
+        rate = np.zeros(n, dtype=np.int32)
+        chans = np.zeros(n, dtype=np.int32)
+        n_samples = np.zeros(n, dtype=np.int64)
+        mean = np.zeros(n, dtype=np.float64)
+        std = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            if lens[i] == 0:
+                continue
+            r, c, s = decode_wav(data[offsets[i] : offsets[i + 1]].tobytes())
+            rate[i], chans[i], n_samples[i] = r, c, len(s)
+            if len(s):
+                # same exact-integer-moment contract as the image stage
+                sf = s.astype(np.float64)
+                nn = float(sf.size)
+                m = sf.sum() / nn
+                mean[i] = m
+                std[i] = np.sqrt(max((sf * sf).sum() / nn - m * m, 0.0))
+        empty = lens == 0
+        dur = np.divide(
+            n_samples,
+            np.maximum(rate.astype(np.float64) * np.maximum(chans, 1), 1.0),
+        )
+        out = out.append_column("sample_rate", pa.array(rate, mask=empty))
+        out = out.append_column("n_channels", pa.array(chans, mask=empty))
+        out = out.append_column("n_samples", pa.array(n_samples, mask=empty))
+        out = out.append_column("amp_mean", pa.array(mean, mask=empty))
+        out = out.append_column("amp_std", pa.array(std, mask=empty))
+        return out.append_column("duration_s", pa.array(dur, mask=empty))
+
+
+def add_audio_features(
+    ds,
+    *,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("doc_id",),
+    mode: str = "decode",
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: Optional[int] = 64,
+    num_cpus: float = 1.0,
+):
+    """Decode + featurize WAV payloads on an actor pool."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_cols": id_cols, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def attach_bmp_payloads(
+    tbl: pa.Table, *, id_col: str = "doc_id", out_col: str = "payload"
+) -> pa.Table:
+    """Deterministic REAL BMP payloads derived from an int id column:
+    width = id % 37 + 1, height = id % 23 + 1, and the logical top-down RGB
+    byte stream at linear index k is ``(id % 256 + k) % 256`` — a closed
+    form a SQL oracle can re-derive per pixel with generate_series.  The
+    encoder then writes the true on-disk layout (BGR, padded rows,
+    bottom-up), so the decoder must undo all of it to recover the stats."""
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    payloads = []
+    for v in ids:
+        w = int(v % 37 + 1)
+        h = int(v % 23 + 1)
+        k = np.arange(w * h * 3, dtype=np.int64)
+        px = ((int(v % 256) + k) % 256).astype(np.uint8).reshape(h, w, 3)
+        payloads.append(encode_bmp(px))
+    out = tbl.append_column(out_col, pa.array(payloads, type=pa.binary()))
+    out = out.append_column("media_type", pa.array(["image/bmp"] * tbl.num_rows))
+    return out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
+
+
+def attach_wav_payloads(
+    tbl: pa.Table, *, id_col: str = "doc_id", out_col: str = "payload",
+    sample_rate: int = 8000,
+) -> pa.Table:
+    """Deterministic REAL WAV payloads from an int id column: n_samples =
+    id % 400 + 100 mono 16-bit samples, sample i = ((id * 31 + i * 7) % 65536)
+    - 32768 — SQL-re-derivable per sample."""
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    payloads = []
+    for v in ids:
+        n = int(v % 400 + 100)
+        i = np.arange(n, dtype=np.int64)
+        s = ((int(v) * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+        payloads.append(encode_wav(s, sample_rate=sample_rate, n_channels=1))
+    out = tbl.append_column(out_col, pa.array(payloads, type=pa.binary()))
+    out = out.append_column("media_type", pa.array(["audio/wav"] * tbl.num_rows))
+    return out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
 
 
 class FrameSampler:

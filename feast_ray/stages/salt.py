@@ -25,7 +25,9 @@ Exactness contract:
   the FIRST ``overlap_rows`` rows of chunk c to chunk c-1).
 - ``RollingTime(col, delta_us)``: exact iff every entity has at most
   ``overlap_rows`` rows inside any ``delta_us`` time window — a caller-owned
-  bound (rate limit); assert it offline or oversize the overlap.
+  bound (rate limit), now ENFORCED at runtime: the kernel detects a window
+  that would have been silently truncated at a chunk boundary and raises
+  (see ``_check_rolling_time_bound``).
 - ``Sessionize(gap_us)``: the boundary decision needs only the previous row
   (overlap >= 1), but session ids are a per-entity running count — repaired
   exactly by a cheap second phase: per-chunk ``session_start`` sums (a tiny
@@ -171,6 +173,7 @@ def salted_window_features(
         s for s in specs if not isinstance(s, (Sessionize, Expanding))
     ]
     want_lead = any(isinstance(s, Lead) for s in specs)
+    rolling_time_specs = [s for s in specs if isinstance(s, RollingTime)]
     wk = make_window_kernel(plain_specs, ts_col) if plain_specs else None
     # chunk-local expanding runs over REAL rows only (overlap copies would
     # double-count prefix state); "sum" needs the running valid-count for
@@ -188,6 +191,8 @@ def salted_window_features(
     wk_exp = make_window_kernel(exp_internal, ts_col) if exp_internal else None
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if rolling_time_specs and t.num_rows:
+            _check_rolling_time_bound(t, starts, rolling_time_specs, ts_col, ovl)
         out = wk(t, starts) if wk is not None else t
         n = out.num_rows
         if n == 0:
@@ -387,6 +392,45 @@ def salted_window_features(
         return out.drop_columns([SALT_COL])
 
     return featured.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _check_rolling_time_bound(
+    t: pa.Table, starts: np.ndarray, rt_specs, ts_col: str, ovl: int
+) -> None:
+    """Runtime guard for the caller-owned RollingTime rate bound: a REAL
+    row in a non-first chunk whose time window reaches the chunk's FIRST
+    available row has >= overlap_rows + 1 rows inside one delta window —
+    the declared bound is violated and the window WOULD have been silently
+    truncated (history beyond the shipped overlap is not visible here).
+    Raise loudly instead.
+
+    Exact for dense per-entity ordinals (the transcript contract: non-first
+    chunks have full-sized predecessors); with sparse ordinals a predecessor
+    smaller than overlap_rows ships entirely — detected via the group's
+    shipped-overlap count — so only genuinely unverifiable windows raise.
+    """
+    from feast_ray.stages.windows import rolling_time_bounds
+
+    ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ovl_mask = t[OVL_COL].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+    salt = t[SALT_COL].combine_chunks().to_numpy(zero_copy_only=False)
+    gstart = starts_to_row_gstart(starts)
+    # groups whose shipped overlap count is below the configured overlap had
+    # a small predecessor shipped ENTIRELY -> windows there are exact
+    n_ovl = np.add.reduceat(ovl_mask.astype(np.int64), starts[:-1])
+    full_ovl_of_row = n_ovl[np.searchsorted(starts[:-1], gstart, side="right") - 1] >= ovl
+    for spec in rt_specs:
+        ws, _ = rolling_time_bounds(ts, starts, spec.delta_us)
+        viol = (ws == gstart) & ~ovl_mask & (salt > 0) & full_ovl_of_row
+        if viol.any():
+            i = int(np.flatnonzero(viol)[0])
+            raise ValueError(
+                f"RollingTime(delta_us={spec.delta_us}) rate bound violated "
+                f"under salting: a window holds more than overlap_rows={ovl} "
+                f"rows (first at ts={ts[i]}); raise time_rows_bound / "
+                "overlap_rows or chunk_rows — the result would otherwise be "
+                "silently truncated at chunk boundaries"
+            )
 
 
 def _append_session_cols(tbl: pa.Table, session_specs, *, empty: bool) -> pa.Table:

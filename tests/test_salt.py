@@ -194,6 +194,45 @@ def test_salted_expanding_extrema_through_all_null_chunk(ray_session):
     _cmp(got, want)
 
 
+def test_salted_rolling_time_bound_violation_raises(ray_session):
+    """VERDICT r03 #3: a violated RollingTime rate bound must fail LOUDLY —
+    120 rows 1 s apart with delta=50 s puts ~51 rows in one window; with
+    overlap_rows=5 the boundary windows would silently truncate, so the
+    in-kernel guard raises."""
+    import ray.data as rd
+
+    n = 120
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["hot"] * n),
+            "turn_idx": pa.array(range(n), type=pa.int32()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i * 1_000_000 for i in range(n)],
+                type=pa.timestamp("us"),
+            ),
+            "val": pa.array(range(n), type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    specs = [RollingTime("val", 50 * 1_000_000, aggs=("count", "mean"))]
+    # the raw-task exchange launches reduce tasks eagerly, so the guard can
+    # surface at build OR at materialize — accept either
+    with pytest.raises(Exception, match="rate bound violated"):
+        salted_window_features(
+            ds, specs=specs, chunk_rows=20, overlap_rows=5
+        ).materialize()
+    # the same data under a SUFFICIENT overlap passes and matches unsalted
+    from feast_ray.stages.windows import add_window_features as awf
+
+    want = awf(
+        ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=specs
+    ).to_pandas()
+    got = salted_window_features(
+        ds, specs=specs, chunk_rows=60, overlap_rows=51
+    ).to_pandas()
+    _cmp(got, want)
+
+
 def test_salted_expanding_mean_still_rejected(ray_session, hot_ds):
     from feast_ray.stages.windows import Expanding
 

@@ -288,17 +288,132 @@ def test_multimodal_actor_stage(ray_session, docs_ds, docs_tbl):
         assert abs(row["byte_std"] - arr.std()) < 1e-9
 
 
-def test_multimodal_pil_mode_is_marked_stub():
-    from feast_ray.stages.multimodal import MediaFeatureExtractor
+def test_image_codecs_roundtrip():
+    """Dependency-free BMP/PPM codecs: exact pixel recovery, including BMP
+    row padding, bottom-up AND top-down layouts, and PPM comment headers."""
+    import struct
 
-    try:
-        import PIL  # noqa: F401
+    from feast_ray.stages.multimodal import (
+        decode_bmp, decode_image, decode_ppm, encode_bmp, encode_ppm)
 
-        pytest.skip("Pillow present; stub path not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(mode="pil")
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (23, 37), (8, 2)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+            w2, h2, px2 = dec(enc(px))
+            assert (w2, h2) == (w, h) and (px2 == px).all()
+        assert decode_image(encode_bmp(px))[2].shape == (h, w, 3)
+    # top-down BMP (negative height in the DIB header)
+    px = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    stride = (3 * 5 + 3) & ~3
+    rows = np.zeros((4, stride), np.uint8)
+    rows[:, :15] = px[:, :, ::-1].reshape(4, 15)
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, 5, -4, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    buf = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + dib + data
+    w2, h2, px2 = decode_bmp(buf)
+    assert (w2, h2) == (5, 4) and (px2 == px).all()
+    # PPM with a comment line in the header
+    w2, h2, px2 = decode_ppm(b"P6\n# a comment\n5 4\n255\n" + px.tobytes())
+    assert (w2, h2) == (5, 4) and (px2 == px).all()
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a....")
+
+
+def test_wav_codec_roundtrip():
+    import struct
+
+    from feast_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(8)
+    for n in (1, 100, 499):
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        r, c, s2 = decode_wav(encode_wav(s, sample_rate=44100))
+        assert r == 44100 and c == 1 and (s2 == s).all()
+    # extra chunk before data is skipped by the chunk walk
+    buf = encode_wav(np.array([1, -2, 3], np.int16))
+    buf = buf[:12] + b"LIST" + struct.pack("<I", 5) + b"INFOX\x00" + buf[12:]
+    assert decode_wav(buf)[2].tolist() == [1, -2, 3]
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI ")
+
+
+def test_media_decode_actor_stage(ray_session, docs_ds, docs_tbl):
+    """Real BMP decode on the actor pool: header width/height + exact pixel
+    moments vs the generator's closed form."""
+    from feast_ray.stages.multimodal import add_media_features, attach_bmp_payloads
+
+    ds = docs_ds.map_batches(
+        attach_bmp_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_media_features(
+        ds, id_cols=("doc_id",), mode="decode", concurrency=2, batch_size=64
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == docs_tbl.num_rows
+    for doc_id in sorted(out.index[:20]):
+        w, h, v = doc_id % 37 + 1, doc_id % 23 + 1, doc_id % 256
+        k = np.arange(w * h * 3, dtype=np.int64)
+        b = ((v + k) % 256).astype(np.float64)
+        row = out.loc[doc_id]
+        assert row["width"] == w and row["height"] == h
+        assert row["n_bytes"] == 54 + h * ((3 * w + 3) & ~3)
+        m = b.sum() / b.size
+        assert row["byte_mean"] == m
+        assert row["byte_std"] == np.sqrt(max((b * b).sum() / b.size - m * m, 0.0))
+
+
+def test_audio_decode_actor_stage(ray_session, docs_ds, docs_tbl):
+    """Real WAV decode on the actor pool: RIFF chunk walk + exact sample
+    moments vs the generator's closed form."""
+    from feast_ray.stages.multimodal import add_audio_features, attach_wav_payloads
+
+    ds = docs_ds.map_batches(
+        attach_wav_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_audio_features(
+        ds, id_cols=("doc_id",), concurrency=2, batch_size=64
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == docs_tbl.num_rows
+    for doc_id in sorted(out.index[:20]):
+        n = doc_id % 400 + 100
+        i = np.arange(n, dtype=np.int64)
+        s = ((doc_id * 31 + i * 7) % 65536 - 32768).astype(np.float64)
+        row = out.loc[doc_id]
+        assert row["sample_rate"] == 8000 and row["n_channels"] == 1
+        assert row["n_samples"] == n
+        m = s.sum() / n
+        assert row["amp_mean"] == m
+        assert row["amp_std"] == np.sqrt(max((s * s).sum() / n - m * m, 0.0))
+        assert row["duration_s"] == n / 8000.0
+
+
+def test_embedding_broadcast_byte_ceiling(ray_session, monkeypatch):
+    """Broadcast mode is a small-corpus opt-in: past the byte ceiling it must
+    refuse with a pointer to blockpair rather than driver-materialize."""
+    import ray.data as rd
+
+    from feast_ray.stages import dedup as dd
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(tbl).repartition(2).materialize()
+    monkeypatch.setattr(dd, "_BROADCAST_BYTE_CEILING", 1)
+    with pytest.raises(ValueError, match="blockpair"):
+        dd._embedding_pairs_broadcast(
+            ds, id_col="vec_id", emb_col="embedding", tau=0.4, round_digits=6
+        )
+
+
+def test_pil_mode_falls_back_to_builtin_decoder():
+    """mode='pil' uses Pillow when present and the built-in codecs when not
+    — it never raises for the formats the engine's fixtures emit."""
+    from feast_ray.stages.multimodal import MediaFeatureExtractor, encode_bmp
+
+    ext = MediaFeatureExtractor(mode="pil", id_cols=("doc_id",))
+    px = np.full((2, 3, 3), 9, dtype=np.uint8)
+    tbl = pa.table({"doc_id": [1], "payload": pa.array([encode_bmp(px)], pa.binary())})
+    out = ext(tbl).to_pydict()
+    assert out["width"] == [3] and out["height"] == [2]
+    assert out["byte_mean"] == [9.0] and out["byte_std"] == [0.0]
 
 
 def test_ivf_topk_recall(ray_session):
