@@ -233,8 +233,20 @@ def main() -> None:
         # sync + cooldown.
         import statistics
 
-        for variant, carry in (("narrow", "0"), ("wide", "1")):
+        # wide variant measures text_layout="sidecar" — the documented
+        # cluster-scale default (text bytes never enter the all-to-all);
+        # override with BENCH_TEXT_LAYOUT=carried to reproduce the legacy
+        # carried-wide numbers (BASELINE.md keeps both).
+        wide_layout = os.environ.get("BENCH_TEXT_LAYOUT", "sidecar")
+        report["wide_layout"] = wide_layout
+        for variant, carry, layout in (
+            ("narrow", "0", ""), ("wide", "1", wide_layout)
+        ):
             os.environ["BENCH_CARRY_TEXT"] = carry
+            if layout:
+                os.environ["BENCH_TEXT_LAYOUT"] = layout
+            else:
+                os.environ.pop("BENCH_TEXT_LAYOUT", None)
             t: dict = {}
             secs: dict = {}
             for c in (2, 8, 32):

@@ -200,7 +200,15 @@ def backfill_transcripts(
     3-5x faster than the Dataset groupby path for this shuffle-dominated
     job.
 
-    ``text_layout`` (overrides the legacy ``carry_text`` flag):
+    ``text_layout`` (overrides the legacy ``carry_text`` flag).  THE
+    DOCUMENTED DEFAULT AT CLUSTER SCALE IS ``"sidecar"``: it preserves
+    per-turn text (the north-star equality contract) while keeping text
+    bytes out of the all-to-all entirely, so the wide payload scales like
+    the narrow path (measured 8->32 CPU numbers in BASELINE.md §"text
+    layout").  The parameter default resolves to ``"carried"`` only for
+    backward compatibility of small self-contained outputs — cluster
+    deployments should pass ``text_layout="sidecar"`` explicitly (the
+    bench's wide scaling variant measures sidecar for this reason).
 
     - ``"carried"``: text/tool ride through the shuffle into the feature
       partitions (self-contained output; text bytes dominate the exchange).
@@ -260,6 +268,12 @@ def backfill_transcripts(
         return _session_extras(wk(t, starts), starts)
 
     def sink_fn(part_id: int, out: Optional[pa.Table]) -> dict:
+        # crash-injection hook for the resume tests: simulate a job dying
+        # mid-run AFTER some partitions landed (env is read in the remote
+        # task — set it before ray.init in the crashing process)
+        fault_after = int(os.environ.get("FEAST_RAY_FAULT_AFTER_PARTS", "-1"))
+        if 0 <= fault_after <= part_id:
+            raise RuntimeError(f"injected fault before partition {part_id}")
         t0 = time.perf_counter()
         if out is None:
             write_manifest(

@@ -295,3 +295,74 @@ def test_backfill_packed_layout_matches_carried(ray_session, tmp_path):
     assert a.num_rows == b.num_rows
     assert sorted(a.column_names) == sorted(b.column_names)
     assert a.equals(b.select(a.column_names))
+
+
+def test_backfill_crash_resume_at_scale(ray_session, tmp_path):
+    """A job that DIES mid-run (injected crash in the remote sink after
+    ~half the partitions) resumes from manifests, writes only the missing
+    partitions, and the combined output equals a single-shot run —
+    partition writes are atomic so no torn partition is ever visible."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from feast_ray.fixtures import gen_transcripts
+    from feast_ray.pipelines.backfill import backfill_transcripts
+    from feast_ray.state.manifest import load_manifests
+
+    tbl = gen_transcripts(n_convs=4000, mean_turns=40, seed=31, n_hot=2, hot_turns=2000)
+    src = tmp_path / "in"
+    src.mkdir()
+    step = (tbl.num_rows + 7) // 8
+    for i in range(8):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, src / f"p{i}.parquet")
+
+    out_crash = str(tmp_path / "out_crash")
+    # phase 1: fresh process whose sink raises for part_id >= 8 of 16 —
+    # the job dies with roughly half the partitions durably written
+    code = (
+        "import ray, sys\n"
+        "ray.init(address='local', num_cpus=4, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "from feast_ray.pipelines.backfill import backfill_transcripts\n"
+        "try:\n"
+        "    backfill_transcripts(sys.argv[1], sys.argv[2], num_buckets=16)\n"
+        "    print('NOFAULT')\n"
+        "except Exception as e:\n"
+        "    print('CRASHED', type(e).__name__)\n"
+        "finally:\n"
+        "    ray.shutdown()\n"
+    )
+    env = dict(os.environ, FEAST_RAY_FAULT_AFTER_PARTS="8")
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [sys.executable, "-c", code, str(src), out_crash],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert "CRASHED" in p.stdout, p.stdout + p.stderr
+    done_before = load_manifests(out_crash)
+    assert 1 <= len(done_before) < 16  # partial progress survived the crash
+
+    # phase 2: resume in THIS session — only the missing partitions run
+    m = backfill_transcripts(str(src), out_crash, num_buckets=16, resume=True)
+    assert m["partitions_skipped"] == len(done_before)
+    assert m["partitions_written"] == 16 - len(done_before)
+
+    # single-shot reference
+    out_ref = str(tmp_path / "out_ref")
+    backfill_transcripts(str(src), out_ref, num_buckets=16, resume=False)
+
+    def read_sorted(d):
+        files = sorted(glob.glob(d + "/part=*/**/*.parquet", recursive=True))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+    a, b = read_sorted(out_crash), read_sorted(out_ref)
+    assert a.shape == b.shape
+    pd.testing.assert_frame_equal(a, b, check_like=True)
