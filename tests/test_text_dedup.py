@@ -387,6 +387,116 @@ def test_audio_decode_actor_stage(ray_session, docs_ds, docs_tbl):
         assert row["duration_s"] == n / 8000.0
 
 
+def test_jaccard_max_df_cap_contract(ray_session):
+    """Pin the max_df cap semantics (the documented 100-TB boilerplate
+    guard): grams shared by MORE than max_df docs are dropped at pair
+    generation, so inter = |shared grams with df <= max_df| while the
+    per-doc sizes stay the UNCAPPED full distinct-gram counts.  Capping
+    changes answers by design — this is the capped contract, verified
+    against a brute-force python twin, including a boilerplate-only pair
+    that must vanish entirely."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.stages.dedup import jaccard_pair_pipeline
+
+    k, tau, max_df = 8, 0.25, 5
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND OFFERS! "
+    rng = np.random.default_rng(3)
+
+    def rand_text(n):
+        return "".join(rng.choice(list("abcdefghij xyz"), n))
+
+    texts = {}
+    # 8 docs dominated by shared boilerplate (df=8 > max_df) + unique tails
+    for d in range(8):
+        texts[d] = boiler * 3 + rand_text(40)
+    # one genuinely-similar low-df pair
+    base = rand_text(120)
+    texts[8] = base
+    texts[9] = base[:100] + rand_text(20)
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), pa.int64()),
+         "text": pa.array([texts[d] for d in sorted(texts)])}
+    )
+    got = (
+        jaccard_pair_pipeline(
+            rd.from_arrow(tbl).repartition(3), k=k, tau=tau, max_df=max_df
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    # brute-force twin of the capped contract
+    gsets = {d: {t[i : i + k] for i in range(len(t) - k + 1)}
+             for d, t in texts.items()}
+    df = {}
+    for s in gsets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    want = []
+    for a, b in itertools.combinations(sorted(texts), 2):
+        inter = sum(1 for g in gsets[a] & gsets[b] if df[g] <= max_df)
+        if inter == 0:
+            continue  # capped pairs are never even generated
+        j = inter / (len(gsets[a]) + len(gsets[b]) - inter)
+        if j >= tau:
+            want.append((a, b, j))
+    want_df = (
+        pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # the boilerplate block must NOT pair up under the cap...
+    assert not ((want_df.doc_a < 8) & (want_df.doc_b < 8)).any()
+    # ...while the genuine low-df pair survives
+    assert ((want_df.doc_a == 8) & (want_df.doc_b == 9)).any()
+    assert got[["doc_a", "doc_b"]].values.tolist() == want_df[["doc_a", "doc_b"]].values.tolist()
+    assert np.allclose(got["jaccard"], want_df["jaccard"])
+
+    # sanity: UNCAPPED, the boilerplate block pairs up densely
+    uncapped = jaccard_pair_pipeline(
+        rd.from_arrow(tbl).repartition(3), k=k, tau=tau
+    ).to_pandas()
+    assert ((uncapped.doc_a < 8) & (uncapped.doc_b < 8)).sum() == 28
+
+
+def test_cooccurrence_max_doc_tokens_cap_contract(ray_session):
+    """Pin the max_doc_tokens cap semantics: a doc with more distinct
+    tokens than the cap is dropped from PAIR generation (n_ab) but still
+    counts in the df marginals — the scale guard changes collocation
+    counts by exactly that rule."""
+    import ray.data as rd
+
+    from feast_ray.stages.text import cooccurrence_topk
+
+    docs = {
+        0: "alpha beta",            # 2 tokens: pairs
+        1: "alpha beta",            # same pair again
+        2: "alpha beta gamma delta epsilon zeta",  # 6 distinct > cap: no pairs
+        3: "alpha gamma",
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(docs), pa.int64()),
+         "text": pa.array([docs[d] for d in sorted(docs)])}
+    )
+    out = cooccurrence_topk(
+        rd.from_arrow(tbl).repartition(2), k=10, max_doc_tokens=5
+    ).to_pandas().set_index(["tok_a", "tok_b"])
+    # (alpha, beta) co-occurs in docs 0,1 only — doc 2 is capped out
+    assert out.loc[("alpha", "beta"), "n_ab"] == 2
+    # (alpha, gamma) from doc 3 only (doc 2 capped)
+    assert out.loc[("alpha", "gamma"), "n_ab"] == 1
+    # marginals stay UNCAPPED: alpha appears in all 4 docs, beta in 3
+    assert out.loc[("alpha", "beta"), "df_a"] == 4
+    assert out.loc[("alpha", "beta"), "df_b"] == 3
+    # no pair sourced from the capped doc alone survives
+    assert ("delta", "epsilon") not in out.index
+
+
 def test_embedding_broadcast_byte_ceiling(ray_session, monkeypatch):
     """Broadcast mode is a small-corpus opt-in: past the byte ceiling it must
     refuse with a pointer to blockpair rather than driver-materialize."""
