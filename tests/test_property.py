@@ -267,3 +267,89 @@ def test_ewma_walk_property(sizes, alpha, seed):
         for i in range(lo + 1, hi):
             y = alpha * x[i] + (1.0 - alpha) * y
             assert got[i] == y  # bit-exact: same operation order
+
+
+@given(
+    sizes=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8),
+                  st.integers(min_value=1, max_value=8)),
+        min_size=1, max_size=5,
+    ),
+    ttl=st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_asof_kernel_property(sizes, ttl, data):
+    """The core point-in-time kernel (north-star J1) vs a naive per-row
+    oracle: per spine row, the feature row with the LARGEST fts <= t (fts
+    equal to t matches — features sort before spine at equal ts), ties on
+    fts broken by max created_ts, TTL bound fts >= t - ttl inclusive,
+    miss -> null.  Pure kernel test over the sorted union layout the
+    exchange feeds it — no Ray."""
+    from feast_ray.stages.asof import asof_kernel_factory
+
+    rows = []  # (group, T, side, cts, spine_id, val)
+    for g, (n_feat, n_spine) in enumerate(sizes):
+        fts = data.draw(
+            st.lists(st.integers(0, 20), min_size=n_feat, max_size=n_feat),
+            label=f"fts_g{g}",
+        )
+        vals = data.draw(
+            st.lists(st.integers(-50, 50), min_size=n_feat, max_size=n_feat),
+            label=f"val_g{g}",
+        )
+        sts = data.draw(
+            st.lists(st.integers(0, 20), min_size=n_spine, max_size=n_spine),
+            label=f"sts_g{g}",
+        )
+        for i in range(n_feat):
+            # unique created_ts per (group, fts) family keeps the
+            # tie-break deterministic for the oracle
+            rows.append((g, fts[i], 0, i, None, vals[i]))
+        for i in range(n_spine):
+            rows.append((g, sts[i], 1, -1, g * 100 + i, None))
+    # sorted union layout: group, then (T, side, created)
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    import pyarrow as pa2
+
+    tbl = pa2.table(
+        {
+            "__t": pa2.array([r[1] for r in rows], pa2.int64()),
+            "__side": pa2.array([r[2] for r in rows], pa2.int8()),
+            "spine_id": pa2.array([r[4] for r in rows], pa2.int64()),
+            "val": pa2.array([r[5] for r in rows], pa2.int64()),
+        }
+    )
+    # the kernel reads the internal _T column name
+    from feast_ray.stages.asof import _T
+
+    tbl = tbl.rename_columns([_T, "__side", "spine_id", "val"])
+    group_of = [r[0] for r in rows]
+    starts = [0] + [
+        i for i in range(1, len(rows)) if group_of[i] != group_of[i - 1]
+    ] + [len(rows)]
+    starts = np.array(sorted(set(starts)), dtype=np.int64)
+
+    kernel = asof_kernel_factory(
+        ["spine_id"], ["val"], ttl, "mts", pa2.int64()
+    )
+    got = kernel(tbl, starts).to_pandas().set_index("spine_id")
+
+    # naive oracle over the raw rows
+    for g, (n_feat, n_spine) in enumerate(sizes):
+        feats = [r for r in rows if r[0] == g and r[2] == 0]
+        spines = [r for r in rows if r[0] == g and r[2] == 1]
+        for r in spines:
+            t = r[1]
+            cand = [f for f in feats if f[1] <= t]
+            if ttl is not None:
+                cand = [f for f in cand if f[1] >= t - ttl]
+            row = got.loc[r[4]]
+            if not cand:
+                assert row["val"] is None or np.isnan(row["val"])
+                assert row["mts"] is None or np.isnan(row["mts"])
+            else:
+                best_t = max(f[1] for f in cand)
+                best = max(f for f in cand if f[1] == best_t)  # max cts
+                assert row["val"] == best[5]
+                assert row["mts"] == best_t
