@@ -1720,6 +1720,99 @@ ORACLE_SQL_ML["salted_rolling_chunks"] = """
 """
 
 
+def q_salted_cumulative_chunks(sf_dir: str):
+    """Round-4 salted-path extension as a driver-checkable query: the
+    UNBOUNDED-history window family — Expanding mean/std, RowNumber, and
+    Ewma — computed THROUGH hot-entity salting (chunk_rows=4 splits every
+    long doc) and re-stitched by the phase-2 prefix repair.  mean/std are
+    bit-exact here (integer-fed sums are exact under any association);
+    ewma is reassociated by the chunk-map composition, so both sides round
+    to 6 decimals."""
+    from feast_ray.stages.salt import salted_window_features
+    from feast_ray.stages.text import chunk_texts
+    from feast_ray.stages.windows import Ewma, Expanding, RowNumber
+    from feast_ray.sources.parquet import read_pq as _rp
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    chunks = chunk_texts(
+        docs, chunk_tokens=32, stride_tokens=24,
+        idx_name="chunk_idx", out_name="chunk_text", len_name="n_tokens",
+    ).drop_columns(["chunk_text"])
+    out = salted_window_features(
+        chunks,
+        key="doc_id",
+        ts_col="chunk_idx",
+        ordinal_col="chunk_idx",
+        order_cols=["chunk_idx"],
+        specs=[
+            Expanding("n_tokens", aggs=("mean", "std"), prefix="cum"),
+            RowNumber(name="rn"),
+            Ewma("n_tokens", alpha=0.25, name="ew"),
+        ],
+        chunk_rows=4,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("ew"), "ew", pc.round(t["ew"], 6)
+        )
+
+    return out.map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(
+        ["doc_id", "chunk_idx", "n_tokens", "cum_mean", "cum_std", "rn", "ew"]
+    )
+
+
+QUERIES_ML["salted_cumulative_chunks"] = q_salted_cumulative_chunks
+ORACLE_SQL_ML["salted_cumulative_chunks"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tl
+      FROM documents),
+    mm AS (
+      SELECT doc_id, CAST(len(tl) AS BIGINT) AS m
+      FROM toks WHERE len(tl) > 0),
+    cc AS (
+      SELECT doc_id, m,
+             CASE WHEN m <= 32 THEN 1
+                  ELSE 1 + CAST(CEIL((m - 32) / 24.0) AS BIGINT) END AS n_chunks
+      FROM mm),
+    ch AS (
+      SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_idx,
+             LEAST(g.k * 24 + 32, m) - g.k * 24 AS n_tokens
+      FROM cc, LATERAL unnest(range(0, n_chunks)) AS g(k)),
+    w AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST(SUM(n_tokens) OVER uw AS DOUBLE) AS s,
+             CAST(SUM(n_tokens * n_tokens) OVER uw AS DOUBLE) AS q,
+             CAST(COUNT(*) OVER uw AS BIGINT) AS c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY chunk_idx) AS BIGINT) AS rn
+      FROM ch
+      WINDOW uw AS (PARTITION BY doc_id ORDER BY chunk_idx
+                    ROWS UNBOUNDED PRECEDING)),
+    rec AS (
+      SELECT doc_id, chunk_idx, rn,
+             CAST(n_tokens AS DOUBLE) AS ewma FROM w WHERE rn = 1
+      UNION ALL
+      SELECT w.doc_id, w.chunk_idx, w.rn,
+             CAST(0.25 AS DOUBLE) * w.n_tokens
+               + CAST(0.75 AS DOUBLE) * rec.ewma
+      FROM w JOIN rec ON w.doc_id = rec.doc_id AND w.rn = rec.rn + 1)
+    SELECT w.doc_id, w.chunk_idx, w.n_tokens,
+           w.s / w.c AS cum_mean,
+           CASE WHEN w.c >= 2 THEN
+             SQRT(GREATEST(w.q - w.s * w.s / GREATEST(w.c, 1), 0.0)
+                  / GREATEST(w.c - 1, 1))
+           END AS cum_std,
+           w.rn,
+           ROUND(rec.ewma, 6) AS ew
+    FROM w JOIN rec ON w.doc_id = rec.doc_id AND w.rn = rec.rn
+"""
+
+
 def q_global_value_percentiles(sf_dir: str):
     """Exact GLOBAL percentiles of the value cents (p50/p90/p99) without a
     global sort: the range-partitioned global rank assigns every row its

@@ -32,13 +32,23 @@ Exactness contract:
   (overlap >= 1), but session ids are a per-entity running count — repaired
   exactly by a cheap second phase: per-chunk ``session_start`` sums (a tiny
   aggregate) are prefix-summed per entity and added back as offsets.
-- ``Expanding(col, aggs ⊆ {count, sum, min, max})`` (running extrema /
-  cumulative counters): chunk-LOCAL expanding over real rows only, then the
-  same tiny second phase carries per-entity prefix state across chunks
-  (cumsum offsets for count/sum, exclusive cummin/cummax for min/max).
-  Exact for integer-valued columns; float sums reproduce the unsalted
-  result up to reassociation at chunk boundaries.  Expanding mean/std/last
-  (and Ewma/RowNumber) stay rejected.
+- ``Expanding(col, aggs)`` — ALL aggs: chunk-LOCAL expanding over real
+  rows only, then the same tiny second phase carries per-entity prefix
+  state across chunks.  count/sum/min/max combine directly (cumsum
+  offsets, exclusive cummin/cummax); mean/std derive from the repaired
+  (count, sum, sum-of-squares) prims; last carries the latest non-null
+  chunk aggregate forward (shift + ffill per entity).  Integer-fed
+  count/min/max/last are exact; float sums (and the mean/std derived from
+  them) reproduce the unsalted result up to float reassociation at chunk
+  boundaries.
+- ``RowNumber()``: chunk-local ordinal + per-entity prefix ROW counts —
+  exact.
+- ``Ewma(col, alpha)``: the recurrence is a linear map per chunk
+  (y_end = (1-a)^rows * y_in + z_end, z = the zero-seeded local walk), so
+  chunks compose by scanning those maps per entity in the tiny phase-2
+  metadata; per row y_i = z_i + (1-a)^(i+1) * y_in.  Matches the unsalted
+  walk up to float reassociation (~1e-12 relative); the (1-a)^rows factor
+  underflowing to 0.0 on huge chunks is the mathematically correct limit.
 
 The two-phase session repair checkpoints the featured table once
 (``materialize()``); in the backfill sink this checkpoint is the partitioned
@@ -136,24 +146,17 @@ def salted_window_features(
     :func:`feast_ray.stages.windows.add_window_features` exactly (modulo row
     order) under the overlap contract in the module docstring."""
     specs = list(specs)
-    _EXP_OK = {"count", "sum", "min", "max"}
-    expanding_specs = [
-        s for s in specs
-        if isinstance(s, Expanding) and set(s.aggs) <= _EXP_OK
-    ]
-    bad = [
-        s for s in specs
-        if isinstance(s, (Ewma, RowNumber))
-        or (isinstance(s, Expanding) and not set(s.aggs) <= _EXP_OK)
-    ]
-    if bad:
-        raise ValueError(
-            f"{[type(s).__name__ for s in bad]} need full entity history and "
-            "cannot run under bounded-overlap salting (Expanding is salted "
-            "only for the prefix-combinable aggs count/sum/min/max — the "
-            "running-extrema / cumulative family); compute the rest on the "
-            "unsalted path (their state is O(1) per entity, not O(rows))"
-        )
+    _EXP_OK = {"count", "sum", "min", "max", "mean", "std", "last"}
+    expanding_specs = [s for s in specs if isinstance(s, Expanding)]
+    ewma_specs = [s for s in specs if isinstance(s, Ewma)]
+    rownum_specs = [s for s in specs if isinstance(s, RowNumber)]
+    for e in expanding_specs:
+        unknown = set(e.aggs) - _EXP_OK
+        if unknown:
+            raise ValueError(f"unknown Expanding aggs {sorted(unknown)}")
+    for s in ewma_specs:
+        if not 0.0 < s.alpha <= 1.0:
+            raise ValueError("Ewma.alpha must be in (0, 1]")
     if (
         overlap_rows is None
         and time_rows_bound == 0
@@ -170,25 +173,38 @@ def salted_window_features(
         raise ValueError(f"overlap_rows ({ovl}) must be < chunk_rows ({chunk_rows})")
     session_specs = [s for s in specs if isinstance(s, Sessionize)]
     plain_specs = [
-        s for s in specs if not isinstance(s, (Sessionize, Expanding))
+        s for s in specs
+        if not isinstance(s, (Sessionize, Expanding, Ewma, RowNumber))
     ]
     want_lead = any(isinstance(s, Lead) for s in specs)
     rolling_time_specs = [s for s in specs if isinstance(s, RollingTime)]
     wk = make_window_kernel(plain_specs, ts_col) if plain_specs else None
-    # chunk-local expanding runs over REAL rows only (overlap copies would
-    # double-count prefix state); "sum" needs the running valid-count for
-    # its null mask, so count is always computed internally
-    exp_internal = [
-        Expanding(
-            e.col,
-            aggs=tuple(
-                list(e.aggs) + (["count"] if "count" not in e.aggs else [])
-            ),
-            prefix=e.prefix,
+    # Chunk-local cumulative PRIMS run over REAL rows only (overlap copies
+    # would double-count prefix state); each declared Expanding agg is
+    # derived in phase 2 from prefix-combinable prims: count always (null
+    # masks), sum for sum/mean/std, sum-of-squares (expanding sum over a
+    # derived x^2 column) for std, min/max/last as requested.
+    exp_plan: list[tuple] = []  # (spec, internal_prefix, prims, sq_col)
+    sq_cols: dict[str, str] = {}
+    for i, e in enumerate(expanding_specs):
+        a = set(e.aggs)
+        prims = {"count"}
+        if a & {"sum", "mean", "std"}:
+            prims.add("sum")
+        if "std" in a:
+            prims.add("sumsq")
+        prims |= a & {"min", "max", "last"}
+        sq = sq_cols.setdefault(e.col, f"__sq_{e.col}") if "sumsq" in prims else None
+        exp_plan.append((e, f"__p{i}", prims, sq))
+    exp_internal: list[Expanding] = []
+    for e, pfx, prims, sq in exp_plan:
+        exp_internal.append(
+            Expanding(e.col, aggs=tuple(sorted(prims - {"sumsq"})), prefix=pfx)
         )
-        for e in expanding_specs
-    ]
+        if sq is not None:
+            exp_internal.append(Expanding(sq, aggs=("sum",), prefix=f"{pfx}sq"))
     wk_exp = make_window_kernel(exp_internal, ts_col) if exp_internal else None
+    need_lrn = bool(rownum_specs or ewma_specs)
 
     def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
         if rolling_time_specs and t.num_rows:
@@ -199,6 +215,10 @@ def salted_window_features(
             out = _append_session_cols(out, session_specs, empty=True)
             if exp_internal:
                 out = _empty_with_spec_columns(out, exp_internal)
+            if need_lrn:
+                out = out.append_column("__lrn", pa.array([], pa.int64()))
+            for s in ewma_specs:
+                out = out.append_column(f"__z_{s.out}", pa.array([], pa.float64()))
             return out.drop_columns([OVL_COL])
         if session_specs:
             ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -223,19 +243,42 @@ def salted_window_features(
         gstart_all = starts_to_row_gstart(starts)
         kept_group = gstart_all[keep_idx]  # original group id (start offset) per kept row
         out = out.take(pa.array(keep_idx))
+        m = out.num_rows
+        if m:
+            first_of_group = np.ones(m, dtype=bool)
+            first_of_group[1:] = kept_group[1:] != kept_group[:-1]
+            starts_kept = np.concatenate(
+                (np.flatnonzero(first_of_group), [m])
+            ).astype(np.int64)
         if exp_internal:
-            if out.num_rows:
-                change = np.flatnonzero(kept_group[1:] != kept_group[:-1]) + 1
-                starts_kept = np.concatenate(
-                    ([0], change, [out.num_rows])
-                ).astype(np.int64)
+            if m:
                 out = wk_exp(out, starts_kept)
             else:
                 out = _empty_with_spec_columns(out, exp_internal)
-        if session_specs and out.num_rows:
-            m = out.num_rows
-            first_of_group = np.ones(m, dtype=bool)
-            first_of_group[1:] = kept_group[1:] != kept_group[:-1]
+        if need_lrn:
+            if m:
+                ar = np.arange(m, dtype=np.int64)
+                gpos = np.maximum.accumulate(np.where(first_of_group, ar, 0))
+                out = out.append_column("__lrn", pa.array(ar - gpos + 1))
+            else:
+                out = out.append_column("__lrn", pa.array([], pa.int64()))
+        for s in ewma_specs:
+            if not m:
+                out = out.append_column(f"__z_{s.out}", pa.array([], pa.float64()))
+                continue
+            col = out[s.col].combine_chunks()
+            if col.null_count:
+                raise ValueError(f"{s.col} has nulls; ewma over nulls is undefined")
+            # zero-seeded local walk: z_0 = a*x_0 achieved by scaling each
+            # chunk's first element (the recurrence is identical afterwards)
+            x = col.cast(pa.float64()).to_numpy(zero_copy_only=False).copy()
+            x[starts_kept[:-1]] *= s.alpha
+            from feast_ray.stages.windows import ewma_walk
+
+            out = out.append_column(
+                f"__z_{s.out}", pa.array(ewma_walk(x, starts_kept, s.alpha))
+            )
+        if session_specs and m:
             for spec in session_specs:
                 sf = out[f"__start_{spec.name}"].combine_chunks().to_numpy(zero_copy_only=False)
                 cs = np.cumsum(sf)
@@ -244,11 +287,15 @@ def salted_window_features(
                 out = out.append_column(f"__local_{spec.name}", pa.array(cs - base - 1))
         return out.drop_columns([OVL_COL])
 
-    tagged = ds.map_batches(
-        lambda t: _salt_and_overlap(t, ordinal_col, chunk_rows, ovl, want_lead),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    def tag(t: pa.Table) -> pa.Table:
+        # derived x^2 columns (expanding std prims) ride along with salt +
+        # overlap copies; float64 first so integer columns cannot overflow
+        for col, sq in sq_cols.items():
+            c = t[col].cast(pa.float64())
+            t = t.append_column(sq, pc.multiply(c, c))
+        return _salt_and_overlap(t, ordinal_col, chunk_rows, ovl, want_lead)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     featured = grouped_map(
         tagged,
         [key, SALT_COL],
@@ -256,7 +303,7 @@ def salted_window_features(
         sort_keys=list(order_cols),
         num_buckets=num_buckets,
     )
-    if not session_specs and not expanding_specs:
+    if not (session_specs or expanding_specs or rownum_specs or ewma_specs):
         return featured.drop_columns([SALT_COL])
 
     # Phase 2: exact session-id repair — prefix-sum per-entity chunk start
@@ -266,42 +313,55 @@ def salted_window_features(
 
     featured = featured.materialize()
 
-    # per-column chunk aggregates the expanding repair needs
-    exp_needs: dict[str, set] = {}
-    for e in expanding_specs:
-        need = exp_needs.setdefault(e.col, set())
-        need.update(e.aggs)
-        if "sum" in e.aggs or "count" in e.aggs:
-            need.add("count")
-
+    # Per-chunk aggregates the phase-2 repair needs, keyed by SPEC index
+    # (the same column may appear in several Expanding specs).
     agg_ops: dict[str, str] = {}
     for spec in session_specs:
         agg_ops[f"__start_{spec.name}"] = "sum"
-    for col, need in exp_needs.items():
-        if "count" in need:
-            agg_ops[f"__ecnt_{col}"] = "sum"
-        if "sum" in need:
-            agg_ops[f"__esum_{col}"] = "sum"
-        if "min" in need:
-            agg_ops[f"__emin_{col}"] = "min"
-        if "max" in need:
-            agg_ops[f"__emax_{col}"] = "max"
+    for e, pfx, prims, sq in exp_plan:
+        if "count" in prims:
+            agg_ops[f"__ecnt_{pfx}"] = "sum"
+        if "sum" in prims:
+            agg_ops[f"__esum_{pfx}"] = "sum"
+        if "sumsq" in prims:
+            agg_ops[f"__esq_{pfx}"] = "sum"
+        if "min" in prims:
+            agg_ops[f"__emin_{pfx}"] = "min"
+        if "max" in prims:
+            agg_ops[f"__emax_{pfx}"] = "max"
+        if "last" in prims:
+            agg_ops[f"__elast_{pfx}"] = "last"
+    if need_lrn:
+        agg_ops["__nrows"] = "sum"
+    for s in ewma_specs:
+        agg_ops[f"__zend_{s.out}"] = "last"
+        agg_ops[f"__xfirst_{s.out}"] = "first"
 
     def partial_counts(t: pa.Table) -> pa.Table:
         cols = {key: t[key], SALT_COL: t[SALT_COL]}
         for spec in session_specs:
             cols[f"__start_{spec.name}"] = t[f"__start_{spec.name}"]
         pdf = pa.table(cols).to_pandas()
-        for col, need in exp_needs.items():
-            ser = t[col].to_pandas()
-            if "count" in need:
-                pdf[f"__ecnt_{col}"] = ser.notna().astype("int64")
-            if "sum" in need:
-                pdf[f"__esum_{col}"] = ser.astype("float64").fillna(0.0)
-            if "min" in need:
-                pdf[f"__emin_{col}"] = ser.astype("float64")
-            if "max" in need:
-                pdf[f"__emax_{col}"] = ser.astype("float64")
+        for e, pfx, prims, sq in exp_plan:
+            ser = t[e.col].to_pandas()
+            if "count" in prims:
+                pdf[f"__ecnt_{pfx}"] = ser.notna().astype("int64")
+            if "sum" in prims:
+                pdf[f"__esum_{pfx}"] = ser.astype("float64").fillna(0.0)
+            if "sumsq" in prims:
+                sf = ser.astype("float64")
+                pdf[f"__esq_{pfx}"] = (sf * sf).fillna(0.0)
+            if "min" in prims:
+                pdf[f"__emin_{pfx}"] = ser.astype("float64")
+            if "max" in prims:
+                pdf[f"__emax_{pfx}"] = ser.astype("float64")
+            if "last" in prims:
+                pdf[f"__elast_{pfx}"] = ser.astype("float64")
+        if need_lrn:
+            pdf["__nrows"] = np.ones(t.num_rows, dtype=np.int64)
+        for s in ewma_specs:
+            pdf[f"__zend_{s.out}"] = t[f"__z_{s.out}"].to_pandas()
+            pdf[f"__xfirst_{s.out}"] = t[s.col].to_pandas().astype("float64")
         agg = pdf.groupby([key, SALT_COL], as_index=False).agg(agg_ops)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
@@ -319,31 +379,60 @@ def salted_window_features(
         off_df[f"__off_{spec.name}"] = (
             meta.groupby(key)[col].cumsum() - meta[col]
         ).astype(np.int64)
-    for col, need in exp_needs.items():
-        g = meta.groupby(key)
-        if "count" in need:
-            c = f"__ecnt_{col}"
-            off_df[f"__offcnt_{col}"] = (g[c].cumsum() - meta[c]).astype(np.int64)
-        if "sum" in need:
-            c = f"__esum_{col}"
-            off_df[f"__offsum_{col}"] = g[c].cumsum() - meta[c]
+    g = meta.groupby(key)
+    for e, pfx, prims, sq in exp_plan:
+        if "count" in prims:
+            c = f"__ecnt_{pfx}"
+            off_df[f"__offcnt_{pfx}"] = (g[c].cumsum() - meta[c]).astype(np.int64)
+        if "sum" in prims:
+            c = f"__esum_{pfx}"
+            off_df[f"__offsum_{pfx}"] = g[c].cumsum() - meta[c]
+        if "sumsq" in prims:
+            c = f"__esq_{pfx}"
+            off_df[f"__offsq_{pfx}"] = g[c].cumsum() - meta[c]
         # An all-null chunk yields a NaN chunk aggregate; pandas cummin/cummax
         # would emit NaN AT that chunk, so shift(1) hands the NEXT chunk a NaN
         # prefix and the earlier running extremum is lost.  Fill with +/-inf so
         # the running extremum carries through null chunks, then map the
         # sentinel (and the per-entity first chunk) back to NaN.
-        if "min" in need:
-            filled = meta[f"__emin_{col}"].fillna(np.inf)
+        if "min" in prims:
+            filled = meta[f"__emin_{pfx}"].fillna(np.inf)
             pre = filled.groupby(meta[key]).cummin().shift(1).to_numpy(dtype=float)
             pre[first_of_entity] = np.nan
             pre[np.isposinf(pre)] = np.nan
-            off_df[f"__premin_{col}"] = pre
-        if "max" in need:
-            filled = meta[f"__emax_{col}"].fillna(-np.inf)
+            off_df[f"__premin_{pfx}"] = pre
+        if "max" in prims:
+            filled = meta[f"__emax_{pfx}"].fillna(-np.inf)
             pre = filled.groupby(meta[key]).cummax().shift(1).to_numpy(dtype=float)
             pre[first_of_entity] = np.nan
             pre[np.isneginf(pre)] = np.nan
-            off_df[f"__premax_{col}"] = pre
+            off_df[f"__premax_{pfx}"] = pre
+        # last: latest non-null chunk aggregate among PRECEDING chunks —
+        # shift(1) within the entity, then ffill within the entity so
+        # all-null chunks pass the carry through
+        if "last" in prims:
+            pre = g[f"__elast_{pfx}"].shift(1)
+            pre = pre.groupby(meta[key]).ffill().to_numpy(dtype=float)
+            off_df[f"__prelast_{pfx}"] = pre
+    if need_lrn:
+        off_df["__offrows"] = (
+            g["__nrows"].cumsum() - meta["__nrows"]
+        ).astype(np.int64)
+    # Ewma composes per chunk as the linear map y_end = (1-a)^rows * y_in
+    # + z_end; scan the maps per entity over the tiny metadata (one row per
+    # entity-chunk).  y_in of the FIRST chunk is the entity's first value:
+    # z_0 + (1-a)*x_0 = a*x_0 + (1-a)*x_0 = x_0, the unsalted seed.
+    for s in ewma_specs:
+        zend = meta[f"__zend_{s.out}"].to_numpy(dtype=float)
+        xfirst = meta[f"__xfirst_{s.out}"].to_numpy(dtype=float)
+        nrows = meta["__nrows"].to_numpy(dtype=np.int64)
+        decay = 1.0 - s.alpha
+        yin = np.empty(len(meta), dtype=float)
+        prev_end = 0.0
+        for i in range(len(meta)):
+            yin[i] = xfirst[i] if first_of_entity[i] else prev_end
+            prev_end = zend[i] + decay ** int(nrows[i]) * yin[i]
+        off_df[f"__yin_{s.out}"] = yin
     off_ref = ray.put(off_df)
 
     def _np(arr) -> np.ndarray:
@@ -362,33 +451,76 @@ def salted_window_features(
             )
             out = out.append_column(spec.name, pa.array(base + local))
             out = out.drop_columns([f"__local_{spec.name}", f"__start_{spec.name}"])
-        for e in expanding_specs:
-            cnt_name = e.out("count")
-            local_cnt = _np(out[cnt_name]).astype(np.int64)
-            offcnt = (
-                merged[f"__offcnt_{e.col}"].fillna(0).to_numpy(dtype=np.int64)
-                if f"__offcnt_{e.col}" in merged
-                else np.zeros(out.num_rows, np.int64)
-            )
+        drop_internal: list[str] = []
+        for e, pfx, prims, sq in exp_plan:
+            local_cnt = _np(out[f"{pfx}_count"]).astype(np.int64)
+            offcnt = merged[f"__offcnt_{pfx}"].fillna(0).to_numpy(dtype=np.int64)
             total_cnt = local_cnt + offcnt
+            total_sum = total_q = None
+            if "sum" in prims:
+                lf = _np(out[f"{pfx}_sum"])
+                offsum = merged[f"__offsum_{pfx}"].fillna(0.0).to_numpy(dtype=float)
+                total_sum = np.where(np.isnan(lf), 0.0, lf) + offsum
+            if "sumsq" in prims:
+                lq = _np(out[f"{pfx}sq_sum"])
+                offsq = merged[f"__offsq_{pfx}"].fillna(0.0).to_numpy(dtype=float)
+                total_q = np.where(np.isnan(lq), 0.0, lq) + offsq
             for a in e.aggs:
                 name = e.out(a)
-                i = out.column_names.index(name)
                 if a == "count":
-                    out = out.set_column(i, name, pa.array(total_cnt))
+                    out = out.append_column(name, pa.array(total_cnt))
                 elif a == "sum":
-                    lf = _np(out[name])
-                    offsum = merged[f"__offsum_{e.col}"].fillna(0.0).to_numpy(dtype=float)
-                    v = np.where(np.isnan(lf), 0.0, lf) + offsum
-                    out = out.set_column(i, name, pa.array(v, mask=total_cnt == 0))
+                    out = out.append_column(
+                        name, pa.array(total_sum, mask=total_cnt == 0)
+                    )
+                elif a == "mean":
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        v = total_sum / total_cnt
+                    out = out.append_column(name, pa.array(v, mask=total_cnt == 0))
+                elif a == "std":  # sample stddev — rolling_aggs' formula
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        var = np.maximum(
+                            total_q - total_sum * total_sum / np.maximum(total_cnt, 1),
+                            0.0,
+                        ) / np.maximum(total_cnt - 1, 1)
+                    out = out.append_column(
+                        name, pa.array(np.sqrt(var), mask=total_cnt < 2)
+                    )
                 elif a == "min":
-                    v = np.fmin(_np(out[name]), merged[f"__premin_{e.col}"].to_numpy(dtype=float))
-                    out = out.set_column(i, name, pa.array(v, mask=np.isnan(v)))
+                    v = np.fmin(
+                        _np(out[f"{pfx}_min"]),
+                        merged[f"__premin_{pfx}"].to_numpy(dtype=float),
+                    )
+                    out = out.append_column(name, pa.array(v, mask=np.isnan(v)))
                 elif a == "max":
-                    v = np.fmax(_np(out[name]), merged[f"__premax_{e.col}"].to_numpy(dtype=float))
-                    out = out.set_column(i, name, pa.array(v, mask=np.isnan(v)))
-            if "count" not in e.aggs:
-                out = out.drop_columns([cnt_name])
+                    v = np.fmax(
+                        _np(out[f"{pfx}_max"]),
+                        merged[f"__premax_{pfx}"].to_numpy(dtype=float),
+                    )
+                    out = out.append_column(name, pa.array(v, mask=np.isnan(v)))
+                elif a == "last":
+                    lf = _np(out[f"{pfx}_last"])
+                    pre = merged[f"__prelast_{pfx}"].to_numpy(dtype=float)
+                    v = np.where(np.isnan(lf), pre, lf)
+                    out = out.append_column(name, pa.array(v, mask=np.isnan(v)))
+            drop_internal += [f"{pfx}_{p}" for p in sorted(prims - {"sumsq"})]
+            if sq is not None:
+                drop_internal.append(f"{pfx}sq_sum")
+        for rn in rownum_specs:
+            lrn = _np(out["__lrn"]).astype(np.int64)
+            offrows = merged["__offrows"].fillna(0).to_numpy(dtype=np.int64)
+            out = out.append_column(rn.name, pa.array(lrn + offrows))
+        for s in ewma_specs:
+            z = _np(out[f"__z_{s.out}"])
+            lrn = _np(out["__lrn"]).astype(np.int64)
+            yin = merged[f"__yin_{s.out}"].fillna(0.0).to_numpy(dtype=float)
+            y = z + np.power(1.0 - s.alpha, lrn.astype(np.float64)) * yin
+            out = out.append_column(s.out, pa.array(y))
+            drop_internal.append(f"__z_{s.out}")
+        if need_lrn:
+            drop_internal.append("__lrn")
+        drop_internal += [c for c in sq_cols.values() if c in out.column_names]
+        out = out.drop_columns([c for c in dict.fromkeys(drop_internal)])
         return out.drop_columns([SALT_COL])
 
     return featured.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -233,13 +233,42 @@ def test_salted_rolling_time_bound_violation_raises(ray_session):
     _cmp(got, want)
 
 
-def test_salted_expanding_mean_still_rejected(ray_session, hot_ds):
+def test_salted_full_spec_family_equals_unsalted(ray_session, hot_ds):
+    """Round 4: EVERY window spec now runs under hot-entity salting —
+    Expanding mean/std/last (derived from repaired prims), RowNumber
+    (row-count offsets) and Ewma (per-chunk linear-map scan) must match
+    the unsalted path (floats via isclose — chunk combination reassociates
+    float sums)."""
+    from feast_ray.stages.windows import Ewma, Expanding, RowNumber
+
+    specs = [
+        Lag("msg_len", 1),
+        Expanding(
+            "msg_len",
+            aggs=("count", "sum", "mean", "std", "min", "max", "last"),
+            prefix="run",
+        ),
+        RowNumber(name="rn"),
+        Ewma("msg_len", alpha=0.25, name="ew"),
+        Sessionize(1800 * 1_000_000),
+    ]
+    want = add_window_features(
+        hot_ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"], specs=specs
+    ).to_pandas()
+    got = salted_window_features(
+        hot_ds, specs=specs, chunk_rows=40, overlap_rows=4
+    ).to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    _cmp(got, want)
+
+
+def test_salted_expanding_unknown_agg_rejected(ray_session, hot_ds):
     from feast_ray.stages.windows import Expanding
 
-    with pytest.raises(ValueError, match="count/sum/min/max"):
+    with pytest.raises(ValueError, match="unknown Expanding aggs"):
         salted_window_features(
             hot_ds,
-            specs=[Expanding("msg_len", aggs=("mean",))],
+            specs=[Expanding("msg_len", aggs=("median",))],
             chunk_rows=32,
             overlap_rows=2,
         )

@@ -212,14 +212,19 @@ def test_salt_and_stream_reject_full_history_specs(ray_session, transcripts_tbl)
     from feast_ray.state.turn_buffer import TurnShardActor
 
     ds = rd.from_arrow(transcripts_tbl)
-    # Expanding count/sum/min/max is now salted-exact via the two-phase
-    # prefix repair (test_salt.py); mean/std/last remain rejected
-    with _pytest.raises(ValueError):
+    # Round 4: EVERY Expanding agg + RowNumber + Ewma run salted-exact via
+    # the two-phase prefix repair (parity in test_salt.py); only genuinely
+    # unknown aggs are rejected
+    with _pytest.raises(ValueError, match="unknown Expanding aggs"):
         salted_window_features(
-            ds, specs=[Expanding("turn_idx", aggs=("mean",))], chunk_rows=64
+            ds, specs=[Expanding("turn_idx", aggs=("median",))], chunk_rows=64
         )
-    with _pytest.raises(ValueError):
-        salted_window_features(ds, specs=[RowNumber()], chunk_rows=64)
+    got = salted_window_features(
+        ds, specs=[RowNumber(name="rn")], chunk_rows=64
+    ).to_pandas()
+    assert len(got) == transcripts_tbl.num_rows and (got["rn"] >= 1).all()
+    # the STREAMING shard actor still rejects full-history specs (its state
+    # is bounded per conv; unbounded history stays a batch-path feature)
     a = TurnShardActor.remote([RowNumber()])
     with _pytest.raises(Exception):
         ray.get(a.stats.remote())
@@ -422,11 +427,14 @@ def test_salt_and_stream_reject_ewma(ray_session, transcripts_tbl):
     from feast_ray.state.turn_buffer import TurnShardActor
 
     ds = rd.from_arrow(transcripts_tbl)
-    with _pytest.raises(ValueError, match="full entity history"):
-        salted_window_features(
-            ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"],
-            specs=[Ewma("turn_idx", alpha=0.5)], chunk_rows=10,
-        )
+    # Round 4: Ewma runs salted via the per-chunk linear-map scan — parity
+    # vs the unsalted walk in test_salt.py; here just prove it executes
+    got = salted_window_features(
+        ds, key="conv_id", ts_col="ts", order_cols=["ts", "turn_idx"],
+        specs=[Ewma("turn_idx", alpha=0.5)], chunk_rows=10,
+    ).to_pandas()
+    assert len(got) == transcripts_tbl.num_rows
+    # the streaming shard actor still rejects it (bounded per-conv state)
     a = TurnShardActor.remote(specs=[Ewma("turn_idx", alpha=0.5)])
     with _pytest.raises(Exception, match="full-history"):
         ray.get(a.__ray_ready__.remote())
