@@ -2131,3 +2131,50 @@ ORACLE_SQL_DOCS["word_stats_docs"] = """
              AS mean_word_len
     FROM d
 """
+
+
+def q_dup_span_docs(sf_dir: str):
+    """Duplicated-span coverage per document (exact-substring dedup
+    evidence, Lee et al. 2022): which fraction of each doc is covered by
+    5-token windows that also occur verbatim in another document —
+    merged-interval union, not window double-counting
+    (``stages.decontam.dup_span_coverage``)."""
+    from feast_ray.stages.decontam import dup_span_coverage
+
+    return dup_span_coverage(_docs(sf_dir), w=5)
+
+
+QUERIES_DOCS["dup_span_docs"] = q_dup_span_docs
+ORACLE_SQL_DOCS["dup_span_docs"] = """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    tok AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, l FROM lt),
+    win AS (
+      SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+             array_to_string(l[g.i:g.i+4], ' ') AS s
+      FROM tok, LATERAL unnest(range(1, n_tokens - 5 + 2)) AS g(i)
+      WHERE n_tokens >= 5),
+    dup AS (SELECT s FROM win GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    dwin AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (s)),
+    cov AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT tp) AS BIGINT) AS covered FROM (
+        SELECT d.doc_id, d.pos + u.j AS tp
+        FROM dwin d, LATERAL unnest(range(0, 5)) AS u(j))
+      GROUP BY doc_id),
+    nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+           FROM dwin GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           CAST(GREATEST(t.n_tokens - 5 + 1, 0) AS BIGINT) AS n_windows,
+           COALESCE(nd.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(cov.covered, 0) AS covered_tokens,
+           CASE WHEN t.n_tokens > 0
+                THEN ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+                           / t.n_tokens, 6)
+                ELSE 0.0 END AS covered_frac
+    FROM tok t
+    LEFT JOIN nd USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+"""

@@ -2773,3 +2773,49 @@ ORACLE_SQL_ML["value_by_session_position"] = f"""
            CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
     FROM r GROUP BY position
 """
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embedding
+    table: assign each vector to its nearest of k=8 deterministic
+    centroids (the k lowest-id embeddings), then within each cluster mark
+    a vector duplicate iff a LOWER-id cluster-mate has cosine >= tau.
+    Clustering bounds the quadratic verify to per-cluster blocks — the
+    100-TB path for semantic dedup (``stages.dedup.semdedup``)."""
+    from feast_ray.stages.dedup import semdedup
+
+    vecs = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup(vecs, id_col="vec_id", k=8, tau=EMB_CLUSTER_TAU)
+
+
+QUERIES_ML["semdedup_embeddings"] = q_semdedup_embeddings
+ORACLE_SQL_ML["semdedup_embeddings"] = """
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cidx,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+    asg AS (
+      SELECT e.vec_id, c.cidx,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    best AS (
+      SELECT vec_id, cidx AS cluster_id FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cidx) AS rn
+        FROM asg) WHERE rn = 1),
+    low AS (
+      SELECT b.vec_id,
+             MAX(ROUND(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                              e2.embedding::DOUBLE[]),
+                       6)) AS max_lower_cos
+      FROM best b
+      JOIN best b2 ON b2.cluster_id = b.cluster_id AND b2.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = b.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b2.vec_id
+      GROUP BY b.vec_id)
+    SELECT b.vec_id, b.cluster_id, l.max_lower_cos,
+           CAST(CASE WHEN COALESCE(l.max_lower_cos, -2) >= 0.4
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM best b LEFT JOIN low l USING (vec_id)
+"""

@@ -213,3 +213,195 @@ def crossdoc_shingle_stats(
         )
 
     return grouped_map(tagged, [id_col], count_kernel, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (exact substring dedup evidence, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def shingle_pos_batch(
+    t: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    pattern: str = SPLIT_RE,
+) -> pa.Table:
+    """``(id, pos, shingle)`` rows — like :func:`shingle_batch` but also
+    emitting each shingle's 0-based starting TOKEN position within its
+    document, needed for span-coverage math."""
+    col = t[text_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    n_flat = len(flat)
+    empty = pa.table(
+        {
+            id_col: pa.array([], t[id_col].type),
+            "pos": pa.array([], pa.int64()),
+            "shingle": pa.array([], pa.string()),
+        }
+    )
+    if n_flat < w:
+        return empty
+    valid = parent[: n_flat - w + 1] == parent[w - 1 :]
+    if not valid.any():
+        return empty
+    parts = [flat.slice(j, n_flat - w + 1) for j in range(w)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, " ")
+    # token position within the doc: global flat index minus the doc's
+    # first flat index (parent is nondecreasing -> searchsorted)
+    starts_idx = np.arange(n_flat - w + 1, dtype=np.int64)[valid]
+    par = parent[: n_flat - w + 1][valid]
+    first_of_parent = np.searchsorted(parent, par, side="left")
+    sel = pa.array(valid)
+    ids_col = t[id_col]
+    ids_col = ids_col.combine_chunks() if isinstance(ids_col, pa.ChunkedArray) else ids_col
+    return pa.table(
+        {
+            id_col: pc.take(ids_col, pa.array(par)),
+            "pos": pa.array(starts_idx - first_of_parent),
+            "shingle": joined.filter(sel),
+        }
+    )
+
+
+def dup_span_coverage(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    pattern: str = SPLIT_RE,
+    num_buckets: Optional[int] = None,
+):
+    """Per-document duplicated-SPAN coverage — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): a w-token window is *duplicated* iff its token text
+    occurs in >= 2 distinct documents; a document's ``covered_tokens`` is
+    the size of the UNION of its duplicated windows' [pos, pos+w) spans
+    (merged intervals, not double-counted), and ``covered_frac`` the
+    fraction of the doc those spans cover — the quantity dedup policies
+    threshold on before cutting repeated boilerplate.
+
+    Distribution: one shingle-keyed exchange tags each window duplicated
+    (group spans >= 2 docs), one doc-keyed exchange merges each doc's
+    sorted window positions with the closed-form union
+    ``sum(min(gap, w)) + w`` — no per-row Python, no driver state.  Text
+    leaves the pipeline after the shingle map; only (id, pos) int64 rows
+    shuffle to the coverage stage.
+    """
+    from feast_ray.grouped import starts_to_group_index, starts_to_row_gstart
+    from feast_ray.stages.join import equi_join
+
+    sh = docs.map_batches(
+        lambda t: shingle_pos_batch(
+            t, text_col=text_col, id_col=id_col, w=w, pattern=pattern
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def tag_dup(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # rows sorted by (shingle, id): a group is dup iff it has >= 2
+        # distinct ids -> any within-group id transition
+        gidx = starts_to_group_index(starts)
+        trans = np.zeros(len(ids), dtype=bool)
+        trans[1:] = (ids[1:] != ids[:-1]) & (gidx[1:] == gidx[:-1])
+        dup_group = np.zeros(len(starts) - 1, dtype=bool)
+        np.logical_or.at(dup_group, gidx, trans)
+        m = dup_group[gidx]
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().filter(pa.array(m)),
+                "pos": t["pos"].combine_chunks().filter(pa.array(m)),
+            }
+        )
+
+    dup_wins = grouped_map(
+        sh, ["shingle"], tag_dup, sort_keys=[id_col], num_buckets=num_buckets
+    )
+
+    def cov_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_dup_windows": pa.array([], pa.int64()),
+                    "covered_tokens": pa.array([], pa.int64()),
+                }
+            )
+        p = t["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        gstart = starts_to_row_gstart(starts)
+        contrib = np.full(len(p), w, dtype=np.int64)
+        inner = np.arange(len(p)) > gstart  # not the group's first window
+        contrib[inner] = np.minimum(p[inner] - p[np.flatnonzero(inner) - 1], w)
+        covered = np.add.reduceat(contrib, starts[:-1])
+        return pa.table(
+            {
+                id_col: pc.take(
+                    t[id_col].combine_chunks(), pa.array(starts[:-1])
+                ),
+                "n_dup_windows": pa.array(np.diff(starts).astype(np.int64)),
+                "covered_tokens": pa.array(covered),
+            }
+        )
+
+    cov = grouped_map(
+        dup_wins, [id_col], cov_kernel, sort_keys=["pos"], num_buckets=num_buckets
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        # count non-empty tokens per row: flatten once, reduce by parent
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        cnt = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(cnt, parent[keep], 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(cnt),
+                "n_windows": pa.array(np.maximum(cnt - w + 1, 0)),
+            }
+        )
+
+    tot = docs.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    joined = equi_join(tot, cov, keys=[id_col], how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nd = pc.coalesce(t["n_dup_windows"].combine_chunks(), pa.scalar(0, pa.int64()))
+        cv = pc.coalesce(t["covered_tokens"].combine_chunks(), pa.scalar(0, pa.int64()))
+        ntok = t["n_tokens"].combine_chunks()
+        frac = np.zeros(t.num_rows, dtype=np.float64)
+        ntok_np = ntok.to_numpy(zero_copy_only=False).astype(np.float64)
+        cv_np = cv.to_numpy(zero_copy_only=False).astype(np.float64)
+        nz = ntok_np > 0
+        frac[nz] = np.round(cv_np[nz] / ntok_np[nz], 6)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": ntok,
+                "n_windows": t["n_windows"],
+                "n_dup_windows": nd,
+                "covered_tokens": cv,
+                "covered_frac": pa.array(frac),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

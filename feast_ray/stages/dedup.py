@@ -1084,3 +1084,126 @@ def _embedding_pairs_lsh(
         )
 
     return grouped_map(bucketed, ["__bk"], kernel, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-threshold semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    tau: float = 0.9,
+    round_digits: int = 6,
+    num_buckets: Optional[int] = None,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest of ``k`` centroids, then WITHIN each
+    cluster mark a vector a duplicate iff some lower-id cluster-mate has
+    cosine similarity >= ``tau`` with it.  Clustering bounds the pairwise
+    work to per-cluster blocks — the published trick that makes semantic
+    dedup tractable at corpus scale (quadratic only within a cluster; at
+    100 TB size ``k`` ~ sqrt(n) so cluster blocks stay worker-sized).
+
+    Centroids are DETERMINISTIC: the (normalized) embeddings of the ``k``
+    lowest ids — reproducible on any cluster shape and expressible in the
+    SQL twin.  Assignment is argmax rounded cosine with ties to the lowest
+    centroid index (numpy argmax == SQL ``ORDER BY cs DESC, cidx``).
+
+    Plan: per-block local-k head -> tiny sort/limit for the centroid rows
+    (k rows on the driver, never the corpus), ``ray.put`` broadcast ->
+    one matmul per batch to assign -> ONE hash shuffle by cluster ->
+    per-cluster lower-triangular max via a single matmul per group.
+
+    Output: one row per vector — ``(id, cluster_id, max_lower_cos,
+    is_dup)`` with ``max_lower_cos`` null for each cluster's lowest id.
+    The Feast reference has no semantic dedup (SURVEY §2.7); this is a
+    training-data-pipeline component per the task brief.
+    """
+    import ray
+
+    from feast_ray.stages.similarity import _embedding_matrix
+
+    def local_head(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t.select([id_col, emb_col])
+        idx = pc.select_k_unstable(
+            t, k, sort_keys=[(id_col, "ascending")]
+        )
+        return t.select([id_col, emb_col]).take(idx)
+
+    head = ds.map_batches(
+        local_head, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(id_col).limit(k).take_all()  # exactly k rows of (id, vec)
+    cent = np.stack(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in head]
+    )
+    cnorm = np.linalg.norm(cent, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cent = cent / cnorm[:, None]
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        out = t.select([id_col, emb_col])
+        if t.num_rows == 0:
+            return out.append_column("__cluster", pa.array([], pa.int64()))
+        mat = _embedding_matrix(t[emb_col]).astype(np.float64)
+        nm = np.linalg.norm(mat, axis=1)
+        nm[nm == 0] = 1.0
+        cs = np.round((mat / nm[:, None]) @ c.T, round_digits)
+        return out.append_column(
+            "__cluster", pa.array(np.argmax(cs, axis=1).astype(np.int64))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("cluster_id", pa.int64()),
+            ("max_lower_cos", pa.float64()),
+            ("is_dup", pa.int64()),
+        ]
+    )
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["__cluster"].combine_chunks().to_numpy(zero_copy_only=False)
+        emb = t[emb_col].combine_chunks()
+        o_id, o_cl, o_mx = [], [], []
+        for g in range(len(starts) - 1):
+            lo, hi = int(starts[g]), int(starts[g + 1])
+            mat = _embedding_matrix(emb.slice(lo, hi - lo)).astype(np.float64)
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            mat = mat / nm[:, None]
+            cs = np.round(mat @ mat.T, round_digits)
+            # rows are id-sorted inside the group: max over the strict
+            # lower triangle = max cos to any LOWER-id cluster-mate
+            np.fill_diagonal(cs, -np.inf)
+            cs[np.triu_indices(len(cs), k=1)] = -np.inf
+            mx = cs.max(axis=1)
+            mx[0] = np.nan  # lowest id has no lower-id mate
+            o_id.append(ids[lo:hi]); o_cl.append(np.full(hi - lo, cl[lo])); o_mx.append(mx)
+        mxv = np.concatenate(o_mx)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(o_id)),
+                "cluster_id": pa.array(np.concatenate(o_cl).astype(np.int64)),
+                "max_lower_cos": pa.array(mxv, pa.float64(), from_pandas=True),
+                "is_dup": pa.array(
+                    np.where(np.isnan(mxv), 0, mxv >= tau).astype(np.int64)
+                ),
+            }
+        )
+
+    return grouped_map(
+        assigned, ["__cluster"], kernel, sort_keys=[id_col], num_buckets=num_buckets
+    )
