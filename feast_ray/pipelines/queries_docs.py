@@ -2178,3 +2178,31 @@ ORACLE_SQL_DOCS["dup_span_docs"] = """
     LEFT JOIN nd USING (doc_id)
     LEFT JOIN cov USING (doc_id)
 """
+
+
+def q_bloom_decontam_docs(sf_dir: str):
+    """Bloom-prefiltered benchmark decontamination — identical contract to
+    ``decontam_docs`` (same split, same 4-token shingles, same oracle) but
+    the training shingles pass a broadcast Bloom bitmap of the eval set
+    BEFORE the exchange, shrinking the shuffle to contaminated +
+    false-positive shingles; the exact semi-join then removes Bloom FPs so
+    the answer is unchanged (``stages.decontam.bloom_decontaminate``)."""
+    from feast_ray.stages.decontam import bloom_decontaminate
+
+    docs = _docs(sf_dir)
+
+    def split(keep_eval):
+        def f(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if keep_eval else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    ev = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_decontaminate(train, ev, w=4)
+
+
+QUERIES_DOCS["bloom_decontam_docs"] = q_bloom_decontam_docs
+ORACLE_SQL_DOCS["bloom_decontam_docs"] = ORACLE_SQL_DOCS["decontam_docs"]

@@ -2819,3 +2819,59 @@ ORACLE_SQL_ML["semdedup_embeddings"] = """
                      THEN 1 ELSE 0 END AS BIGINT) AS is_dup
     FROM best b LEFT JOIN low l USING (vec_id)
 """
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (k=4, 2 update rounds, deterministic
+    lowest-id init) over the embedding table — the iterative clustering
+    primitive under SemDeDup / topic bucketing, replayed exactly by the
+    unrolled SQL twin (``stages.similarity.kmeans``)."""
+    from feast_ray.stages.similarity import kmeans
+
+    vecs = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans(vecs, id_col="vec_id", k=4, n_iter=2)
+
+
+QUERIES_ML["kmeans_embeddings"] = q_kmeans_embeddings
+ORACLE_SQL_ML["kmeans_embeddings"] = """
+    WITH ev AS (
+      SELECT vec_id, CAST(g.i AS BIGINT) AS i, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS g(i)),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+    cent0 AS (SELECT c0.cid, ev.i, ev.x AS cx FROM c0 JOIN ev USING (vec_id)),
+    d1 AS (
+      SELECT ev.vec_id, c.cid,
+             ROUND(SUM((ev.x - c.cx) * (ev.x - c.cx)), 6) AS d
+      FROM ev JOIN cent0 c USING (i) GROUP BY ev.vec_id, c.cid),
+    a1 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    m1 AS (SELECT a1.cid, ev.i, AVG(ev.x) AS cx
+           FROM a1 JOIN ev USING (vec_id) GROUP BY a1.cid, ev.i),
+    cent1 AS (SELECT c.cid, c.i, COALESCE(m1.cx, c.cx) AS cx
+              FROM cent0 c LEFT JOIN m1 ON m1.cid = c.cid AND m1.i = c.i),
+    d2 AS (
+      SELECT ev.vec_id, c.cid,
+             ROUND(SUM((ev.x - c.cx) * (ev.x - c.cx)), 6) AS d
+      FROM ev JOIN cent1 c USING (i) GROUP BY ev.vec_id, c.cid),
+    a2 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    m2 AS (SELECT a2.cid, ev.i, AVG(ev.x) AS cx
+           FROM a2 JOIN ev USING (vec_id) GROUP BY a2.cid, ev.i),
+    cent2 AS (SELECT c.cid, c.i, COALESCE(m2.cx, c.cx) AS cx
+              FROM cent1 c LEFT JOIN m2 ON m2.cid = c.cid AND m2.i = c.i),
+    d3 AS (
+      SELECT ev.vec_id, c.cid,
+             ROUND(SUM((ev.x - c.cx) * (ev.x - c.cx)), 6) AS d
+      FROM ev JOIN cent2 c USING (i) GROUP BY ev.vec_id, c.cid)
+    SELECT vec_id, cid AS cluster_id, d AS dist FROM (
+      SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM d3) WHERE rn = 1
+"""

@@ -117,6 +117,11 @@ def decontaminate(
         eval_docs, text_col=text_col, id_col=id_col, w=w, pattern=pattern
     ).select_columns(["shingle"])
     shared = semi_join(train_sh, eval_sh, keys=["shingle"], num_buckets=num_buckets)
+    return _count_shared_distinct(shared, id_col=id_col, num_buckets=num_buckets)
+
+
+def _count_shared_distinct(shared, *, id_col: str, num_buckets: Optional[int]):
+    """Per-doc distinct shared-shingle count over semi-join survivors."""
 
     def count_distinct(t: pa.Table, starts: np.ndarray) -> pa.Table:
         if t.num_rows == 0:
@@ -148,6 +153,82 @@ def decontaminate(
     return grouped_map(
         shared, [id_col], count_distinct, sort_keys=["shingle"], num_buckets=num_buckets
     )
+
+
+def bloom_decontaminate(
+    train_docs,
+    eval_docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    pattern: str = SPLIT_RE,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    num_buckets: Optional[int] = None,
+):
+    """:func:`decontaminate` with a Bloom prefilter — SAME EXACT ANSWER,
+    a fraction of the shuffle.  The eval shingle set is folded into an
+    ``m_bits`` Bloom bitmap (per-batch partial bitmaps OR-combined on the
+    driver — the eval/benchmark side is small by definition; the bitmap is
+    ``m_bits/8`` bytes regardless of corpus size), broadcast once via
+    ``ray.put``, and every TRAINING shingle is probed before the exchange:
+    at 100 TB the train-side shingle shuffle shrinks from the whole corpus
+    to (contaminated + false-positive) shingles, FP rate ~
+    ``(1-e^(-n_hashes*n/m))^n_hashes``.  No false negatives by
+    construction (build and probe share the hash family), and survivors
+    still pass through the exact co-partitioned semi-join, so Bloom FPs
+    cannot reach the output — the SQL twin is the plain shared-shingle
+    semi-join, unchanged."""
+    import ray
+
+    from feast_ray.grouped import hash_columns
+
+    if m_bits & 7:
+        raise ValueError("m_bits must be a multiple of 8")
+    nbytes = m_bits // 8
+    eval_sh = shingle_table(
+        eval_docs, text_col=text_col, id_col=id_col, w=w, pattern=pattern
+    ).select_columns(["shingle"])
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if t.num_rows:
+            for s in range(n_hashes):
+                h = hash_columns(t, ["shingle"], seed=s) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bits,
+                    (h >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (h & np.uint64(7)).astype(np.uint8)),
+                )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = eval_sh.map_batches(
+        build_bits, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in parts:
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        b = ray.get(bref)
+        m = np.ones(t.num_rows, dtype=bool)
+        for s in range(n_hashes):
+            h = hash_columns(t, ["shingle"], seed=s) % np.uint64(m_bits)
+            m &= (
+                b[(h >> np.uint64(3)).astype(np.int64)]
+                >> (h & np.uint64(7)).astype(np.uint8)
+            ) & 1 > 0
+        return t.filter(pa.array(m))
+
+    train_sh = shingle_table(
+        train_docs, text_col=text_col, id_col=id_col, w=w, pattern=pattern
+    ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    shared = semi_join(train_sh, eval_sh, keys=["shingle"], num_buckets=num_buckets)
+    return _count_shared_distinct(shared, id_col=id_col, num_buckets=num_buckets)
 
 
 def crossdoc_shingle_stats(

@@ -548,3 +548,125 @@ def knn_graph_lsh(
         cands, [id_col], reduce_topk, sort_keys=["__negcos", "nbr_id"],
         num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (fixed-iteration, deterministic init)
+# ---------------------------------------------------------------------------
+
+
+def kmeans(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    round_digits: int = 6,
+):
+    """Distributed Lloyd's k-means over an embedding column — the
+    embedding-clustering step corpus curation builds on (SemDeDup's
+    clustering stage, topic bucketing, stratified corpus splits).
+
+    Deterministic by construction, so a SQL twin can replay it exactly:
+    init centroids are the embeddings of the ``k`` LOWEST ids; assignment
+    is argmin squared-L2 rounded to ``round_digits`` with ties to the
+    lowest centroid index (numpy argmin == SQL ``ORDER BY d, cid``); the
+    update is the float64 member mean; an empty cluster keeps its previous
+    centroid; exactly ``n_iter`` update rounds then one final assignment.
+
+    Distribution: centroids broadcast via ``ray.put`` each round; each
+    batch computes partial (cluster, count, per-dim sum) — k rows per
+    batch — and ONLY those k x n_batches partial rows reach the driver
+    (k x dim floats after the local reduce), never the corpus.  The
+    final pass is one stateless assignment map.  n_iter more rounds =
+    n_iter more linear scans; no shuffle anywhere.
+    """
+    import ray
+
+    head = (
+        ds.map_batches(
+            lambda t: t.select([id_col, emb_col]).take(
+                pc.select_k_unstable(t, k, sort_keys=[(id_col, "ascending")])
+            )
+            if t.num_rows > k
+            else t.select([id_col, emb_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
+    cent = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in head])
+    kk, dim = cent.shape
+
+    def _assign(mat: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # full (x - c)^2 per dim, summed in dim order — mirrors the SQL
+        # SUM((x-c)^2) so rounded distances agree across engines
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d = np.round(d, round_digits)
+        return np.argmin(d, axis=1), d
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "cid": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "sums": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            mat = _embedding_matrix(t[emb_col]).astype(np.float64)
+            asg, _ = _assign(mat, c)
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, asg, mat)
+            cnt = np.bincount(asg, minlength=len(c)).astype(np.int64)
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "cid": pa.array(np.flatnonzero(nz).astype(np.int64)),
+                    "n": pa.array(cnt[nz]),
+                    "sums": pa.array(list(sums[nz])),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        tot = np.zeros((kk, dim), dtype=np.float64)
+        cnt = np.zeros(kk, dtype=np.int64)
+        for r in parts:
+            tot[r["cid"]] += np.asarray(r["sums"], dtype=np.float64)
+            cnt[r["cid"]] += r["n"]
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = tot[nz] / cnt[nz, None]
+
+    cref = ray.put(cent)
+
+    def final(t: pa.Table, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        mat = _embedding_matrix(t[emb_col]).astype(np.float64)
+        asg, d = _assign(mat, c)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster_id": pa.array(asg.astype(np.int64)),
+                "dist": pa.array(d[np.arange(len(asg)), asg]),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

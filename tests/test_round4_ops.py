@@ -1,0 +1,262 @@
+"""Round-4 operators vs brute-force oracles: SemDeDup, duplicated-span
+coverage, distributed k-means, Bloom-prefiltered decontamination."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from feast_ray.stages.decontam import (
+    bloom_decontaminate,
+    decontaminate,
+    dup_span_coverage,
+)
+from feast_ray.stages.dedup import semdedup
+from feast_ray.stages.similarity import kmeans
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _rand_vecs(n=60, dim=8, seed=3, dup_pairs=6):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    for i in range(dup_pairs):  # plant near-duplicates across the id range
+        j = n - 1 - i
+        m[j] = m[i] + rng.normal(scale=0.01, size=dim)
+    return m
+
+
+def _semdedup_brute(m, k, tau, rd_digits=6):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cent = mn[:k]  # ids are 0..n-1 so the k lowest ids are the first rows
+    cs = np.round(mn @ cent.T, rd_digits)
+    cl = np.argmin(-cs, axis=1)  # argmax with lowest-index ties
+    rows = []
+    for i in range(len(m)):
+        mates = [j for j in range(i) if cl[j] == cl[i]]
+        mx = max((np.round(float(mn[i] @ mn[j]), rd_digits) for j in mates), default=None)
+        rows.append((i, int(cl[i]), mx, int(mx is not None and mx >= tau)))
+    return rows
+
+
+def test_semdedup_matches_brute_force(ray_session):
+    m = _rand_vecs()
+    tau = 0.95
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(m)), "embedding": m.astype(np.float32).tolist()})
+    )
+    got = (
+        semdedup(ds, id_col="vec_id", k=5, tau=tau)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # brute force on the same float32-rounded input the engine saw
+    want = _semdedup_brute(m.astype(np.float32).astype(np.float64), 5, tau)
+    assert list(got["vec_id"]) == [w[0] for w in want]
+    assert list(got["cluster_id"]) == [w[1] for w in want]
+    for g, w in zip(got["max_lower_cos"], [w[2] for w in want]):
+        if w is None:
+            assert pd.isna(g)
+        else:
+            assert abs(g - w) < 1e-9
+    assert list(got["is_dup"]) == [w[3] for w in want]
+    assert got["is_dup"].sum() >= 4  # the planted near-dups are caught
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage
+# ---------------------------------------------------------------------------
+
+
+def _span_brute(docs, w):
+    toks = {d: _toks(t) for d, t in docs.items()}
+    wins = {
+        d: {i: " ".join(tl[i : i + w]) for i in range(len(tl) - w + 1)}
+        for d, tl in toks.items()
+    }
+    owner = {}
+    for d, m in wins.items():
+        for s in m.values():
+            owner.setdefault(s, set()).add(d)
+    out = {}
+    for d, tl in toks.items():
+        dup_pos = sorted(i for i, s in wins[d].items() if len(owner[s]) >= 2)
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + w))
+        out[d] = (
+            len(tl),
+            max(len(tl) - w + 1, 0),
+            len(dup_pos),
+            len(covered),
+            round(len(covered) / len(tl), 6) if tl else 0.0,
+        )
+    return out
+
+
+def test_dup_span_coverage_merges_intervals(ray_session):
+    # doc 1 and 2 share two OVERLAPPING windows -> union, not 2*w
+    docs = {
+        1: "a b c d e f g h zz yy xx",
+        2: "q q a b c d e f g h q q",
+        3: "totally unrelated words here only once",
+        4: "",
+    }
+    w = 4
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (
+        dup_span_coverage(rd.from_pandas(df), w=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _span_brute(docs, w)
+    for _, r in got.iterrows():
+        n_tok, n_win, n_dup, cov, frac = want[r["doc_id"]]
+        assert r["n_tokens"] == n_tok
+        assert r["n_windows"] == n_win
+        assert r["n_dup_windows"] == n_dup
+        assert r["covered_tokens"] == cov
+        assert abs(r["covered_frac"] - frac) < 1e-9
+    # doc 1: 5 dup windows over "a b c d e f g h" -> 8 covered, not 20
+    row1 = got[got["doc_id"] == 1].iloc[0]
+    assert row1["n_dup_windows"] == 5 and row1["covered_tokens"] == 8
+
+
+def test_dup_span_coverage_randomized(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = {
+        d: " ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+        for d in range(25)
+    }
+    w = 3
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = dup_span_coverage(rd.from_pandas(df), w=w).to_pandas()
+    want = _span_brute(docs, w)
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        n_tok, n_win, n_dup, cov, frac = want[r["doc_id"]]
+        assert (
+            r["n_tokens"],
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["covered_tokens"],
+        ) == (n_tok, n_win, n_dup, cov)
+        assert abs(r["covered_frac"] - frac) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_brute(m, k, n_iter, rd_digits=6):
+    cent = m[:k].copy()
+    for _ in range(n_iter + 1):
+        d = np.round(((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), rd_digits)
+        asg = np.argmin(d, axis=1)
+        if _ == n_iter:
+            return asg, d[np.arange(len(m)), asg]
+        for c in range(k):
+            sel = asg == c
+            if sel.any():
+                cent[c] = m[sel].mean(axis=0)
+
+
+def test_kmeans_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    m = np.concatenate(
+        [rng.normal(loc=c, scale=0.3, size=(30, 6)) for c in (-3.0, 0.0, 3.0)]
+    )
+    order = rng.permutation(len(m))
+    m = m[order]
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(m)), "embedding": m.astype(np.float32).tolist()})
+    )
+    got = (
+        kmeans(ds, id_col="vec_id", k=3, n_iter=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    asg, dist = _kmeans_brute(m.astype(np.float32).astype(np.float64), 3, 3)
+    assert list(got["cluster_id"]) == list(asg)
+    assert np.allclose(got["dist"], dist, atol=1e-9)
+    assert len(set(asg)) == 3  # all three planted blobs found
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    # two coincident far blobs + one isolated init point: one centroid gets
+    # no members in iteration 1 and must carry through unchanged
+    m = np.array([[0.0, 0.0], [100.0, 100.0], [100.0, 100.1], [100.1, 100.0]])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(4), "embedding": m.tolist()})
+    )
+    got = kmeans(ds, id_col="vec_id", k=2, n_iter=2).to_pandas().sort_values("vec_id")
+    asg, dist = _kmeans_brute(m.copy(), 2, 2)
+    assert list(got["cluster_id"]) == list(asg)
+    assert np.allclose(np.sort(got["dist"].to_numpy()), np.sort(dist), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_equals_exact(ray_session):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    train = pd.DataFrame(
+        {
+            "doc_id": np.arange(30),
+            "text": [" ".join(rng.choice(vocab, size=20)) for _ in range(30)],
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "doc_id": [1000, 1001],
+            # eval reuses two full training docs -> guaranteed contamination
+            "text": [train["text"][3], train["text"][17]],
+        }
+    )
+    exact = (
+        decontaminate(rd.from_pandas(train), rd.from_pandas(ev), w=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # tiny bitmap forces false positives through the prefilter; the exact
+    # semi-join must still remove them
+    bloom = (
+        bloom_decontaminate(
+            rd.from_pandas(train), rd.from_pandas(ev), w=3, m_bits=256, n_hashes=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert (exact["doc_id"] == [3, 17]).all() or len(exact) >= 2
+
+
+def test_bloom_rejects_bad_m_bits(ray_session):
+    with pytest.raises(ValueError):
+        bloom_decontaminate(
+            rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b c"]})),
+            rd.from_pandas(pd.DataFrame({"doc_id": [2], "text": ["a b c"]})),
+            m_bits=100,
+        )
