@@ -2206,3 +2206,45 @@ def q_bloom_decontam_docs(sf_dir: str):
 
 QUERIES_DOCS["bloom_decontam_docs"] = q_bloom_decontam_docs
 ORACLE_SQL_DOCS["bloom_decontam_docs"] = ORACLE_SQL_DOCS["decontam_docs"]
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    50 documents drawn with inclusion probability proportional to char
+    length, via the deterministic exponential key ln(u)/w with u derived
+    bijectively from doc_id by the engine's splitmix mixer — reproducible
+    on any cluster shape and replayable in SQL
+    (``stages.sampling.weighted_reservoir_sample``)."""
+    from feast_ray.stages.sampling import weighted_reservoir_sample
+
+    docs = _docs(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_chars": n})
+
+    ds = docs.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
+    return weighted_reservoir_sample(
+        ds, key_col="doc_id", weight_col="n_chars", n=50
+    )
+
+
+_MIX64_DOC = """
+        ((CAST(doc_id AS HUGEINT) % 4294967296) * 2135587861
+         + (((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435769
+             + (CAST(doc_id AS HUGEINT) // 4294967296) * 2135587861)
+            % 4294967296) * 4294967296)
+        % CAST(18446744073709551616 AS HUGEINT)"""
+
+QUERIES_DOCS["weighted_sample_docs"] = q_weighted_sample_docs
+ORACLE_SQL_DOCS["weighted_sample_docs"] = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE length(text) > 0),
+    k AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(({_MIX64_DOC}) // 2048 AS DOUBLE) + 0.5)
+                / 9007199254740992.0) / n_chars AS skey
+      FROM t)
+    SELECT doc_id, n_chars FROM k ORDER BY skey DESC LIMIT 50
+"""

@@ -291,3 +291,59 @@ def upsample_mix(
         return out.append_column(copy_name, pa.array(copy_idx))
 
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_reservoir_sample(
+    ds,
+    *,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed_mult: int = 1,
+):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): each row draws the exponential key ``ln(u)/w`` from a
+    uniform ``u`` derived bijectively from its id via the engine's
+    splitmix mixer, and the ``n`` largest keys are the sample — inclusion
+    probability proportional to weight, reproducible on any cluster shape
+    (no RNG state, no driver coordination), and replayable in SQL with the
+    HUGEINT mixer.  Rows with weight <= 0 are excluded (they cannot be
+    sampled under proportional-to-weight semantics).
+
+    Distribution: the key is one vectorized map; selection is per-batch
+    local top-n then one n-row global sorted head — candidate volume
+    reaching the sort is ``n`` per batch, never the corpus.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        ids = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        w = (
+            t[weight_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        m = mix64(ids.astype(np.uint64) * np.uint64(seed_mult)) >> np.uint64(11)
+        u = (m.astype(np.float64) + 0.5) / 9007199254740992.0  # (0, 1), 2^53
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / w
+        t = t.append_column("__skey", pa.array(key))
+        keep = pa.array(w > 0)
+        t = t.filter(keep)
+        if t.num_rows > n:  # local top-n: only n rows per batch reach the sort
+            import pyarrow.compute as pc
+
+            t = t.take(pc.select_k_unstable(t, n, sort_keys=[("__skey", "descending")]))
+        return t
+
+    from feast_ray.grouped import sorted_head
+
+    top = sorted_head(
+        ds.map_batches(key_batch, batch_format="pyarrow", zero_copy_batch=True),
+        ["__skey"],
+        [True],
+        n,
+    )
+    return top.drop_columns(["__skey"])

@@ -260,3 +260,50 @@ def test_bloom_rejects_bad_m_bits(ray_session):
             rd.from_pandas(pd.DataFrame({"doc_id": [2], "text": ["a b c"]})),
             m_bits=100,
         )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _aes_brute(ids, w, n, seed_mult=1):
+    from feast_ray.stages.sampling import mix64
+
+    m = mix64(ids.astype(np.uint64) * np.uint64(seed_mult)) >> np.uint64(11)
+    u = (m.astype(np.float64) + 0.5) / 9007199254740992.0
+    key = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1.0), -np.inf)
+    order = np.argsort(-key, kind="stable")
+    return set(ids[order[: min(n, int((w > 0).sum()))]].tolist())
+
+
+def test_weighted_reservoir_matches_brute(ray_session):
+    from feast_ray.stages.sampling import weighted_reservoir_sample
+
+    rng = np.random.default_rng(9)
+    ids = np.arange(200, dtype=np.int64)
+    w = rng.integers(0, 50, size=200).astype(np.int64)  # some zero weights
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "wt": w}))
+    got = weighted_reservoir_sample(ds, key_col="doc_id", weight_col="wt", n=30)
+    got_ids = set(got.to_pandas()["doc_id"])
+    assert got_ids == _aes_brute(ids, w.astype(np.float64), 30)
+    assert len(got_ids) == 30
+    # zero-weight rows can never be sampled
+    assert not (set(ids[w == 0]) & got_ids)
+
+
+def test_weighted_reservoir_prefers_heavy_rows(ray_session):
+    from feast_ray.stages.sampling import weighted_reservoir_sample
+
+    ids = np.arange(400, dtype=np.int64)
+    w = np.where(ids < 200, 1, 100).astype(np.int64)  # heavy second half
+    hits = np.zeros(400, dtype=np.int64)
+    for s in (1, 3, 5, 7, 9):  # distinct deterministic draws
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "wt": w}))
+        out = weighted_reservoir_sample(
+            ds, key_col="doc_id", weight_col="wt", n=40, seed_mult=s
+        ).to_pandas()
+        hits[out["doc_id"]] += 1
+        assert set(out["doc_id"]) == _aes_brute(ids, w.astype(np.float64), 40, s)
+    # ~100x weight ratio: heavy rows dominate every draw
+    assert hits[200:].sum() > 8 * hits[:200].sum()
