@@ -2236,6 +2236,267 @@ _MIX64_DOC = """
             % 4294967296) * 4294967296)
         % CAST(18446744073709551616 AS HUGEINT)"""
 
+def q_lm_surprisal_docs(sf_dir: str):
+    """Unigram-LM surprisal quality score (the CCNet/Gopher 'perplexity
+    bucket' signal, with the LM trained on the corpus itself): each token
+    costs an integer number of bits — ``blen(N) - blen(cf)``, the
+    bit-length gap between the corpus token total and the token's corpus
+    frequency — so the oracle contract stays integer-exact end to end
+    (the continuous-cost variant is this same pipeline with a float cost
+    vector; quantization is the only difference).  tf rows are map-side,
+    corpus frequencies meet them on ONE token-co-partitioned exchange,
+    per-doc folding is a second doc-keyed exchange; the corpus total N is
+    a bounded one-row-per-block partial sum.  Scale: both exchanges move
+    one int64-keyed row per distinct (doc, token); nothing corpus-sized
+    touches the driver."""
+    from feast_ray.grouped import grouped_map
+
+    docs = _docs(sf_dir)
+
+    def partial_n(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        k = pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([k], pa.int64())})
+
+    n_total = sum(
+        r["n"]
+        for r in docs.map_batches(
+            partial_n, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    blen_total = int(np.frexp(np.float64(max(n_total, 1)))[1])
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent[keep]
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"].combine_chunks().slice(0, 0),
+                 "tok": flat, "tf": pa.array([], pa.int64())}
+            )
+        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, parent))
+        sp, sc = parent[order], codes[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])
+        firsts = np.flatnonzero(new)
+        tf = np.diff(np.append(firsts, n))
+        return pa.table(
+            {"doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(sp[new])),
+             "tok": pc.take(flat, pa.array(order[new])),
+             "tf": pa.array(tf.astype(np.int64))}
+        )
+
+    dt = docs.map_batches(doc_tf, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cf_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("cf", pa.array([], pa.int64()))
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        per_group = np.add.reduceat(tf, starts[:-1])
+        return t.append_column(
+            "cf", pa.array(np.repeat(per_group, np.diff(starts)).astype(np.int64))
+        )
+
+    with_cf = grouped_map(dt, ["tok"], cf_kernel)
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": did.slice(0, 0),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "total_bits": pa.array([], pa.int64()),
+                 "bits_per_token": pa.array([], pa.float64())}
+            )
+        firsts = starts[:-1]
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        cf = t["cf"].combine_chunks().to_numpy(zero_copy_only=False)
+        # exact integer bit-length: frexp exponent (cf < 2^53 holds through
+        # 10^12-turn corpora; int64 corpus totals overflow long before it)
+        cost = blen_total - np.frexp(cf.astype(np.float64))[1]
+        n_tok = np.add.reduceat(tf, firsts).astype(np.int64)
+        bits = np.add.reduceat(tf * cost, firsts).astype(np.int64)
+        return pa.table(
+            {"doc_id": pc.take(did, pa.array(firsts)),
+             "n_tokens": pa.array(n_tok),
+             "total_bits": pa.array(bits),
+             "bits_per_token": pa.array(
+                 bits.astype(np.float64) / n_tok.astype(np.float64)
+             )}
+        )
+
+    return grouped_map(with_cf, ["doc_id"], fold)
+
+
+QUERIES_DOCS["lm_surprisal_docs"] = q_lm_surprisal_docs
+ORACLE_SQL_DOCS["lm_surprisal_docs"] = """
+    WITH toks AS (
+      SELECT doc_id, u.t AS tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+    n AS (SELECT CAST(SUM(cf) AS BIGINT) AS nt FROM cf)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * (length(bin((SELECT nt FROM n)))
+                             - length(bin(cf.cf)))) AS BIGINT) AS total_bits,
+           CAST(SUM(tf.tf * (length(bin((SELECT nt FROM n)))
+                             - length(bin(cf.cf)))) AS DOUBLE)
+             / CAST(SUM(tf.tf) AS DOUBLE) AS bits_per_token
+    FROM tf JOIN cf USING (tok)
+    GROUP BY tf.doc_id
+"""
+
+
+DSIR_BUCKETS = 4096
+DSIR_FX = 16_777_216  # 2^24 fixed-point quantum for the log-ratio vector
+DSIR_TARGET_LANG = "en"
+DSIR_K = 50
+
+
+def q_dsir_select_docs(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, 'Data Selection for Language
+    Models via Importance Resampling'): hashed-unigram bucket counts for
+    the target slice (lang = 'en') and the raw corpus, add-one-smoothed
+    per-bucket log-likelihood ratio quantized ONCE to 2^-24-bit fixed
+    point, per-doc importance weight = exact BIGINT sum of its tokens'
+    quantized ratios (order-independent — no float-summation hash risk),
+    top-50 docs by weight.  Scale: bucket partials are map-side (<= 4096
+    nonzero rows per block), folded on a bucket-keyed exchange whose
+    result is <= 4096 rows driver-side by construction; the lambda vector
+    broadcasts via ``ray.put``; scoring is one stateless scan + top-k.
+    Token-hash convention: `stages.text.token_bucket_ids` (SQL-replayable
+    Horner codepoint polynomial)."""
+    import ray
+
+    from feast_ray.grouped import grouped_map, sorted_head
+    from feast_ray.stages.text import token_bucket_ids
+
+    B = DSIR_BUCKETS
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        row_of, buckets = token_bucket_ids(t["text"], B)
+        if len(buckets) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "c_raw": pa.array([], pa.int64()),
+                 "c_tgt": pa.array([], pa.int64())}
+            )
+        is_tgt = pc.fill_null(
+            pc.equal(t["lang"], DSIR_TARGET_LANG), False
+        ).to_numpy(zero_copy_only=False)
+        cr = np.bincount(buckets, minlength=B)
+        ct = np.bincount(buckets[is_tgt[row_of]], minlength=B)
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)),
+             "c_raw": pa.array(cr[nz].astype(np.int64)),
+             "c_tgt": pa.array(ct[nz].astype(np.int64))}
+        )
+
+    parts = docs.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def sum_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        firsts = starts[:-1]
+        cr = t["c_raw"].combine_chunks().to_numpy(zero_copy_only=False)
+        ct = t["c_tgt"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bucket": pc.take(t["bucket"].combine_chunks(), pa.array(firsts)),
+             "c_raw": pa.array(np.add.reduceat(cr, firsts).astype(np.int64)),
+             "c_tgt": pa.array(np.add.reduceat(ct, firsts).astype(np.int64))}
+        )
+
+    cr = np.zeros(B, dtype=np.int64)
+    ct = np.zeros(B, dtype=np.int64)
+    for row in grouped_map(parts, ["bucket"], sum_kernel).take_all():  # <= 4096 rows
+        cr[row["bucket"]] = row["c_raw"]
+        ct[row["bucket"]] = row["c_tgt"]
+    n_raw, n_tgt = int(cr.sum()), int(ct.sum())
+    lam = np.log((ct + 1).astype(np.float64) / float(n_tgt + B)) - np.log(
+        (cr + 1).astype(np.float64) / float(n_raw + B)
+    )
+    lam_fx = np.floor(lam * DSIR_FX + 0.5).astype(np.int64)
+    ref = ray.put(lam_fx)
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        lam_fx = ray.get(ref)
+        row_of, buckets = token_bucket_ids(t["text"], B)
+        n = t.num_rows
+        ntok = np.bincount(row_of, minlength=n).astype(np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, row_of, lam_fx[buckets])
+        out = pa.table(
+            {"doc_id": t["doc_id"],
+             "n_tokens": pa.array(ntok),
+             "score_fx": pa.array(s),
+             "log_weight": pa.array(s.astype(np.float64) / DSIR_FX)}
+        )
+        return out.filter(pa.array(ntok > 0))
+
+    scored = docs.map_batches(score_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_head(scored, ["score_fx", "doc_id"], [True, False], DSIR_K)
+
+
+QUERIES_DOCS["dsir_select_docs"] = q_dsir_select_docs
+ORACLE_SQL_DOCS["dsir_select_docs"] = f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.lang, u.t AS tok
+      FROM documents d,
+           unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    tb AS (
+      SELECT doc_id, lang,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                            list_transform(str_split(tok, ''),
+                                           c -> CAST(unicode(c) AS HUGEINT))),
+               (a, b) -> (a * 1000003 + b)
+                         % CAST(18446744073709551616 AS HUGEINT))
+                  % {DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM toks),
+    cnt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct
+      FROM tb GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+                   CAST(SUM(ct) AS BIGINT) AS nt FROM cnt),
+    lam AS (
+      SELECT bucket,
+             CAST(floor((ln(CAST(ct + 1 AS DOUBLE)
+                            / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                         - ln(CAST(cr + 1 AS DOUBLE)
+                              / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)))
+                        * {DSIR_FX}.0 + 0.5) AS BIGINT) AS lam_fx
+      FROM cnt CROSS JOIN tot),
+    score AS (
+      SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lam.lam_fx) AS BIGINT) AS score_fx
+      FROM tb JOIN lam USING (bucket) GROUP BY tb.doc_id)
+    SELECT doc_id, n_tokens, score_fx,
+           CAST(score_fx AS DOUBLE) / {DSIR_FX}.0 AS log_weight
+    FROM score ORDER BY score_fx DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
 QUERIES_DOCS["weighted_sample_docs"] = q_weighted_sample_docs
 ORACLE_SQL_DOCS["weighted_sample_docs"] = f"""
     WITH t AS (

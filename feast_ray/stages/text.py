@@ -294,6 +294,49 @@ def tokenize_batch(
     return flat.filter(pc.not_equal(flat, ""))
 
 
+def token_bucket_ids(
+    texts: pa.Array | pa.ChunkedArray,
+    n_buckets: int,
+    *,
+    pattern: str = r"[^a-z0-9]+",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, bucket) of every token of every string, for hashed
+    bag-of-words features (DSIR-style bucketed unigrams).
+
+    Tokens: lowercase split on ``pattern``, empty tokens dropped.  Bucket:
+    Horner codepoint polynomial mod 2^64 mod ``n_buckets`` — the same
+    SQL-replayable convention as :func:`feast_ray.stages.dedup.simhash64`
+    (sans its seed-xor/mix step), so a DuckDB twin can recompute every
+    bucket with ``list_reduce`` over ``unicode(c)`` exactly.  Vectorized
+    across all tokens via one loop over the max token LENGTH.
+    """
+    from feast_ray.stages.dedup import GRAM_BASE, _flat_codepoints
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    split = pc.split_pattern_regex(pc.utf8_lower(texts), pattern)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = pc.fill_null(pc.list_value_length(split), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = split.flatten()
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    data, offsets = _flat_codepoints(flat)
+    lens = np.diff(offsets)
+    h = np.zeros(len(lens), dtype=np.uint64)
+    pos = offsets[:-1]
+    d = data.astype(np.uint64)
+    for j in range(int(lens.max()) if len(lens) else 0):
+        upd = lens > j
+        h[upd] = h[upd] * GRAM_BASE + d[(pos + j)[upd]]
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = lens > 0
+    return row_of[keep], (h[keep] % np.uint64(n_buckets)).astype(np.int64)
+
+
 def token_count_topk(
     ds,
     *,

@@ -813,3 +813,122 @@ def test_knn_graph_lsh_recall(ray_session):
         approx.sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True),
         approx2.sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed token buckets / LM surprisal / DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_token_bucket_ids_pure_python():
+    """Bucket hash vs character-by-character pure-python Horner."""
+    from feast_ray.stages.text import token_bucket_ids
+
+    texts = ["Hello, WORLD world", "", None, "a b2  c", "ünïcode tok"]
+    row_of, buckets = token_bucket_ids(pa.array(texts), 4096)
+
+    import re
+
+    exp_rows, exp_buckets = [], []
+    for i, s in enumerate(texts):
+        if s is None:
+            continue
+        for tok in re.split(r"[^a-z0-9]+", s.lower()):
+            if not tok:
+                continue
+            h = 0
+            for c in tok:
+                h = (h * 1_000_003 + ord(c)) % (1 << 64)
+            exp_rows.append(i)
+            exp_buckets.append(h % 4096)
+    assert row_of.tolist() == exp_rows
+    assert buckets.tolist() == exp_buckets
+
+
+def test_lm_surprisal_bruteforce(ray_session):
+    """Per-doc integer-quantized unigram surprisal vs a dict-based oracle."""
+    import re
+
+    from feast_ray.pipelines.queries_docs import q_lm_surprisal_docs
+
+    got = (
+        q_lm_surprisal_docs(SF)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        did: [t for t in re.split(r"[^a-z0-9]+", (s or "").lower()) if t]
+        for did, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    from collections import Counter
+
+    cf = Counter()
+    for ts in toks.values():
+        cf.update(ts)
+    n_total = sum(cf.values())
+    blen_n = n_total.bit_length()
+    for did, ts in sorted(toks.items()):
+        if not ts:
+            assert did not in got.index
+            continue
+        total = sum(blen_n - cf[t].bit_length() for t in ts)
+        row = got.loc[did]
+        assert row["n_tokens"] == len(ts)
+        assert row["total_bits"] == total
+        assert row["bits_per_token"] == total / len(ts)
+
+
+def test_dsir_select_bruteforce(ray_session):
+    """DSIR top-k vs a pure-python hashed-unigram importance model."""
+    import math
+    import re
+
+    from feast_ray.pipelines.queries_docs import (
+        DSIR_BUCKETS,
+        DSIR_FX,
+        DSIR_K,
+        DSIR_TARGET_LANG,
+        q_dsir_select_docs,
+    )
+
+    got = q_dsir_select_docs(SF).to_pandas().reset_index(drop=True)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    cr = [0] * DSIR_BUCKETS
+    ct = [0] * DSIR_BUCKETS
+    per_doc: dict[int, list[int]] = {}
+    for did, s, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(),
+        docs["lang"].to_pylist(),
+    ):
+        bs = []
+        for tok in re.split(r"[^a-z0-9]+", (s or "").lower()):
+            if not tok:
+                continue
+            h = 0
+            for c in tok:
+                h = (h * 1_000_003 + ord(c)) % (1 << 64)
+            bs.append(h % DSIR_BUCKETS)
+        per_doc[did] = bs
+        for b in bs:
+            cr[b] += 1
+            if lang == DSIR_TARGET_LANG:
+                ct[b] += 1
+    nr, nt = sum(cr), sum(ct)
+    lam_fx = [
+        math.floor(
+            (math.log((ct[b] + 1) / (nt + DSIR_BUCKETS))
+             - math.log((cr[b] + 1) / (nr + DSIR_BUCKETS))) * DSIR_FX + 0.5
+        )
+        for b in range(DSIR_BUCKETS)
+    ]
+    scores = {
+        did: sum(lam_fx[b] for b in bs)
+        for did, bs in per_doc.items() if bs
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:DSIR_K]
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    assert list(got["score_fx"]) == [s for _, s in want]
+    assert (got["log_weight"] == got["score_fx"] / DSIR_FX).all()
+    assert list(got["n_tokens"]) == [len(per_doc[d]) for d, _ in want]
