@@ -536,6 +536,51 @@ ORACLE_SQL_DOCS["bmp_decode_docs"] = """
 """
 
 
+def q_png_decode_docs(sf_dir: str):
+    """REAL PNG decode (stdlib zlib only, no image library): each doc gets
+    a deterministic 8-bit RGB PNG whose top-down pixel byte k is
+    (doc_id*7 + k*3)%256, deflate-compressed with scanline filters cycling
+    through all five PNG filter types (None/Sub/Up/Average/Paeth) — the
+    actor-pool decoder walks CRC-verified chunks, inflates, and unfilters
+    every path to recover the exact pixel moments.  The DuckDB twin
+    re-derives every pixel from the closed form (n_px, not n_bytes, is the
+    contract — on-disk size depends on the deflate stream)."""
+    from feast_ray.stages.multimodal import add_media_features, attach_png_payloads
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        attach_png_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_media_features(
+        ds, id_cols=("doc_id",), mode="decode", concurrency=2, batch_size=64
+    )
+    return out.select_columns(
+        ["doc_id", "width", "height", "byte_mean", "byte_std", "n_px"]
+    )
+
+
+QUERIES_DOCS["png_decode_docs"] = q_png_decode_docs
+ORACLE_SQL_DOCS["png_decode_docs"] = """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 29 + 1 AS w, doc_id % 19 + 1 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, (doc_id * 7 + u.k * 3) % 256 AS b
+      FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS u(k)),
+    s AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(b) AS DOUBLE) AS sb, CAST(sum(b * b) AS DOUBLE) AS sq
+      FROM px GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           s.sb / s.n AS byte_mean,
+           SQRT(GREATEST(s.sq / s.n - (s.sb / s.n) * (s.sb / s.n), 0.0))
+             AS byte_std,
+           CAST(d.w * d.h * 3 AS BIGINT) AS n_px
+    FROM dims d JOIN s USING (doc_id)
+"""
+
+
 def q_wav_decode_docs(sf_dir: str):
     """REAL audio decode (no audio library): each doc gets a deterministic
     mono 16-bit PCM WAV (sample i = (doc_id*31 + i*7)%65536 - 32768,

@@ -161,12 +161,158 @@ def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Real PNG (8-bit RGB, zlib-deflated scanlines) from an RGB uint8
+    array of shape (h, w, 3).  Rows cycle through filter types 0-4
+    (None/Sub/Up/Average/Paeth) so a decoder must implement every
+    unfilter path — the synthetic battery then exercises all of them."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        cur = pixels[y].reshape(-1).astype(np.int64)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            filt = (cur - left) % 256
+        elif f == 2:  # Up
+            filt = (cur - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            filt = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            upleft = np.concatenate((np.zeros(bpp, np.int64), prev[:-bpp]))
+            p = left + prev - upleft
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, RGB uint8 (h, w, 3)) from an 8-bit RGB PNG — real
+    chunk walk (CRC-verified), zlib inflate, and all five scanline
+    unfilters (None/Sub/Up/Average/Paeth).  Sub is vectorized as a
+    per-lane cumulative sum; Average/Paeth walk pixels with the 3 channel
+    lanes vectorized (their left-neighbor dependency is inherently
+    sequential in x)."""
+    import zlib
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (size,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_img, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_img, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG (only 8-bit RGB, deflate, non-interlaced)"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 3
+    rb = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (rb + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = raw.reshape(h, rb + 1)
+    out = np.zeros((h, rb), dtype=np.int64)
+    prev = np.zeros(rb, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        filt = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = filt
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            cur = np.cumsum(filt.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            cur = (filt + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(rb, dtype=np.int64)
+            fl = filt.reshape(w, bpp)
+            pl = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            for i in range(w):
+                left = (fl[i] + (left + pl[i]) // 2) % 256
+                cur[i * bpp : (i + 1) * bpp] = left
+        elif f == 4:  # Paeth
+            cur = np.empty(rb, dtype=np.int64)
+            fl = filt.reshape(w, bpp)
+            pl = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for i in range(w):
+                p = left + pl[i] - upleft
+                pa_, pb_, pc_ = (
+                    np.abs(p - left), np.abs(p - pl[i]), np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_),
+                    left,
+                    np.where(pb_ <= pc_, pl[i], upleft),
+                )
+                left = (fl[i] + pred) % 256
+                upleft = pl[i]
+                cur[i * bpp : (i + 1) * bpp] = left
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return w, h, out.astype(np.uint8).reshape(h, w, 3)
+
+
 def decode_image(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Magic-byte dispatch over the built-in image codecs."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(buf)
     raise ValueError(f"unrecognized image magic {buf[:2]!r}")
 
 
@@ -232,7 +378,10 @@ class MediaFeatureExtractor:
             for name in ("width", "height", "byte_mean", "byte_std"):
                 t = pa.int32() if name in ("width", "height") else pa.float64()
                 out = out.append_column(name, pa.array([], type=t))
-            return out.append_column("n_bytes", pa.array([], type=pa.int64()))
+            out = out.append_column("n_bytes", pa.array([], type=pa.int64()))
+            if self.mode != "fake":
+                out = out.append_column("n_px", pa.array([], type=pa.int64()))
+            return out
         empty = lens == 0
         if self.mode != "fake":
             # real decode: per-payload header parse (necessarily per blob —
@@ -261,7 +410,14 @@ class MediaFeatureExtractor:
             out = out.append_column("height", pa.array(height))
             out = out.append_column("byte_mean", pa.array(mean, mask=empty))
             out = out.append_column("byte_std", pa.array(std, mask=empty))
-            return out.append_column("n_bytes", pa.array(lens.astype(np.int64)))
+            out = out.append_column("n_bytes", pa.array(lens.astype(np.int64)))
+            # decoded pixel-byte count — unlike n_bytes it is independent of
+            # the container encoding (a PNG's on-disk size depends on the
+            # deflate stream, which no SQL oracle should re-derive)
+            return out.append_column(
+                "n_px",
+                pa.array((width.astype(np.int64) * height * 3)),
+            )
         # "fake": dimensions derived from payload size (deterministic),
         # channel statistics computed vectorized over the flat byte buffer.
         width = (lens % 640 + 1).astype(np.int32)
@@ -408,6 +564,27 @@ def attach_bmp_payloads(
         payloads.append(encode_bmp(px))
     out = tbl.append_column(out_col, pa.array(payloads, type=pa.binary()))
     out = out.append_column("media_type", pa.array(["image/bmp"] * tbl.num_rows))
+    return out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
+
+
+def attach_png_payloads(
+    tbl: pa.Table, *, id_col: str = "doc_id", out_col: str = "payload"
+) -> pa.Table:
+    """Deterministic REAL PNG payloads from an int id column: width =
+    id % 29 + 1, height = id % 19 + 1, top-down RGB byte k =
+    ``(id * 7 + k * 3) % 256`` — SQL-re-derivable per pixel.  The encoder
+    deflates scanlines with cycling filter types 0-4, so decoding these
+    payloads exercises every PNG unfilter path."""
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    payloads = []
+    for v in ids:
+        w = int(v % 29 + 1)
+        h = int(v % 19 + 1)
+        k = np.arange(w * h * 3, dtype=np.int64)
+        px = ((int(v) * 7 + k * 3) % 256).astype(np.uint8).reshape(h, w, 3)
+        payloads.append(encode_png(px))
+    out = tbl.append_column(out_col, pa.array(payloads, type=pa.binary()))
+    out = out.append_column("media_type", pa.array(["image/png"] * tbl.num_rows))
     return out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
 
 

@@ -932,3 +932,57 @@ def test_dsir_select_bruteforce(ray_session):
     assert list(got["score_fx"]) == [s for _, s in want]
     assert (got["log_weight"] == got["score_fx"] / DSIR_FX).all()
     assert list(got["n_tokens"]) == [len(per_doc[d]) for d, _ in want]
+
+
+# ---------------------------------------------------------------------------
+# PNG codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles filter types 0-4 across rows; decode must invert
+    every unfilter path bit-exactly, including 1-pixel edge shapes."""
+    from feast_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 2), (5, 3), (6, 40), (19, 29), (1, 7)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, out = decode_png(bytes(encode_png(px)))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, px)
+
+
+def test_png_crc_and_magic_guard():
+    from feast_ray.stages.multimodal import decode_png, encode_png
+
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    buf = bytearray(encode_png(px))
+    buf[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(buf))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + bytes(30))
+
+
+def test_png_decode_actor_stage(ray_session, docs_ds, docs_tbl):
+    """Real PNG decode (zlib inflate + unfilter) on the actor pool vs the
+    generator's closed pixel form."""
+    from feast_ray.stages.multimodal import add_media_features, attach_png_payloads
+
+    ds = docs_ds.map_batches(
+        attach_png_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_media_features(
+        ds, id_cols=("doc_id",), mode="decode", concurrency=2, batch_size=64
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == docs_tbl.num_rows
+    for doc_id in sorted(out.index[:20]):
+        w, h = doc_id % 29 + 1, doc_id % 19 + 1
+        k = np.arange(w * h * 3, dtype=np.int64)
+        b = ((doc_id * 7 + k * 3) % 256).astype(np.float64)
+        row = out.loc[doc_id]
+        assert row["width"] == w and row["height"] == h
+        assert row["n_px"] == w * h * 3
+        m = b.sum() / b.size
+        assert row["byte_mean"] == m
+        assert row["byte_std"] == np.sqrt(max((b * b).sum() / b.size - m * m, 0.0))
