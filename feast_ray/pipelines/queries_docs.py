@@ -2383,6 +2383,145 @@ def q_lm_surprisal_docs(sf_dir: str):
     return grouped_map(with_cf, ["doc_id"], fold)
 
 
+def q_cross_source_overlap(sf_dir: str):
+    """Source x source shingle-overlap matrix (the between-feed duplication
+    dashboard a corpus operator watches before mixing): for every unordered
+    source pair, the number of distinct 20-char shingles both feeds contain
+    and the overlap coefficient shared/min(|A|,|B|).  Scale shape: batch-
+    distinct (source, gram-hash) rows meet on ONE gram-keyed exchange whose
+    kernel dedupes sources per gram and pre-aggregates pair/size partials
+    (vectorized `pairs_within_groups`, per-gram fan-out bounded by the
+    source count — cap sources-per-gram like max_df when feeds number in
+    the thousands); a second tiny exchange folds partials to <= n_sources^2
+    rows, the only thing the driver ever holds.  Gram hashing is the
+    64-bit rolling polynomial (`dedup.distinct_gram_hashes` — collisions
+    ~n^2/2^64, the documented fingerprint trade-off)."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.dedup import distinct_gram_hashes, pairs_within_groups
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def source_grams(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray
+        ) else t["text"]
+        rows, gh = distinct_gram_hashes(
+            texts, np.arange(t.num_rows, dtype=np.int64), JACCARD_K
+        )
+        src = t["source"].combine_chunks()
+        if len(rows) == 0:
+            return pa.table(
+                {"source": src.slice(0, 0), "gh": pa.array([], pa.int64())}
+            )
+        # batch-level dedupe of (source, gram): sources repeat across docs
+        codes = src.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[rows]
+        order = np.lexsort((gh, codes))
+        cs, gs = codes[order], gh[order]
+        keep = np.ones(len(cs), dtype=bool)
+        keep[1:] = (cs[1:] != cs[:-1]) | (gs[1:] != gs[:-1])
+        return pa.table(
+            {"source": pc.take(src, pa.array(rows[order][keep])),
+             "gh": pa.array(gs[keep].view(np.int64))}
+        )
+
+    sg = docs.map_batches(source_grams, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_gram(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {"source_a": pa.array([], pa.string()),
+             "source_b": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        src = t["source"].combine_chunks().dictionary_encode()
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(src.dictionary.to_pylist(), dtype=object)
+        # dictionary codes are first-appearance ordered; pair contract is
+        # LEXICAL (source_a < source_b) -> remap via argsort
+        rank = np.empty(len(vals), dtype=np.int64)
+        rank[np.argsort(vals)] = np.arange(len(vals))
+        lex = rank[codes]
+        sorted_vals = vals[np.argsort(vals)]
+        gidx = np.repeat(
+            np.arange(len(starts) - 1, dtype=np.int64), np.diff(starts)
+        )
+        order = np.lexsort((lex, gidx))
+        gs, ls = gidx[order], lex[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = (gs[1:] != gs[:-1]) | (ls[1:] != ls[:-1])
+        gs, ls = gs[keep], ls[keep]
+        new_starts = np.concatenate(
+            ([0], np.cumsum(np.bincount(gs, minlength=len(starts) - 1)))
+        )
+        la, lb = pairs_within_groups(ls, new_starts)
+        out_a, out_b, out_n = [], [], []
+        if len(la):
+            K = len(vals)
+            uk, cnt = np.unique(la * K + lb, return_counts=True)
+            out_a.append(sorted_vals[(uk // K)])
+            out_b.append(sorted_vals[(uk % K)])
+            out_n.append(cnt.astype(np.int64))
+        sz = np.bincount(ls, minlength=len(vals)).astype(np.int64)
+        nz = np.flatnonzero(sz)
+        out_a.append(sorted_vals[nz])
+        out_b.append(np.asarray([""] * len(nz), dtype=object))
+        out_n.append(sz[nz])
+        return pa.table(
+            {"source_a": pa.array(np.concatenate(out_a), pa.string()),
+             "source_b": pa.array(np.concatenate(out_b), pa.string()),
+             "n": pa.array(np.concatenate(out_n))}
+        )
+
+    partials = grouped_map(sg, ["gh"], per_gram)
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        firsts = starts[:-1]
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"source_a": pc.take(t["source_a"].combine_chunks(), pa.array(firsts)),
+             "source_b": pc.take(t["source_b"].combine_chunks(), pa.array(firsts)),
+             "n": pa.array(np.add.reduceat(n, firsts).astype(np.int64))}
+        )
+
+    rows = grouped_map(partials, ["source_a", "source_b"], fold).take_all()
+    sizes = {r["source_a"]: r["n"] for r in rows if r["source_b"] == ""}
+    pairs = [r for r in rows if r["source_b"] != ""]
+    pairs.sort(key=lambda r: (r["source_a"], r["source_b"]))
+    return pa.table(
+        {"source_a": pa.array([r["source_a"] for r in pairs], pa.string()),
+         "source_b": pa.array([r["source_b"] for r in pairs], pa.string()),
+         "shared_grams": pa.array([int(r["n"]) for r in pairs], pa.int64()),
+         "overlap_coeff": pa.array(
+             [r["n"] / min(sizes[r["source_a"]], sizes[r["source_b"]])
+              for r in pairs],
+             pa.float64(),
+         )}
+    )
+
+
+QUERIES_DOCS["cross_source_overlap"] = q_cross_source_overlap
+ORACLE_SQL_DOCS["cross_source_overlap"] = f"""
+    WITH g AS (SELECT DISTINCT source, substr(text, t.gs, {JACCARD_K}) AS g
+               FROM documents,
+                    UNNEST(generate_series(1, length(text) - {JACCARD_K - 1}))
+                      t(gs)),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_grams
+          FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b, p.shared_grams,
+           CAST(p.shared_grams AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+             AS overlap_coeff
+    FROM p JOIN sizes sa ON sa.source = p.source_a
+           JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
 QUERIES_DOCS["lm_surprisal_docs"] = q_lm_surprisal_docs
 ORACLE_SQL_DOCS["lm_surprisal_docs"] = """
     WITH toks AS (

@@ -986,3 +986,29 @@ def test_png_decode_actor_stage(ray_session, docs_ds, docs_tbl):
         m = b.sum() / b.size
         assert row["byte_mean"] == m
         assert row["byte_std"] == np.sqrt(max((b * b).sum() / b.size - m * m, 0.0))
+
+
+def test_cross_source_overlap_bruteforce(ray_session):
+    """Pair-matrix vs pure-python sets of 20-char shingles per source."""
+    from feast_ray.pipelines.queries_docs import JACCARD_K, q_cross_source_overlap
+
+    got = q_cross_source_overlap(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"])
+    per_src: dict[str, set] = {}
+    for s, src in zip(docs["text"].to_pylist(), docs["source"].to_pylist()):
+        g = per_src.setdefault(src, set())
+        for i in range(len(s) - JACCARD_K + 1):
+            g.add(s[i : i + JACCARD_K])
+    want = []
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                want.append(
+                    (a, b, shared, shared / min(len(per_src[a]), len(per_src[b])))
+                )
+    got_t = list(
+        got.sort_values(["source_a", "source_b"]).itertuples(index=False, name=None)
+    )
+    assert got_t == want
