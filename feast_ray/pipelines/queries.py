@@ -3919,6 +3919,42 @@ ORACLE_SQL["aggregation_spec_features"] = """
 """
 
 
+def q_rolling_quantile_events(sf_dir: str):
+    """Rolling DISCRETE quantiles (median/p25/p75) over a 7-row trailing
+    window per user — the order-statistic member of the A1 windowed-
+    aggregate family (robust rolling location/spread, e.g. latency p75).
+    Discrete = SQL ``quantile_disc``: the element at sorted index
+    ceil(q*n_valid)-1, an EXISTING value — no interpolation arithmetic, so
+    the twin is bit-exact; only dyadic q are registered (q*n stays exact
+    in IEEE).  Kernel: sorted sliding-window view, O(k) memory per row,
+    one grouped exchange like every window query."""
+    from feast_ray.stages.windows import RollingRows, add_window_features
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = add_window_features(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        specs=[RollingRows("value", 7, aggs=("median", "p25", "p75"), prefix="r7")],
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "r7_median", "r7_p25", "r7_p75"]
+    )
+
+
+QUERIES["rolling_quantile_events"] = q_rolling_quantile_events
+ORACLE_SQL["rolling_quantile_events"] = """
+    SELECT user_id, event_id, ts,
+           quantile_disc(value, 0.5)  OVER w AS r7_median,
+           quantile_disc(value, 0.25) OVER w AS r7_p25,
+           quantile_disc(value, 0.75) OVER w AS r7_p75
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing ordering: the SURVEY §2 operator-ledger core first, so any
 # driver that SAMPLES the registry (CORRECTNESS_r03 took 50 of 161) always
@@ -3946,7 +3982,7 @@ CORE_QUERIES = [
     "dedup_minhash_docs", "neardup_jaccard_docs", "simhash_pairs_docs",
     "neardup_embedding_pairs", "dedup_cluster_docs", "knn_topk",
     "knn_lsh_topk", "knn_ivf_topk", "multimodal_features",
-    "bmp_decode_docs", "wav_decode_docs",
+    "bmp_decode_docs", "wav_decode_docs", "png_decode_docs",
     "curate_corpus_docs", "decontam_docs", "pack_docs", "mix_corpus_docs",
 ]
 

@@ -255,6 +255,37 @@ def rolling_aggs(
             out[a] = pa.array(v[np.maximum(j, 0)], mask=miss)
         elif a in ("min", "max"):
             out[a] = _range_minmax(v, valid, wstart, wend, a)
+        elif a == "median" or (
+            len(a) in (2, 3) and a[0] == "p" and a[1:].isdigit()
+        ):
+            # discrete quantile (SQL quantile_disc): the element at 0-based
+            # sorted index ceil(q*n_valid)-1 — an EXISTING value, so no
+            # interpolation arithmetic and the SQL twin is bit-exact.
+            # ROWS windows only: the sorted-window view is O(n x k); a
+            # RANGE variant needs a different structure (not needed by the
+            # reference's aggregate surface).
+            if k_rows is None:
+                raise ValueError(
+                    f"discrete quantile {a!r} requires a ROWS window "
+                    "(bounded k); RANGE/expanding windows are unsupported"
+                )
+            q = 0.5 if a == "median" else int(a[1:]) / 100.0
+            if not 0.0 < q <= 1.0:
+                raise ValueError(f"quantile {a!r} outside (0, 1]")
+            n = len(v)
+            k = int(k_rows)
+            vp = np.concatenate((np.full(k - 1, np.nan), np.where(valid, v, np.nan)))
+            sw = np.lib.stride_tricks.sliding_window_view(vp, k)
+            # blank positions before the entity's first row (window clipped
+            # at the group edge): window slot j maps to global row i-k+1+j
+            lead = wstart - (np.arange(n, dtype=np.int64) - (k - 1))
+            w = np.where(
+                np.arange(k, dtype=np.int64)[None, :] < lead[:, None], np.nan, sw
+            )
+            ws_sorted = np.sort(w, axis=1)  # NaN sorts last
+            idx = np.maximum(np.ceil(q * c).astype(np.int64) - 1, 0)
+            res = ws_sorted[np.arange(n), idx]
+            out[a] = pa.array(np.where(none, 0.0, res), mask=none)
         else:
             raise ValueError(f"unknown rolling agg {a!r}")
     return out

@@ -533,3 +533,52 @@ def test_aggregation_adapter_end_to_end(ray_session):
         .sort_values("i")
     )
     assert got["s60"].tolist() == want["p_sum"].tolist() == [1.0, 3.0, 3.0, 4.0, 9.0]
+
+
+def test_rolling_discrete_quantile(ray_session, turns_with_value):
+    """median/p25/p75 over a 5-row trailing window vs a pandas rolling
+    oracle applying the quantile_disc rule (element at ceil(q*n)-1) on the
+    non-null window values; nulls + group edges exercised by the fixture."""
+    import pandas as pd
+
+    k = 5
+    got = _run(
+        ray_session,
+        turns_with_value,
+        [RollingRows("value", k, aggs=("median", "p25", "p75"), prefix="q")],
+    ).sort_values(KEYCOLS).reset_index(drop=True)
+
+    df = turns_with_value.to_pandas().sort_values(KEYCOLS).reset_index(drop=True)
+
+    def disc(win: pd.Series, q: float):
+        vals = np.sort(win.dropna().to_numpy())
+        if len(vals) == 0:
+            return np.nan
+        return vals[max(int(np.ceil(q * len(vals))) - 1, 0)]
+
+    for q, col in [(0.5, "q_median"), (0.25, "q_p25"), (0.75, "q_p75")]:
+        want = (
+            df.groupby("conv_id", sort=False)["value"]
+            .rolling(k, min_periods=1)
+            .apply(lambda w, q=q: disc(w, q), raw=False)
+            .reset_index(level=0, drop=True)
+        )
+        g = got[col].to_numpy()
+        w = want.to_numpy()
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert (both_nan | (g == w)).all(), col
+
+
+def test_discrete_quantile_rejects_range_windows(ray_session, turns_with_value):
+    from feast_ray.stages.windows import RollingTime, add_window_features
+    import ray.data as rd
+
+    ds = rd.from_arrow(turns_with_value)
+    with pytest.raises(Exception, match="ROWS window"):
+        add_window_features(
+            ds,
+            key="conv_id",
+            ts_col="ts",
+            order_cols=["ts", "turn_idx"],
+            specs=[RollingTime("value", 60_000_000, aggs=("median",))],
+        ).to_pandas()
