@@ -434,6 +434,15 @@ def grouped_map(
     Group ORDER within a bucket differs between engines (hash order vs key
     order) — row-level results are identical, consumers must not rely on
     inter-group output order.
+
+    Kernel contract (plan-time schema inference relies on it): the kernel
+    must be SCHEMA-STABLE on a typed EMPTY input — return a 0-row table
+    with exactly the columns/types it returns for data — and must not
+    fabricate rows or have side effects at import/call time.  A kernel (or
+    upstream pyarrow ``map_batches`` UDF) that cannot satisfy this should
+    set ``fn.__feast_ray_no_local_sim__ = True`` to opt out of the local
+    empty-table simulation; the engine then falls back to Ray's schema
+    probe for that pipeline (see ``_infer_schema_local``).
     """
     keys = list(keys)
     order = keys + [c for c in sort_keys if c not in keys]
