@@ -3919,6 +3919,92 @@ ORACLE_SQL["aggregation_spec_features"] = """
 """
 
 
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix (the missing sibling of funnel/bounce/RFM):
+    users cohorted by epoch-week of their FIRST event; for every
+    (cohort_week, week_offset), distinct active users and the share
+    retained vs the cohort's own week 0.  ONE user-keyed exchange — the
+    kernel takes each user's min ts, floors offsets, and emits the user's
+    DISTINCT (cohort, offset) pairs — then a tiny (cohort, offset)-keyed
+    fold; the counts matrix (calendar-weeks x offsets) is the only thing
+    the driver holds.  All week arithmetic is exact int64 floor division
+    (post-epoch timestamps per the data contract)."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.windows import _ts_np
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def per_user(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {"cohort_week": pa.array([], pa.int64()),
+             "week_offset": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ts = _ts_np(t, "ts")
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        first_ts = np.minimum.reduceat(ts, firsts)
+        cohort = first_ts // WEEK_US
+        off = (ts - np.repeat(first_ts, sizes)) // WEEK_US
+        gidx = np.repeat(np.arange(len(firsts), dtype=np.int64), sizes)
+        # distinct (user, offset): lexsort + adjacent-dup drop
+        order = np.lexsort((off, gidx))
+        gs, os_ = gidx[order], off[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = (gs[1:] != gs[:-1]) | (os_[1:] != os_[:-1])
+        return pa.table(
+            {"cohort_week": pa.array(cohort[gs[keep]]),
+             "week_offset": pa.array(os_[keep])}
+        )
+
+    rows = grouped_map(ds, ["user_id"], per_user)
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("n_users", pa.array([], pa.int64()))
+        firsts = starts[:-1]
+        return pa.table(
+            {"cohort_week": pc.take(t["cohort_week"].combine_chunks(), pa.array(firsts)),
+             "week_offset": pc.take(t["week_offset"].combine_chunks(), pa.array(firsts)),
+             "n_users": pa.array(np.diff(starts).astype(np.int64))}
+        )
+
+    counts = grouped_map(rows, ["cohort_week", "week_offset"], fold).take_all()
+    base = {
+        r["cohort_week"]: r["n_users"] for r in counts if r["week_offset"] == 0
+    }
+    counts.sort(key=lambda r: (r["cohort_week"], r["week_offset"]))
+    return pa.table(
+        {"cohort_week": pa.array([r["cohort_week"] for r in counts], pa.int64()),
+         "week_offset": pa.array([r["week_offset"] for r in counts], pa.int64()),
+         "n_users": pa.array([int(r["n_users"]) for r in counts], pa.int64()),
+         "retained_share": pa.array(
+             [r["n_users"] / base[r["cohort_week"]] for r in counts], pa.float64()
+         )}
+    )
+
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+ORACLE_SQL["retention_cohorts"] = f"""
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+    r AS (SELECT DISTINCT e.user_id,
+                 epoch_us(f.first_ts) // {WEEK_US} AS cohort_week,
+                 (epoch_us(e.ts) - epoch_us(f.first_ts)) // {WEEK_US}
+                   AS week_offset
+          FROM events e JOIN f USING (user_id)),
+    c AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM r GROUP BY 1, 2)
+    SELECT c.cohort_week, c.week_offset, c.n_users,
+           CAST(c.n_users AS DOUBLE) / CAST(c0.n0 AS DOUBLE) AS retained_share
+    FROM c JOIN (SELECT cohort_week, n_users AS n0 FROM c
+                 WHERE week_offset = 0) c0 USING (cohort_week)
+"""
+
+
 def q_value_quantiles_type(sf_dir: str):
     """Exact distributed order statistics per group: p50/p90 of value per
     event_type (quantile_disc semantics — element at ceil(q*n)-1, so the
