@@ -2504,6 +2504,61 @@ def q_cross_source_overlap(sf_dir: str):
     )
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead — pyarrow and DuckDB
+# both run RE2 with identical leftmost semantics, so counts match exactly):
+# contraction suffixes, space-prefixed letter/digit/punct runs, whitespace.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|'| ?\s+"
+
+
+def q_bpe_token_count_docs(sf_dir: str):
+    """Token counting under a BPE-ish pre-tokenizer (the training-budget
+    estimate a tokenizer-aware pipeline needs before the real BPE merges
+    run): per doc, whitespace token count, GPT-2-style pre-token count
+    (`BPE_SPLIT_RE`), and chars-per-pre-token (one exact division).
+    Stateless vectorized scan — both regex engines are RE2, so the SQL
+    twin counts the identical matches."""
+    docs = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n_ws = pc.cast(pc.count_substring_regex(low, r"\S+"), pa.int64())
+        n_bpe = pc.cast(pc.count_substring_regex(low, BPE_SPLIT_RE), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        ws = n_ws.to_numpy(zero_copy_only=False).astype(np.float64)
+        bp = n_bpe.to_numpy(zero_copy_only=False).astype(np.float64)
+        ch = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        none = bp == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = ch / bp
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_ws_tokens": n_ws,
+             "n_bpe_tokens": n_bpe,
+             "chars_per_bpe_token": pa.array(
+                 np.where(none, 0.0, ratio), mask=none
+             )}
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BPE_RE_SQL = BPE_SPLIT_RE.replace("'", "''")
+
+QUERIES_DOCS["bpe_token_count_docs"] = q_bpe_token_count_docs
+ORACLE_SQL_DOCS["bpe_token_count_docs"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}'))
+                AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) > 0
+                THEN CAST(length(text) AS DOUBLE)
+                     / len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}'))
+           END AS chars_per_bpe_token
+    FROM documents
+"""
+
+
 QUERIES_DOCS["cross_source_overlap"] = q_cross_source_overlap
 ORACLE_SQL_DOCS["cross_source_overlap"] = f"""
     WITH g AS (SELECT DISTINCT source, substr(text, t.gs, {JACCARD_K}) AS g
