@@ -38,17 +38,36 @@ import pyarrow.parquet as pq
 
 
 def build_corpus(sf_dir: str, copies: int, out_dir: str) -> int:
-    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
     os.makedirs(out_dir, exist_ok=True)
     n = src.num_rows
+    parts = []
     for c in range(copies):
         part = pa.table(
             {
                 "doc_id": pc.add(src["doc_id"], c * n),
                 "text": src["text"],
+                "lang": src["lang"],
+                "source": src["source"],
             }
         )
-        pq.write_table(part, os.path.join(out_dir, f"copy-{c:02d}.parquet"))
+        pq.write_table(
+            part.select(["doc_id", "text"]),
+            os.path.join(out_dir, f"copy-{c:02d}.parquet"),
+        )
+        parts.append(part)
+    # a registered-query-shaped sf dir (single documents.parquet, row-group
+    # split for read parallelism) so q_* entries run at this scale directly
+    sf_like = out_dir + "_sf"
+    os.makedirs(sf_like, exist_ok=True)
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(sf_like, "documents.parquet"),
+        row_group_size=4096,
+    )
     return n * copies
 
 
@@ -78,7 +97,10 @@ def main() -> None:
 
     corpus_dir = f"/tmp/feast_ray_stress/docs_x{copies}"
     marker = corpus_dir + ".done"
-    if not os.path.exists(marker):
+    if not (
+        os.path.exists(marker)
+        and os.path.exists(os.path.join(corpus_dir + "_sf", "documents.parquet"))
+    ):
         n_docs = build_corpus(sf_dir, copies, corpus_dir)
         with open(marker, "w") as f:
             f.write(str(n_docs))
@@ -113,6 +135,24 @@ def main() -> None:
     kept = minhash_dedup_pipeline(docs(), tau=0.5).materialize()
     report["minhash_s"] = round(time.perf_counter() - t0, 2)
     report["minhash_kept"] = kept.count()
+
+    # round-4 additions at 10x: pair space of the source-overlap matrix is
+    # O(sum m^2 per gram) with m = SOURCES per gram — tiling multiplies df
+    # but not m, so it must stay near-linear; lm/dsir are two linear scans
+    # plus a vocab/bucket-bounded exchange.
+    from feast_ray.pipelines.queries import QUERIES
+
+    sf_like = corpus_dir + "_sf"
+    for qname, key in [
+        ("cross_source_overlap", "xsrc"),
+        ("lm_surprisal_docs", "lm"),
+        ("dsir_select_docs", "dsir"),
+    ]:
+        t0 = time.perf_counter()
+        out = QUERIES[qname](sf_like)
+        n_rows = out.num_rows if isinstance(out, pa.Table) else out.count()
+        report[f"{key}_s"] = round(time.perf_counter() - t0, 2)
+        report[f"{key}_rows"] = int(n_rows)
 
     print(json.dumps(report))
     ray.shutdown()
