@@ -551,7 +551,7 @@ def q_png_decode_docs(sf_dir: str):
         attach_png_payloads, batch_format="pyarrow", zero_copy_batch=True
     )
     out = add_media_features(
-        ds, id_cols=("doc_id",), mode="decode", concurrency=2, batch_size=64
+        ds, id_cols=("doc_id",), mode="decode", concurrency=6, batch_size=64
     )
     return out.select_columns(
         ["doc_id", "width", "height", "byte_mean", "byte_std", "n_px"]
