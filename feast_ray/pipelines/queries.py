@@ -3919,6 +3919,114 @@ ORACLE_SQL["aggregation_spec_features"] = """
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """Shipping-priority top-10 (TPC-H Q3 flavor): BUILDING-segment
+    customers semi-join their pre-cutoff orders (one co-partitioned
+    filter-join — only custkeys move for the filter side), post-cutoff
+    lineitems equi-join those orders by orderkey, exact integer revenue
+    units (cents x (100 - discount pct)) folded per order, global top-10
+    by revenue with (orderdate, orderkey) tie-break.  Every read is
+    column-pruned; the date filters run at the read edge so only
+    qualifying rows enter either shuffle."""
+    from feast_ray.grouped import grouped_map, sorted_head
+    from feast_ray.stages.join import equi_join, semi_join
+
+    cutoff = pd_ts_us("1998-01-01")
+
+    cust = read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"custkey": t.filter(
+                pc.equal(t["c_mktsegment"], "BUILDING")
+            )["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    orders = read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().cast(pa.int64())
+        sub = t.filter(pc.less(d, pa.scalar(cutoff)))
+        return pa.table(
+            {"custkey": sub["o_custkey"], "orderkey": sub["o_orderkey"],
+             "o_orderdate": sub["o_orderdate"],
+             "o_orderpriority": sub["o_orderpriority"]}
+        )
+
+    orders = orders.map_batches(ord_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = semi_join(orders, cust, keys=["custkey"]).select_columns(
+        ["orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().cast(pa.int64())
+        sub = t.filter(pc.greater(d, pa.scalar(cutoff)))
+        cents = pc.cast(pc.round(pc.multiply(sub["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(sub["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"orderkey": sub["l_orderkey"], "rev_units": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    j = equi_join(li, orders, keys=["orderkey"], how="inner")
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": t["orderkey"].combine_chunks().slice(0, 0),
+                 "o_orderdate": t["o_orderdate"].combine_chunks().slice(0, 0),
+                 "o_orderpriority": t["o_orderpriority"].combine_chunks().slice(0, 0),
+                 "revenue": pa.array([], pa.float64())}
+            )
+        firsts = starts[:-1]
+        rev = t["rev_units"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = np.add.reduceat(rev, firsts).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": pc.take(t["orderkey"].combine_chunks(), pa.array(firsts)),
+             "o_orderdate": pc.take(t["o_orderdate"].combine_chunks(), pa.array(firsts)),
+             "o_orderpriority": pc.take(
+                 t["o_orderpriority"].combine_chunks(), pa.array(firsts)
+             ),
+             "revenue": pa.array(s.astype(np.float64) / 10000.0)}
+        )
+
+    per_order = grouped_map(j, ["orderkey"], fold)
+    return sorted_head(
+        per_order, ["revenue", "o_orderdate", "l_orderkey"],
+        [True, False, False], 10,
+    )
+
+
+QUERIES["shipping_priority"] = q_shipping_priority
+ORACLE_SQL["shipping_priority"] = """
+    SELECT l.l_orderkey,
+           o.o_orderdate,
+           o.o_orderpriority,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+"""
+
+
 WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
