@@ -2600,6 +2600,122 @@ ORACLE_SQL_DOCS["lm_surprisal_docs"] = """
 """
 
 
+def q_lm_bigram_surprisal_docs(sf_dir: str):
+    """Bigram conditional-surprisal quality score (the LM-filter signal one
+    order up from `lm_surprisal_docs`): per token position, the
+    integer-quantized conditional cost ``blen(ctx(prev)) - blen(c(prev,
+    tok))`` — context count over exact bigram count, document starts
+    modeled with a BOS sentinel context.  The LM is trained on the corpus
+    itself, so every scored bigram has count >= 1 and no backoff branch is
+    needed; every quantity is an exact integer, making the twin bit-exact.
+    Three co-partitioned exchanges over the bigram instance rows (by
+    (prev, tok) for c, by prev for ctx, by doc for the fold) — the exact
+    shape the SQL twin's three GROUP BYs take, each linear in tokens."""
+    from feast_ray.grouped import grouped_map
+
+    docs = _docs(sf_dir)
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent[keep]
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"doc_id": t["doc_id"].combine_chunks().slice(0, 0),
+                 "prev": flat, "tok": flat}
+            )
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = parent[1:] != parent[:-1]
+        idx = np.arange(n, dtype=np.int64) - 1
+        prev = pc.if_else(
+            pa.array(first),
+            pa.scalar("", pa.string()),
+            pc.take(flat, pa.array(np.maximum(idx, 0))),
+        )
+        return pa.table(
+            {"doc_id": pc.take(t["doc_id"].combine_chunks(), pa.array(parent)),
+             "prev": prev, "tok": flat}
+        )
+
+    inst = docs.map_batches(bigram_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_kernel(col_name: str):
+        def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column(col_name, pa.array([], pa.int64()))
+            per_group = np.diff(starts)
+            return t.append_column(
+                col_name,
+                pa.array(np.repeat(per_group, per_group).astype(np.int64)),
+            )
+
+        return kernel
+
+    with_bf = grouped_map(inst, ["prev", "tok"], count_kernel("bf"))
+    with_ctx = grouped_map(with_bf, ["prev"], count_kernel("ctx"))
+
+    def fold(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": did.slice(0, 0),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "total_bits": pa.array([], pa.int64()),
+                 "bits_per_token": pa.array([], pa.float64())}
+            )
+        firsts = starts[:-1]
+        bf = t["bf"].combine_chunks().to_numpy(zero_copy_only=False)
+        ctx = t["ctx"].combine_chunks().to_numpy(zero_copy_only=False)
+        cost = np.frexp(ctx.astype(np.float64))[1] - np.frexp(
+            bf.astype(np.float64)
+        )[1]
+        n_tok = np.diff(starts).astype(np.int64)
+        bits = np.add.reduceat(cost, firsts).astype(np.int64)
+        return pa.table(
+            {"doc_id": pc.take(did, pa.array(firsts)),
+             "n_tokens": pa.array(n_tok),
+             "total_bits": pa.array(bits),
+             "bits_per_token": pa.array(
+                 bits.astype(np.float64) / n_tok.astype(np.float64)
+             )}
+        )
+
+    return grouped_map(with_ctx, ["doc_id"], fold)
+
+
+QUERIES_DOCS["lm_bigram_surprisal_docs"] = q_lm_bigram_surprisal_docs
+ORACLE_SQL_DOCS["lm_bigram_surprisal_docs"] = """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS a
+      FROM documents),
+    inst AS (
+      SELECT doc_id,
+             CASE WHEN u.i = 1 THEN '' ELSE a[u.i - 1] END AS prev,
+             a[u.i] AS tok
+      FROM arr, unnest(generate_series(1, len(a))) u(i)),
+    bf AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS bf
+           FROM inst GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS ctx FROM inst GROUP BY 1)
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(ctx.ctx)) - length(bin(bf.bf))) AS BIGINT)
+             AS total_bits,
+           CAST(SUM(length(bin(ctx.ctx)) - length(bin(bf.bf))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
+    FROM inst i JOIN bf USING (prev, tok) JOIN ctx USING (prev)
+    GROUP BY i.doc_id
+"""
+
+
 DSIR_BUCKETS = 4096
 DSIR_FX = 16_777_216  # 2^24 fixed-point quantum for the log-ratio vector
 DSIR_TARGET_LANG = "en"

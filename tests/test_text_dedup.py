@@ -1012,3 +1012,40 @@ def test_cross_source_overlap_bruteforce(ray_session):
         got.sort_values(["source_a", "source_b"]).itertuples(index=False, name=None)
     )
     assert got_t == want
+
+
+def test_lm_bigram_surprisal_bruteforce(ray_session):
+    """Bigram conditional bit costs vs a Counter-based oracle with BOS."""
+    import re
+    from collections import Counter
+
+    from feast_ray.pipelines.queries_docs import q_lm_bigram_surprisal_docs
+
+    got = (
+        q_lm_bigram_surprisal_docs(SF)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        did: [t for t in re.split(r"[^a-z0-9]+", (s or "").lower()) if t]
+        for did, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    bf, ctx = Counter(), Counter()
+    for ts in toks.values():
+        prev = ""
+        for t in ts:
+            bf[(prev, t)] += 1
+            ctx[prev] += 1
+            prev = t
+    for did, ts in sorted(toks.items()):
+        if not ts:
+            assert did not in got.index
+            continue
+        total, prev = 0, ""
+        for t in ts:
+            total += ctx[prev].bit_length() - bf[(prev, t)].bit_length()
+            prev = t
+        row = got.loc[did]
+        assert row["n_tokens"] == len(ts)
+        assert row["total_bits"] == total
+        assert row["bits_per_token"] == total / len(ts)
