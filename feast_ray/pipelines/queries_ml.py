@@ -2875,3 +2875,113 @@ ORACLE_SQL_ML["kmeans_embeddings"] = """
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       FROM d3) WHERE rn = 1
 """
+
+
+def q_pq_encode_embeddings(sf_dir: str):
+    """Product-quantization encode (the ANN compression step IVF-PQ indexes
+    build on): the 64-dim embedding splits into two 32-dim subspaces, each
+    sub-quantized by the deterministic Lloyd kernel (k=4, 1 update round,
+    lowest-id init — `stages.similarity.kmeans` on the sliced column), and
+    every vector becomes (code_lo, code_hi) plus the reconstruction error
+    = sum of the two rounded subspace distances.  Distribution: each
+    subspace pass is the kmeans broadcast/partial pattern (no shuffle);
+    the two code streams meet on one vec_id-keyed equi-join.  The SQL twin
+    unrolls both subspace iterations exactly like the kmeans twin."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.similarity import kmeans
+
+    vecs = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def sub(lo: int, hi: int):
+        def slice_fn(t: pa.Table) -> pa.Table:
+            emb = t["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            return pa.table(
+                {"vec_id": t["vec_id"],
+                 "embedding": pc.list_slice(emb, lo, hi)}
+            )
+
+        return vecs.map_batches(
+            slice_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    lo_assign = kmeans(sub(0, 32), id_col="vec_id", k=4, n_iter=1)
+    hi_assign = kmeans(sub(32, 64), id_col="vec_id", k=4, n_iter=1)
+
+    def lo_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t["vec_id"], "code_lo": t["cluster_id"],
+             "d_lo": t["dist"]}
+        )
+
+    def hi_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t["vec_id"], "code_hi": t["cluster_id"],
+             "d_hi": t["dist"]}
+        )
+
+    j = equi_join(
+        lo_assign.map_batches(lo_prep, batch_format="pyarrow", zero_copy_batch=True),
+        hi_assign.map_batches(hi_prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["vec_id"],
+        how="inner",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        err = pc.add(t["d_lo"], t["d_hi"])
+        return pa.table(
+            {"vec_id": t["vec_id"], "code_lo": t["code_lo"],
+             "code_hi": t["code_hi"], "recon_err": err}
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pq_sub_sql(tag: str, lo: int, hi: int) -> str:
+    """One subspace's unrolled 1-iteration kmeans CTE chain ending in
+    ``{tag}_final(vec_id, cid, d)`` — dims are 1-based [lo, hi]."""
+    return f"""
+    {tag}_ev AS (
+      SELECT vec_id, CAST(g.i AS BIGINT) AS i, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, LATERAL unnest(range({lo}, {hi + 1})) AS g(i)),
+    {tag}_c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+    {tag}_cent0 AS (SELECT c.cid, ev.i, ev.x AS cx
+                    FROM {tag}_c0 c JOIN {tag}_ev ev USING (vec_id)),
+    {tag}_d1 AS (
+      SELECT ev.vec_id, c.cid,
+             ROUND(SUM((ev.x - c.cx) * (ev.x - c.cx)), 6) AS d
+      FROM {tag}_ev ev JOIN {tag}_cent0 c USING (i)
+      GROUP BY ev.vec_id, c.cid),
+    {tag}_a1 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM {tag}_d1) WHERE rn = 1),
+    {tag}_m1 AS (SELECT a.cid, ev.i, AVG(ev.x) AS cx
+                 FROM {tag}_a1 a JOIN {tag}_ev ev USING (vec_id)
+                 GROUP BY a.cid, ev.i),
+    {tag}_cent1 AS (SELECT c.cid, c.i, COALESCE(m.cx, c.cx) AS cx
+                    FROM {tag}_cent0 c
+                    LEFT JOIN {tag}_m1 m ON m.cid = c.cid AND m.i = c.i),
+    {tag}_d2 AS (
+      SELECT ev.vec_id, c.cid,
+             ROUND(SUM((ev.x - c.cx) * (ev.x - c.cx)), 6) AS d
+      FROM {tag}_ev ev JOIN {tag}_cent1 c USING (i)
+      GROUP BY ev.vec_id, c.cid),
+    {tag}_final AS (SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM {tag}_d2) WHERE rn = 1)"""
+
+
+QUERIES_ML["pq_encode_embeddings"] = q_pq_encode_embeddings
+ORACLE_SQL_ML["pq_encode_embeddings"] = f"""
+    WITH {_pq_sub_sql("lo", 1, 32)},
+    {_pq_sub_sql("hi", 33, 64)}
+    SELECT l.vec_id, l.cid AS code_lo, h.cid AS code_hi,
+           l.d + h.d AS recon_err
+    FROM lo_final l JOIN hi_final h USING (vec_id)
+"""
