@@ -3919,6 +3919,75 @@ ORACLE_SQL["aggregation_spec_features"] = """
 """
 
 
+def q_leakage_audit(sf_dir: str):
+    """Temporal-leakage audit as a first-class pipeline artifact (the north
+    star's 'zero temporal leakage' check, runnable in production after any
+    backfill, not only in tests): over the as-of join output, per-spine
+    summary of matched rows, rows whose feature timestamp exceeds the spine
+    timestamp (MUST be 0), rows older than the TTL bound (MUST be 0), and
+    the worst-case feature age actually used.  One stateless scan over the
+    join output folded by bounded per-block partials — the audit adds no
+    shuffle to the pipeline it audits."""
+    ds = q_asof_click_value(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        fts = t["click_ts"].combine_chunks().cast(pa.int64())
+        valid = pc.is_valid(fts).to_numpy(zero_copy_only=False)
+        f = fts.to_numpy(zero_copy_only=False)
+        age = ts[valid] - f[valid]
+        return pa.table(
+            {"n_rows": pa.array([t.num_rows], pa.int64()),
+             "n_matched": pa.array([int(valid.sum())], pa.int64()),
+             "n_leaks": pa.array([int((age < 0).sum())], pa.int64()),
+             "n_ttl_violations": pa.array(
+                 [int((age > ASOF_TTL_US).sum())], pa.int64()
+             ),
+             "max_age_us": pa.array(
+                 [int(age.max()) if len(age) else None], pa.int64()
+             )}
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block — bounded
+    agg = {
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "n_matched": sum(r["n_matched"] for r in rows),
+        "n_leaks": sum(r["n_leaks"] for r in rows),
+        "n_ttl_violations": sum(r["n_ttl_violations"] for r in rows),
+        "max_age_us": max(
+            (r["max_age_us"] for r in rows if r["max_age_us"] is not None),
+            default=None,
+        ),
+    }
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in agg.items()})
+
+
+QUERIES["leakage_audit"] = q_leakage_audit
+ORACLE_SQL["leakage_audit"] = """
+    WITH spine AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT user_id, ts, max(value) AS v_click, count(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    j AS (
+      SELECT s.ts,
+             CASE WHEN f.ts >= s.ts - INTERVAL 1 DAY THEN f.ts END AS click_ts
+      FROM spine s ASOF LEFT JOIN f
+        ON s.user_id = f.user_id AND f.ts <= s.ts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(click_ts) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(CASE WHEN click_ts > ts THEN 1 END), 0) AS BIGINT)
+             AS n_leaks,
+           CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) - epoch_us(click_ts)
+                                       > 86400000000 THEN 1 END), 0) AS BIGINT)
+             AS n_ttl_violations,
+           CAST(MAX(epoch_us(ts) - epoch_us(click_ts)) AS BIGINT) AS max_age_us
+    FROM j
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """Shipping-priority top-10 (TPC-H Q3 flavor): BUILDING-segment
     customers semi-join their pre-cutoff orders (one co-partitioned
