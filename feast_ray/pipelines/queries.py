@@ -4285,9 +4285,9 @@ ORACLE_SQL["rolling_quantile_events"] = """
 # then the LLM-curation family, then the long tail of derived analytics.
 # ---------------------------------------------------------------------------
 CORE_QUERIES = [
-    # J1/J2/J4/M1/M4/M6: point-in-time as-of joins
+    # J1/J2/J4/M1/M4/M6: point-in-time as-of joins (+ the leakage audit)
     "asof_click_value", "historical_multiview", "asof_click_broadcast",
-    "asof_created_tiebreak", "asof_composite_key",
+    "asof_created_tiebreak", "asof_composite_key", "leakage_audit",
     # A1-A4: windows / lag-lead / sessionize
     "rolling_events", "lag_lead_events", "sessionize_events",
     "rolling_time_minmax", "hopping_window_events", "expanding_events",
@@ -4307,6 +4307,7 @@ CORE_QUERIES = [
     "knn_lsh_topk", "knn_ivf_topk", "multimodal_features",
     "bmp_decode_docs", "wav_decode_docs", "png_decode_docs",
     "curate_corpus_docs", "decontam_docs", "pack_docs", "mix_corpus_docs",
+    "lm_surprisal_docs", "dsir_select_docs",
 ]
 
 

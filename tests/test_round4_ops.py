@@ -307,3 +307,60 @@ def test_weighted_reservoir_prefers_heavy_rows(ray_session):
         assert set(out["doc_id"]) == _aes_brute(ids, w.astype(np.float64), 40, s)
     # ~100x weight ratio: heavy rows dominate every draw
     assert hits[200:].sum() > 8 * hits[:200].sum()
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts / shipping priority / leakage audit (late round 4)
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_retention_cohorts_bruteforce(ray_session):
+    from feast_ray.pipelines.queries import WEEK_US, q_retention_cohorts
+
+    got = q_retention_cohorts(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    first = ev.groupby("user_id")["us"].min()
+    from collections import Counter
+
+    cnt = Counter()
+    seen = set()  # distinct (user, cohort, offset)
+    for uid, us in zip(ev["user_id"], ev["us"]):
+        f = first[uid]
+        key = (uid, f // WEEK_US, (us - f) // WEEK_US)
+        if key not in seen:
+            seen.add(key)
+            cnt[(f // WEEK_US, (us - f) // WEEK_US)] += 1
+    want = sorted(
+        (cw, off, n, n / cnt[(cw, 0)]) for (cw, off), n in cnt.items()
+    )
+    got_t = list(got.itertuples(index=False, name=None))
+    assert got_t == want
+
+
+def test_leakage_audit_zero(ray_session):
+    from feast_ray.pipelines.queries import q_leakage_audit
+
+    got = q_leakage_audit(SF).to_pandas().iloc[0]
+    assert got["n_leaks"] == 0
+    assert got["n_ttl_violations"] == 0
+    assert 0 < got["n_matched"] <= got["n_rows"]
+    assert 0 <= got["max_age_us"] <= 86400000000
+
+
+def test_shipping_priority_duckdb_twin(ray_session):
+    import duckdb
+
+    from feast_ray.pipelines.queries import ORACLE_SQL, q_shipping_priority
+
+    got = q_shipping_priority(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = con.execute(ORACLE_SQL["shipping_priority"]).fetchdf()
+    assert list(got["l_orderkey"]) == list(want["l_orderkey"])
+    assert list(got["revenue"]) == list(want["revenue"])
