@@ -353,3 +353,41 @@ def test_asof_kernel_property(sizes, ttl, data):
                 best = max(f for f in cand if f[1] == best_t)  # max cts
                 assert row["val"] == best[5]
                 assert row["mts"] == best_t
+
+
+@given(
+    sizes=group_sizes,
+    k=st.integers(min_value=1, max_value=6),
+    q_pct=st.sampled_from([25, 50, 75]),
+    data=st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_rolling_discrete_quantile_property(sizes, k, q_pct, data):
+    """quantile_disc over ROWS windows vs a per-window naive oracle:
+    the element at 0-based sorted index ceil(q*n_valid)-1 among the
+    window's non-null values, None when the window is all-null."""
+    n, starts, gstart, gend = _row_bounds(sizes)
+    vals = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-50, max_value=50,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    v = np.array([np.nan if x is None else float(x) for x in vals])
+    ws, we = rolling_rows_bounds(n, gstart, k)
+    agg = "median" if q_pct == 50 else f"p{q_pct}"
+    out = rolling_aggs(v, ws, we, [agg], k_rows=k)[agg].to_pylist()
+    q = q_pct / 100.0
+    for i in range(n):
+        win = sorted(x for x in v[ws[i]: we[i]] if not np.isnan(x))
+        if not win:
+            assert out[i] is None
+        else:
+            idx = max(int(np.ceil(q * len(win))) - 1, 0)
+            assert out[i] == win[idx], (i, win, out[i])
