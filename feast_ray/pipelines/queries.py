@@ -3919,6 +3919,66 @@ ORACLE_SQL["aggregation_spec_features"] = """
 """
 
 
+def q_mode_event_type_user(sf_dir: str):
+    """Per-entity MODE (most frequent categorical value, ties to the
+    lexically smallest — the deterministic tie rule SQL's ``mode()``
+    doesn't promise, so the twin replays it with an explicit window
+    rank): one grouped exchange sorted by the category, run-length counts,
+    vectorized per-group argmax with first-wins ties."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        uid = t["user_id"].combine_chunks()
+        et = t["event_type"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": uid.slice(0, 0),
+                 "top_event_type": et.slice(0, 0),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        n = t.num_rows
+        # rows arrive sorted by (user, event_type): run boundaries give
+        # per-(user, type) counts; within each user runs are LEXICAL order,
+        # so argmax with first-wins ties is the documented tie rule
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        gidx = np.repeat(np.arange(len(starts) - 1, dtype=np.int64), np.diff(starts))
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (gidx[1:] != gidx[:-1]) | (codes[1:] != codes[:-1])
+        run_first = np.flatnonzero(new)
+        run_len = np.diff(np.append(run_first, n))
+        run_gidx = gidx[run_first]
+        # per-user argmax over its runs (first-wins): order runs by
+        # (user, -len, position) via lexsort and take each user's first
+        order = np.lexsort(
+            (np.arange(len(run_first)), -run_len, run_gidx)
+        )
+        user_first = np.ones(len(order), dtype=bool)
+        og = run_gidx[order]
+        user_first[1:] = og[1:] != og[:-1]
+        best = order[user_first]
+        rows = run_first[best]
+        return pa.table(
+            {"user_id": pc.take(uid, pa.array(rows)),
+             "top_event_type": pc.take(et, pa.array(rows)),
+             "n_events": pa.array(run_len[best].astype(np.int64))}
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["event_type"])
+
+
+QUERIES["mode_event_type_user"] = q_mode_event_type_user
+ORACLE_SQL["mode_event_type_user"] = """
+    SELECT user_id, event_type AS top_event_type, n AS n_events FROM (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1, 2) WHERE rn = 1
+"""
+
+
 def q_leakage_audit(sf_dir: str):
     """Temporal-leakage audit as a first-class pipeline artifact (the north
     star's 'zero temporal leakage' check, runnable in production after any
