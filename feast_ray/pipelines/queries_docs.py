@@ -2600,6 +2600,68 @@ ORACLE_SQL_DOCS["lm_surprisal_docs"] = """
 """
 
 
+class _Compressor:
+    """Actor-pool zlib scorer: the codec context is per-actor state (the
+    stateful-stage shape a real tokenizer/model scorer uses); per batch it
+    deflates each doc and emits exact integer sizes."""
+
+    def __init__(self, level: int = 6):
+        import zlib
+
+        self._zlib = zlib
+        self.level = level
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray
+        ) else t["text"]
+        raw = np.empty(t.num_rows, dtype=np.int64)
+        comp = np.empty(t.num_rows, dtype=np.int64)
+        for i, s in enumerate(texts.to_pylist()):
+            b = (s or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(self._zlib.compress(b, self.level))
+        none = comp == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = raw.astype(np.float64) / comp.astype(np.float64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_bytes": pa.array(raw),
+             "n_compressed": pa.array(comp),
+             "compression_ratio": pa.array(
+                 np.where(none, 0.0, ratio), mask=none
+             )}
+        )
+
+
+def q_compression_ratio_docs(sf_dir: str):
+    """Compressibility quality signal (the classic repetitive-junk
+    detector: boilerplate and template spam deflate far better than
+    natural text): per doc, raw vs zlib-deflated byte counts and their
+    exact-division ratio, on an actor pool holding the codec state.
+    Deterministic (fixed zlib level) but not SQL-expressible — the gate
+    records rows-only; exactness is pinned by the pytest twin, which
+    recomputes every size with the same stdlib zlib."""
+    from feast_ray.stages.multimodal import (  # reuse the actor-pool wiring
+        add_media_features,  # noqa: F401  (documentation cross-ref only)
+    )
+
+    docs = _docs(sf_dir)
+    return docs.map_batches(
+        _Compressor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,  # leaves CPU headroom for the read stage even in a
+        num_cpus=1.0,   # 4-CPU session (actor pools can starve the reader)
+    )
+
+
+QUERIES_DOCS["compression_ratio_docs"] = q_compression_ratio_docs
+# no ORACLE_SQL entry: zlib is not SQL-expressible; rows-only + pytest twin
+
+
 def q_lm_bigram_surprisal_docs(sf_dir: str):
     """Bigram conditional-surprisal quality score (the LM-filter signal one
     order up from `lm_surprisal_docs`): per token position, the

@@ -1049,3 +1049,25 @@ def test_lm_bigram_surprisal_bruteforce(ray_session):
         assert row["n_tokens"] == len(ts)
         assert row["total_bits"] == total
         assert row["bits_per_token"] == total / len(ts)
+
+
+def test_compression_ratio_exact(ray_session):
+    """zlib sizes vs direct stdlib recomputation — bit-exact."""
+    import zlib
+
+    from feast_ray.pipelines.queries_docs import q_compression_ratio_docs
+
+    got = (
+        q_compression_ratio_docs(SF)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == docs.num_rows
+    for did, s in list(
+        zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    )[:60]:
+        b = (s or "").encode("utf-8")
+        row = got.loc[did]
+        assert row["n_bytes"] == len(b)
+        assert row["n_compressed"] == len(zlib.compress(b, 6))
+        assert row["compression_ratio"] == len(b) / len(zlib.compress(b, 6))
