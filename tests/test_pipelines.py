@@ -366,3 +366,42 @@ def test_backfill_crash_resume_at_scale(ray_session, tmp_path):
     a, b = read_sorted(out_crash), read_sorted(out_ref)
     assert a.shape == b.shape
     pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_export_jsonl_roundtrip_and_idempotent(ray_session, tmp_path):
+    """JSONL export: read-back equality via DuckDB, idempotent re-export
+    (content-addressed shards — second run writes nothing new)."""
+    import json
+    import os
+
+    import duckdb
+    import ray.data as rd
+
+    from feast_ray.pipelines.export import export_jsonl
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = rd.read_parquet(src, columns=["doc_id", "text", "source"]).repartition(2)
+    out = str(tmp_path / "export")
+    idx = export_jsonl(ds, out)
+    assert idx["n_rows"] == 500 and idx["n_shards"] >= 1
+
+    con = duckdb.connect()
+    back = con.execute(
+        f"SELECT doc_id, source, text FROM read_json_auto('{out}/shard-*.jsonl') ORDER BY doc_id"
+    ).fetchdf()
+    want = con.execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{src}') ORDER BY doc_id"
+    ).fetchdf()
+    assert back.equals(want)
+
+    mtimes = {p: os.path.getmtime(f"{out}/{p}") for p in os.listdir(out)
+              if p.endswith(".jsonl")}
+    idx2 = export_jsonl(
+        rd.read_parquet(src, columns=["doc_id", "text", "source"]).repartition(2),
+        out,
+    )
+    assert idx2["n_rows"] == idx["n_rows"]
+    assert {s["sha"] for s in idx2["shards"]} == {s["sha"] for s in idx["shards"]}
+    for p, m in mtimes.items():
+        assert os.path.getmtime(f"{out}/{p}") == m  # untouched on re-export
+    assert json.load(open(f"{out}/_export.json"))["n_rows"] == 500
