@@ -364,3 +364,36 @@ def test_shipping_priority_duckdb_twin(ray_session):
     want = con.execute(ORACLE_SQL["shipping_priority"]).fetchdf()
     assert list(got["l_orderkey"]) == list(want["l_orderkey"])
     assert list(got["revenue"]) == list(want["revenue"])
+
+
+def test_mode_event_type_user_bruteforce(ray_session):
+    from collections import Counter
+
+    from feast_ray.pipelines.queries import q_mode_event_type_user
+
+    got = (
+        q_mode_event_type_user(SF)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    for uid, grp in ev.groupby("user_id"):
+        cnt = Counter(grp["event_type"])
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got.loc[uid, "top_event_type"] == best[0]
+        assert got.loc[uid, "n_events"] == best[1]
+
+
+def test_value_quantiles_type_bruteforce(ray_session):
+    from feast_ray.pipelines.queries import q_value_quantiles_type
+
+    got = (
+        q_value_quantiles_type(SF)
+        .to_pandas().set_index("event_type").sort_index()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for et, grp in ev.groupby("event_type"):
+        vals = np.sort(grp["value"].dropna().to_numpy())
+        assert got.loc[et, "n_values"] == len(vals)
+        for q, col in [(0.5, "p50"), (0.9, "p90")]:
+            idx = max(int(np.ceil(q * len(vals))) - 1, 0)
+            assert got.loc[et, col] == vals[idx]
