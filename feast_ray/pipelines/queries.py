@@ -4245,51 +4245,21 @@ ORACLE_SQL["retention_cohorts"] = f"""
 def q_value_quantiles_type(sf_dir: str):
     """Exact distributed order statistics per group: p50/p90 of value per
     event_type (quantile_disc semantics — element at ceil(q*n)-1, so the
-    twin is bit-exact with no interpolation).  One grouped exchange keyed
-    by event_type; the kernel sorts each group's non-null values once and
-    picks both quantiles.  Scale note: exact per-group quantiles require
-    the group's values co-located (this is the point of the operator);
-    skewed groups ride the exchange's byte-bounded map tasks, and the
+    twin is bit-exact with no interpolation), via `stats.grouped_quantile`:
+    the exchange sorts each bucket by (key, value), so picks are O(1)
+    lookups with no in-kernel sort.  Scale note: exact per-group quantiles
+    require the group's values co-located (the point of the operator); the
     approximate path for monster groups is `approx_quantile_value`
     (mergeable sketch) — the classic exact/approx split."""
-    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import grouped_quantile
 
-    ds = _events(sf_dir, ["event_type", "value"])
-
-    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
-        et = t["event_type"].combine_chunks()
-        if t.num_rows == 0:
-            return pa.table(
-                {"event_type": et.slice(0, 0),
-                 "n_values": pa.array([], pa.int64()),
-                 "p50": pa.array([], pa.float64()),
-                 "p90": pa.array([], pa.float64())}
-            )
-        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
-        firsts = starts[:-1]
-        ng = len(firsts)
-        n_valid = np.empty(ng, dtype=np.int64)
-        p50 = np.empty(ng, dtype=np.float64)
-        p90 = np.empty(ng, dtype=np.float64)
-        for g in range(ng):  # groups per bucket, not rows (5 types here)
-            vals = v[starts[g] : starts[g + 1]]
-            vals = np.sort(vals[~np.isnan(vals)])
-            c = len(vals)
-            n_valid[g] = c
-            if c == 0:
-                p50[g] = p90[g] = np.nan
-                continue
-            p50[g] = vals[max(int(np.ceil(0.5 * c)) - 1, 0)]
-            p90[g] = vals[max(int(np.ceil(0.9 * c)) - 1, 0)]
-        none = n_valid == 0
-        return pa.table(
-            {"event_type": pc.take(et, pa.array(firsts)),
-             "n_values": pa.array(n_valid),
-             "p50": pa.array(np.where(none, 0.0, p50), mask=none),
-             "p90": pa.array(np.where(none, 0.0, p90), mask=none)}
-        )
-
-    return grouped_map(ds, ["event_type"], kernel)
+    return grouped_quantile(
+        _events(sf_dir, ["event_type", "value"]),
+        ["event_type"],
+        "value",
+        {"p50": (0.5, "disc"), "p90": (0.9, "disc")},
+        count_name="n_values",
+    )
 
 
 QUERIES["value_quantiles_type"] = q_value_quantiles_type

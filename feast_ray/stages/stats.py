@@ -45,6 +45,7 @@ def grouped_quantile(
     quantiles: dict[str, tuple[float, str]],
     *,
     num_buckets: Optional[int] = None,
+    count_name: Optional[str] = None,
 ):
     """One row per key group with exact order-statistic columns.
 
@@ -52,7 +53,8 @@ def grouped_quantile(
     (SQL ``quantile_disc``: element at rank ``ceil(q*n)``) or ``"cont"``
     (SQL ``quantile_cont``: linear interpolation at position ``q*(n-1)``).
     NULL values in ``col`` are excluded (SQL aggregate semantics); a group
-    that is all-NULL emits NULL quantiles.
+    that is all-NULL emits NULL quantiles.  ``count_name`` additionally
+    emits the non-null count per group (SQL ``COUNT(col)``).
     """
     keys = list(keys)
     for out, (q, method) in quantiles.items():
@@ -75,6 +77,8 @@ def grouped_quantile(
         cnt = np.where(np.diff(starts) == 0, 0, cnt)  # guard empty trailing
         empty = cnt == 0
         safe_n = np.maximum(cnt, 1)
+        if count_name is not None:
+            cols[count_name] = pa.array(cnt.astype(np.int64))
         for out, (q, method) in quantiles.items():
             if method == "disc":
                 rank = np.ceil(q * safe_n).astype(np.int64)
