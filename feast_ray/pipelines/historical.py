@@ -37,7 +37,15 @@ def get_historical_features(
 
     ``entity_df`` may be a Dataset, pandas DataFrame, Arrow table, or a
     parquet path — the entity-dataframe ingress of the reference (S3).
+    ``views`` may also be a single ``FeatureSpec`` (the FeatureService
+    analog — upstream ``get_historical_features(features=<service>)``):
+    its view bundle and ``full_feature_names`` flag are used.
     """
+    from feast_ray.specs import FeatureSpec
+
+    if isinstance(views, FeatureSpec):
+        full_feature_names = full_feature_names or views.full_feature_names
+        views = views.views
     out = spine_from(entity_df, ts_col=spine_ts)
     for view in views:
         feat_ds = read_view_source(view)

@@ -405,3 +405,34 @@ def test_export_jsonl_roundtrip_and_idempotent(ray_session, tmp_path):
     for p, m in mtimes.items():
         assert os.path.getmtime(f"{out}/{p}") == m  # untouched on re-export
     assert json.load(open(f"{out}/_export.json"))["n_rows"] == 500
+
+
+def test_feature_service_bundle(ray_session, fixture_dir):
+    """Passing a FeatureSpec (the FeatureService analog) equals passing its
+    views with its full_feature_names flag."""
+    from feast_ray.specs import FeatureSpec
+
+    view = FeatureView(
+        name="convfeat",
+        join_keys=("conv_id",),
+        source=ParquetSource(
+            path=os.path.join(fixture_dir, "features_numeric.parquet"),
+            timestamp_field="ts",
+            created_timestamp_column="created_ts",
+        ),
+        ttl=TTL,
+        features=("msg_len", "value"),
+    )
+    svc = FeatureSpec(name="svc", views=(view,), full_feature_names=True)
+    got = get_historical_features(
+        os.path.join(fixture_dir, "spine.parquet"), svc, num_buckets=5
+    ).to_pandas()
+    want = get_historical_features(
+        os.path.join(fixture_dir, "spine.parquet"), [view],
+        full_feature_names=True, num_buckets=5,
+    ).to_pandas()
+    key = ["conv_id", "ts", "turn_idx"]
+    assert "convfeat__msg_len" in got.columns
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
