@@ -391,3 +391,23 @@ def test_rolling_discrete_quantile_property(sizes, k, q_pct, data):
         else:
             idx = max(int(np.ceil(q * len(win))) - 1, 0)
             assert out[i] == win[idx], (i, win, out[i])
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    """encode->decode is the identity for any 8-bit RGB image shape; the
+    encoder's cycling filters mean tall-enough images hit all five
+    unfilter paths."""
+    from feast_ray.stages.multimodal import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    w2, h2, out = decode_png(bytes(encode_png(px)))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
