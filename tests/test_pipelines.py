@@ -436,3 +436,30 @@ def test_feature_service_bundle(ray_session, fixture_dir):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_curate_then_export_end_to_end(ray_session, tmp_path):
+    """The full training-data story in one test: curation verdicts ->
+    kept docs joined back to text -> JSONL shard export -> DuckDB
+    read-back equals the kept set."""
+    import duckdb
+    import ray.data as rd
+
+    from feast_ray.pipelines.export import export_jsonl
+    from feast_ray.pipelines.queries_docs import q_curate_corpus_docs
+
+    sf = "/root/testdata/sf0.001"
+    verdicts = q_curate_corpus_docs(sf).to_pandas()
+    kept_ids = sorted(verdicts.loc[verdicts["kept"] == 1, "doc_id"])
+    assert len(kept_ids) > 0
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    kept = docs[docs["doc_id"].isin(kept_ids)].reset_index(drop=True)
+    out = str(tmp_path / "corpus")
+    idx = export_jsonl(rd.from_pandas(kept).repartition(2), out)
+    assert idx["n_rows"] == len(kept_ids)
+
+    back = duckdb.connect().execute(
+        f"SELECT doc_id FROM read_json_auto('{out}/shard-*.jsonl') ORDER BY doc_id"
+    ).fetchdf()
+    assert list(back["doc_id"]) == kept_ids
