@@ -2600,6 +2600,23 @@ ORACLE_SQL_DOCS["lm_surprisal_docs"] = """
 """
 
 
+def q_bpe_merges_docs(sf_dir: str):
+    """BPE vocabulary training (Sennrich et al. 2016) on the documents
+    corpus: the first 8 merge rules learned from word frequencies — the
+    tokenizer-construction step of an LLM data pipeline, distributed as
+    one corpus scan + vocabulary-sized merge rounds
+    (`stages.text.bpe_train`).  Iterative and therefore not
+    SQL-expressible (rows-only); the merge sequence is pinned exactly by
+    the pure-python twin in tests/test_text_dedup.py."""
+    from feast_ray.stages.text import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=8)
+
+
+QUERIES_DOCS["bpe_merges_docs"] = q_bpe_merges_docs
+# no ORACLE_SQL entry: iterative merge training is not SQL-expressible
+
+
 class _Compressor:
     """Actor-pool zlib scorer: the codec context is per-actor state (the
     stateful-stage shape a real tokenizer/model scorer uses); per batch it

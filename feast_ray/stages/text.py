@@ -337,6 +337,157 @@ def token_bucket_ids(
     return row_of[keep], (h[keep] % np.uint64(n_buckets)).astype(np.int64)
 
 
+def bpe_train(
+    ds,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+    pattern: str = r"[^a-z0-9]+",
+) -> "pa.Table":
+    """Train a BPE merge table on the corpus (Sennrich et al. 2016): the
+    classic tokenizer-construction step of an LLM data pipeline.
+
+    Shape: ONE corpus scan builds the distinct (word, count) table (map-
+    side partial counts, word-keyed fold) — every later round runs over
+    that compressed table, so merge training is corpus-size-independent
+    after the first exchange (the standard word-frequency formulation).
+    Each round: vectorized adjacent-pair extraction over space-joined
+    symbol strings (split offsets + binary_join, no per-word Python),
+    pair-keyed fold, 1-row sorted head (count desc, then lexical pair —
+    the deterministic tie rule), then one map applying the merge as a
+    sentinel-padded non-overlapping left-to-right replace.  Only the
+    winning pair row reaches the driver each round.
+
+    Returns the merge table (rank, left, right, pair_count).  Determinism
+    is pinned by the pure-python twin in tests.  Scale note: the word
+    table is vocabulary-sized (millions of rows at web scale — still tiny
+    next to the corpus); n_merges rounds = n_merges linear passes over it.
+    """
+    import numpy as np
+
+    from feast_ray.grouped import grouped_map, sorted_head
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        flat = tokenize_batch(t, text_col=text_col, pattern=pattern)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table(
+            {"word": enc.dictionary, "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def fold_counts(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        firsts = starts[:-1]
+        c = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = t.column_names[0]
+        return pa.table(
+            {key: pc.take(t[key].combine_chunks(), pa.array(firsts)),
+             "cnt": pa.array(np.add.reduceat(c, firsts).astype(np.int64))}
+        )
+
+    words = grouped_map(
+        ds.map_batches(word_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"],
+        fold_counts,
+    )
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        w = t["word"].combine_chunks() if isinstance(
+            t["word"], pa.ChunkedArray
+        ) else t["word"]
+        # space-join the characters: symbols are [a-z0-9]+ substrings, so
+        # the space separator can never collide with symbol content
+        syms = pc.binary_join(pc.ascii_split_whitespace(
+            pc.replace_substring_regex(w, "(.)", r"\1 ")
+        ), " ")
+        return pa.table({"sym": syms, "cnt": t["cnt"]})
+
+    table = words.map_batches(
+        to_syms, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    merges: list[dict] = []
+    for rank in range(n_merges):
+
+        def pair_counts(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"pair": pa.array([], pa.string()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            syms = t["sym"].combine_chunks() if isinstance(
+                t["sym"], pa.ChunkedArray
+            ) else t["sym"]
+            lists = pc.split_pattern(syms, " ")
+            flat = lists.flatten()
+            parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+            n = len(flat)
+            if n < 2:
+                return pa.table(
+                    {"pair": pa.array([], pa.string()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            same = parent[1:] == parent[:-1]
+            left = flat.slice(0, n - 1).filter(pa.array(same))
+            right = flat.slice(1, n - 1).filter(pa.array(same))
+            w = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+            pw = w[parent[1:][same]]
+            pair = pc.binary_join_element_wise(left, right, " ")
+            enc = pair.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            agg = np.zeros(len(enc.dictionary), dtype=np.int64)
+            np.add.at(agg, codes, pw)
+            return pa.table(
+                {"pair": enc.dictionary, "cnt": pa.array(agg)}
+            )
+
+        pairs = grouped_map(
+            table.map_batches(
+                pair_counts, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["pair"],
+            fold_counts,
+        )
+        best = sorted_head(pairs, ["cnt", "pair"], [True, False], 1).take_all()
+        if not best:
+            break
+        bp, bc = best[0]["pair"], int(best[0]["cnt"])
+        l, r = bp.split(" ")
+        merges.append(
+            {"rank": rank, "left": l, "right": r, "pair_count": bc}
+        )
+
+        def apply_merge(t: pa.Table, bp=bp, l=l, r=r) -> pa.Table:
+            syms = t["sym"].combine_chunks() if isinstance(
+                t["sym"], pa.ChunkedArray
+            ) else t["sym"]
+            padded = pc.binary_join_element_wise(
+                pa.array([""] * len(syms)), syms, pa.array([""] * len(syms)), " "
+            )
+            rep = pc.replace_substring(padded, f" {bp} ", f" {l}{r} ")
+            rep = pc.utf8_trim_whitespace(rep)
+            return pa.table({"sym": rep, "cnt": t["cnt"]})
+
+        table = table.map_batches(
+            apply_merge, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return pa.table(
+        {"rank": pa.array([m["rank"] for m in merges], pa.int64()),
+         "left": pa.array([m["left"] for m in merges], pa.string()),
+         "right": pa.array([m["right"] for m in merges], pa.string()),
+         "pair_count": pa.array([m["pair_count"] for m in merges], pa.int64())}
+    )
+
+
 def token_count_topk(
     ds,
     *,

@@ -1071,3 +1071,41 @@ def test_compression_ratio_exact(ray_session):
         assert row["n_bytes"] == len(b)
         assert row["n_compressed"] == len(zlib.compress(b, 6))
         assert row["compression_ratio"] == len(b) / len(zlib.compress(b, 6))
+
+
+def test_bpe_train_matches_pure_python(ray_session):
+    """Merge sequence vs a Counter-based reference BPE on word counts:
+    same tokenization, same overlap-counting pairs, same (count desc,
+    lexical pair) tie rule, same left-to-right non-overlapping apply."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from feast_ray.pipelines.queries_docs import q_bpe_merges_docs
+
+    got = q_bpe_merges_docs(SF).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    wc = Counter()
+    for s in docs["text"].to_pylist():
+        for w in re.split(r"[^a-z0-9]+", (s or "").lower()):
+            if w:
+                wc[w] += 1
+    syms = {w: " ".join(w) for w in wc}
+    merges = []
+    for rank in range(8):
+        pc_ = Counter()
+        for w, cnt in wc.items():
+            toks = syms[w].split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pc_[(a, b)] += cnt
+        if not pc_:
+            break
+        (l, r), c = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w in syms:
+            syms[w] = (" " + syms[w] + " ").replace(
+                f" {l} {r} ", f" {l}{r} "
+            ).strip()
+    assert list(got.itertuples(index=False, name=None)) == merges
