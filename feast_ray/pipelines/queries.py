@@ -4308,6 +4308,216 @@ ORACLE_SQL["rolling_quantile_events"] = """
 """
 
 
+def q_time_weighted_value_user(sf_dir: str):
+    """Duration-weighted mean value per user (``stages.stats.
+    grouped_time_weighted_avg``): each event's value holds until the user's
+    next event; the step-function average a plain AVG misrepresents under
+    bursty sampling (the time-weighted member of the Aggregation family —
+    upstream Feast declares only count/sum/min/max/avg/stddev).  Hold times
+    floor to int64 ms, values to int64 cents; numerator/denominator are
+    order-free int64 sums and the single (numer/denom)/100 float chain
+    matches the twin bit-exactly.  Single-event users emit NULL."""
+    from feast_ray.stages.stats import grouped_time_weighted_avg
+
+    return grouped_time_weighted_avg(
+        _events(sf_dir, ["user_id", "event_id", "ts", "value"]),
+        ["user_id"],
+        "value",
+        "ts",
+        order_cols=["ts", "event_id"],
+        out_col="twa_value",
+        count_name="n_events",
+    )
+
+
+QUERIES["time_weighted_value_user"] = q_time_weighted_value_user
+ORACLE_SQL["time_weighted_value_user"] = """
+    WITH o AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    g AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN nxt IS NULL THEN 0
+                  ELSE (epoch_us(nxt) - epoch_us(ts)) // 1000 END AS gap
+      FROM o)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CASE WHEN SUM(CASE WHEN cents IS NOT NULL THEN gap ELSE 0 END) = 0
+                THEN NULL
+                ELSE (CAST(SUM(CASE WHEN cents IS NOT NULL THEN cents * gap
+                                    ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN cents IS NOT NULL THEN gap ELSE 0 END))
+                     / 100 END AS twa_value
+    FROM g GROUP BY user_id
+"""
+
+
+def q_recency_purchase_events(sf_dir: str):
+    """Recency feature (``stages.stats.add_group_time_since``): at every
+    event, microseconds since the user's most recent STRICTLY PRIOR
+    purchase (NULL until the first purchase; a purchase row reports the
+    distance to the PREVIOUS purchase — leakage-safe by construction).
+    LOCF position trick + one-row shift, group-reset against bucket
+    starts; one exchange, O(rows)."""
+    from feast_ray.stages.stats import add_group_time_since
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_purchase", pc.equal(t["event_type"], "purchase")
+        )
+
+    flagged = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_group_time_since(
+        flagged,
+        "user_id",
+        "ts",
+        "is_purchase",
+        order_cols=["ts", "event_id"],
+        out_col="us_since_purchase",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "us_since_purchase"])
+
+
+QUERIES["recency_purchase_events"] = q_recency_purchase_events
+ORACLE_SQL["recency_purchase_events"] = """
+    SELECT user_id, event_id, ts,
+           epoch_us(ts)
+             - MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS us_since_purchase
+    FROM events
+"""
+
+
+def q_expanding_rank_events(sf_dir: str):
+    """Expanding percentile rank (``stages.stats.add_group_expanding_rank``):
+    where the current value sits in the user's own strictly-prior history —
+    n_prior, n_less (strictly below), pct_rank = n_less/n_prior (NULL on
+    first observation).  The leakage-safe online-anomaly feature.  Counts
+    are int64 (pandas online-skiplist expanding rank inside the grouped
+    kernel); the one float division matches the twin bit-exactly."""
+    from feast_ray.stages.stats import add_group_expanding_rank
+
+    out = add_group_expanding_rank(
+        _events(sf_dir, ["user_id", "event_id", "ts", "value"]),
+        "user_id",
+        "value",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "n_prior", "n_less", "pct_rank"]
+    )
+
+
+QUERIES["expanding_rank_events"] = q_expanding_rank_events
+ORACLE_SQL["expanding_rank_events"] = """
+    WITH pr AS (
+      SELECT e.event_id,
+             COUNT(p.value) AS n_prior,
+             COUNT(CASE WHEN p.value < e.value THEN 1 END) AS n_less
+      FROM events e LEFT JOIN events p
+        ON p.user_id = e.user_id
+       AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+      GROUP BY e.event_id, e.value
+    )
+    SELECT e.user_id, e.event_id, e.ts,
+           CAST(pr.n_prior AS BIGINT) AS n_prior,
+           CAST(pr.n_less AS BIGINT) AS n_less,
+           CASE WHEN pr.n_prior = 0 THEN NULL
+                ELSE CAST(pr.n_less AS DOUBLE) / pr.n_prior END AS pct_rank
+    FROM events e JOIN pr USING (event_id)
+"""
+
+
+def q_expectations_events(sf_dir: str):
+    """Data-quality expectation suite (``stages/validate.py`` — the batch
+    analog of upstream Feast's validation surface, ``feast.dqm`` /
+    ValidationReference + Great Expectations): six declarative checks
+    (not_null, range, enum membership, two uniqueness checks, regex shape)
+    evaluated in ONE vectorized scan with int64 partial counters; exact
+    uniqueness adds one hash exchange per unique-check column.  Output is
+    one row per expectation: (expectation, column, n_rows, n_violations,
+    passed) — the `user_id_unique` and range/enum rows are EXPECTED to
+    fail, proving violation counting, not just green-path plumbing."""
+    from feast_ray.stages.validate import Expectation, validate
+
+    ds = _events(
+        sf_dir, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+    return validate(
+        ds,
+        [
+            Expectation("value_not_null", "value", "not_null"),
+            Expectation("value_range", "value", "between", lo=0.0, hi=400.0),
+            Expectation(
+                "known_event_types",
+                "event_type",
+                "in_set",
+                allowed=("click", "view", "purchase", "signup"),
+            ),
+            Expectation("event_id_unique", "event_id", "unique"),
+            Expectation("user_id_unique", "user_id", "unique"),
+            Expectation("props_json_object", "props", "matches", pattern=r"^\{"),
+        ],
+    )
+
+
+QUERIES["expectations_events"] = q_expectations_events
+ORACLE_SQL["expectations_events"] = """
+    SELECT * FROM (
+      SELECT 'value_not_null' AS expectation, 'value' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+      FROM events
+      UNION ALL
+      SELECT 'value_range', 'value', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN value IS NOT NULL
+                            AND (value < 0.0 OR value > 400.0)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN value IS NOT NULL
+                       AND (value < 0.0 OR value > 400.0)
+                      THEN 1 ELSE 0 END) = 0
+      FROM events
+      UNION ALL
+      SELECT 'known_event_types', 'event_type', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('click', 'view', 'purchase', 'signup')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN event_type IS NOT NULL
+                       AND event_type NOT IN
+                           ('click', 'view', 'purchase', 'signup')
+                      THEN 1 ELSE 0 END) = 0
+      FROM events
+      UNION ALL
+      SELECT 'event_id_unique', 'event_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+             COUNT(*) = COUNT(DISTINCT event_id)
+      FROM events
+      UNION ALL
+      SELECT 'user_id_unique', 'user_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT),
+             COUNT(*) = COUNT(DISTINCT user_id)
+      FROM events
+      UNION ALL
+      SELECT 'props_json_object', 'props', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN props IS NOT NULL
+                            AND NOT regexp_matches(props, '^\\{')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN props IS NOT NULL
+                       AND NOT regexp_matches(props, '^\\{')
+                      THEN 1 ELSE 0 END) = 0
+      FROM events
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing ordering: the SURVEY §2 operator-ledger core first, so any
 # driver that SAMPLES the registry (CORRECTNESS_r03 took 50 of 161) always

@@ -2985,3 +2985,112 @@ ORACLE_SQL_ML["pq_encode_embeddings"] = f"""
            l.d + h.d AS recon_err
     FROM lo_final l JOIN hi_final h USING (vec_id)
 """
+
+
+def q_lift_type_pairs_session(sf_dir: str):
+    """Association-rule LIFT over session co-occurrence (the recsys
+    evidence-strength normalization of `covisit_types_session`): for every
+    unordered event-type pair, lift = P(A,B) / (P(A) P(B)) on the
+    (user, session) universe = (N_total * n_ab) / (n_a * n_b) — lift > 1
+    means the pair co-occurs more than independence predicts.
+
+    Plan: the pair counts reuse the covisitation pipeline unchanged; the
+    per-type session counts and the total session count come from ONE
+    additional grouped exchange (distinct (group, session, type) triples
+    bincounted per type, plus a sentinel row counting distinct sessions).
+    The summed type table is exactly |type domain|+1 rows — materializing
+    it on the driver is bounded by the category domain, never by data —
+    and is closed over the tiny pair-table map stage.  All factors are
+    int64; the single float division matches the twin bit-exactly
+    (products < 2^53)."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    pairs = q_covisit_types_session(sf_dir)
+
+    SENT = "\x00total_sessions"
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        smax = int(sess.max()) + 1
+        gs = gidx * smax + sess
+        n_total = len(np.unique(gs))
+        triples = np.unique(gs * k + codes)
+        per_type = np.bincount(triples % k, minlength=k).astype(np.int64)
+        types = enc.dictionary.cast(pa.string()).to_pylist() + [SENT]
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(
+                    np.concatenate((per_type, [np.int64(n_total)]))
+                ),
+            }
+        )
+
+    partials = grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+    counts = sum_by(partials, ["event_type"], ["n"])
+    # |type domain| + 1 rows — bounded by the category domain, not by data
+    rows = counts.take_all()
+    per_type = {r["event_type"]: int(r["n"]) for r in rows}
+    n_total = per_type.pop(SENT)
+
+    def add_lift(t: pa.Table) -> pa.Table:
+        ta = t["type_a"].to_pylist()
+        tb = t["type_b"].to_pylist()
+        ns = t["n_sess"].to_pylist()
+        lift = [
+            (n_total * n) / (per_type[a] * per_type[b])
+            for a, b, n in zip(ta, tb, ns)
+        ]
+        return t.append_column("lift", pa.array(lift, pa.float64()))
+
+    return pairs.map_batches(add_lift, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["lift_type_pairs_session"] = q_lift_type_pairs_session
+ORACLE_SQL_ML["lift_type_pairs_session"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN prev_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(prev_ts) <= {SESSION_GAP_US}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+    tc AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n
+            FROM (SELECT DISTINCT user_id, session_id FROM s)),
+    pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_sess
+           FROM st a JOIN st b
+             ON a.user_id = b.user_id AND a.session_id = b.session_id
+                AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT pr.type_a, pr.type_b, CAST(pr.n_sess AS BIGINT) AS n_sess,
+           CAST(tot.n * pr.n_sess AS DOUBLE) / (ta.n * tb.n) AS lift
+    FROM pr
+    CROSS JOIN tot
+    JOIN tc ta ON ta.event_type = pr.type_a
+    JOIN tc tb ON tb.event_type = pr.type_b
+"""

@@ -1586,3 +1586,201 @@ def rolling_zscore_kernel(int_col: str, k: int, out_col: str):
         return t.append_column(out_col, pa.array(z, mask=bad))
 
     return kernel
+
+
+def grouped_time_weighted_avg(
+    ds,
+    keys: Sequence[str],
+    val_col: str,
+    ts_col: str,
+    *,
+    order_cols: Sequence[str],
+    out_col: str = "twa",
+    count_name: str = "n_events",
+    scale: int = 100,
+    num_buckets: Optional[int] = None,
+):
+    """Duration-weighted mean per entity over an irregular event series —
+    the step-function average ("each value holds until the entity's next
+    event") that plain AVG misrepresents under bursty sampling.  The
+    feature-store classic for sensor levels, account balances, session
+    quality held between heartbeats.  Upstream Feast declares only
+    count/sum/min/max/avg/stddev (``aggregation.py::Aggregation``); this is
+    the time-weighted member of that family.
+
+    Each row is weighted by its hold time: milliseconds until the entity's
+    NEXT event (floor division from microseconds — the SQL twin floors the
+    same way); the entity's final event holds for 0 ms.  NULL values drop
+    their interval from both numerator and denominator.  Entities with no
+    positive held interval (single-event entities) emit NULL.
+
+    Exactness: values fix-pointed to int64 via ``round(value*scale)``, hold
+    times int64 ms, numerator/denominator accumulated in int64 (order-free),
+    one float op chain per group: ``(numer/denom)/scale``.  Bit-exact vs
+    the SQL twin.  Bounds: |numer| <= max|value|*scale * entity_span_ms —
+    keep below 2^53 (one year span * 10^4 cents ~= 3e14, comfortably safe).
+
+    Scale: one grouped exchange, O(rows) kernel, one output row per entity.
+    """
+    keys = list(keys)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        cols: dict[str, pa.Array] = {
+            k: pc.take(t[k].combine_chunks(), take) for k in keys
+        }
+        n = t.num_rows
+        sizes = np.diff(starts)
+        cols[count_name] = pa.array(sizes.astype(np.int64))
+        if n == 0:
+            cols[out_col] = pa.array([], pa.float64())
+            return pa.table(cols)
+        tarr = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(tarr.type):
+            tarr = tarr.cast(pa.timestamp("us", tz=tarr.type.tz))
+        ts = tarr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.zeros(n, dtype=np.int64)
+        gap[:-1] = (ts[1:] - ts[:-1]) // 1000
+        ends = starts[1:][sizes > 0] - 1  # last row of each non-empty group
+        gap[ends] = 0
+        arr = t[val_col].combine_chunks()
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        cents = np.round(
+            arr.cast(pa.float64()).fill_null(0.0).to_numpy(zero_copy_only=False)
+            * scale
+        ).astype(np.int64)
+        w = np.where(valid, gap, 0)
+        numer = np.add.reduceat(cents * w, firsts)
+        denom = np.add.reduceat(w, firsts)
+        numer = np.where(sizes == 0, 0, numer)
+        denom = np.where(sizes == 0, 0, denom)
+        empty = denom == 0
+        twa = (numer / np.maximum(denom, 1)) / scale
+        cols[out_col] = pa.array(twa, mask=empty)
+        return pa.table(cols)
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )
+
+
+def add_group_time_since(
+    ds,
+    key: str | Sequence[str],
+    ts_col: str,
+    cond_col: str,
+    *,
+    order_cols: Sequence[str],
+    out_col: str = "us_since",
+    num_buckets: Optional[int] = None,
+):
+    """Per-entity recency feature: microseconds since the entity's most
+    recent STRICTLY PRIOR row where ``cond_col`` is true; NULL until the
+    first qualifying row.  "Time since last purchase at every event" — the
+    leakage-safe recency signal (the current row never matches itself, so a
+    purchase row reports the distance to the PREVIOUS purchase).
+
+    Kernel: qualifying row positions max-accumulated (the LOCF trick from
+    ``add_group_ffill``), shifted one row; a position carried across a
+    group boundary is detected against the row's own group start and
+    nulled.  O(rows), no per-group Python.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        cond = (
+            t[cond_col].combine_chunks().cast(pa.bool_()).fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
+        ar = np.arange(n, dtype=np.int64)
+        acc = np.maximum.accumulate(np.where(cond, ar, -1))
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = acc[:-1]
+        ok = prev >= gstart
+        tarr = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(tarr.type):
+            tarr = tarr.cast(pa.timestamp("us", tz=tarr.type.tz))
+        ts = tarr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        delta = ts - ts[np.maximum(prev, 0)]
+        return t.append_column(out_col, pa.array(delta, mask=~ok))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )
+
+
+def add_group_expanding_rank(
+    ds,
+    key: str | Sequence[str],
+    val_col: str,
+    *,
+    order_cols: Sequence[str],
+    prior_name: str = "n_prior",
+    less_name: str = "n_less",
+    pct_name: str = "pct_rank",
+    num_buckets: Optional[int] = None,
+):
+    """Expanding percentile rank — where does the CURRENT value sit in the
+    entity's own strictly-prior history?  Per row: ``n_prior`` = count of
+    prior non-null values, ``n_less`` = prior values strictly below the
+    current, ``pct_rank`` = n_less / n_prior (NULL when no prior history).
+    The leakage-safe online-novelty / anomaly feature ("is this purchase
+    unusually large FOR THIS USER, judged only on what was known then").
+    Rows whose own value is NULL emit NULL for all three.
+
+    Kernel: pandas grouped ``expanding().rank(method="min")`` (online
+    skiplist insertion, O(n log n) per group, C implementation) gives
+    1 + #{prior < current}; expanding ``count()`` gives the non-null
+    prefix size.  Counts are int64 and the single float division matches
+    the SQL twin bit-exactly.
+    """
+    import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            t = t.append_column(prior_name, pa.array([], type=pa.int64()))
+            t = t.append_column(less_name, pa.array([], type=pa.int64()))
+            return t.append_column(pct_name, pa.array([], type=pa.float64()))
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        arr = t[val_col].combine_chunks()
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        v = np.where(
+            valid,
+            arr.cast(pa.float64()).fill_null(0.0).to_numpy(zero_copy_only=False),
+            np.nan,
+        )
+        g = pd.Series(v).groupby(gidx)
+        # both return rows in original order (groups are contiguous and
+        # ascending in gidx; expanding preserves intra-group order)
+        rank_min = g.expanding().rank(method="min").to_numpy()
+        cnt_incl = g.expanding().count().to_numpy()
+        n_less = rank_min - 1.0
+        n_prior = cnt_incl - 1.0
+        bad = ~valid | np.isnan(rank_min)
+        no_hist = bad | (n_prior <= 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = n_less / n_prior
+        t = t.append_column(
+            prior_name,
+            pa.array(np.nan_to_num(n_prior).astype(np.int64), mask=bad),
+        )
+        t = t.append_column(
+            less_name,
+            pa.array(np.nan_to_num(n_less).astype(np.int64), mask=bad),
+        )
+        return t.append_column(pct_name, pa.array(pct, mask=no_hist))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )

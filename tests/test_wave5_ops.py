@@ -1,0 +1,189 @@
+"""Round-4 wave-5 operators vs brute-force pandas/python oracles:
+time-weighted average, time-since recency, expanding percentile rank,
+and the declarative expectation suite (stages/validate.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from feast_ray.stages.stats import (
+    add_group_expanding_rank,
+    add_group_time_since,
+    grouped_time_weighted_avg,
+)
+from feast_ray.stages.validate import Expectation, validate
+
+
+@pytest.fixture()
+def series(ray_session):
+    rng = np.random.default_rng(11)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 23, n),
+            "ts": rng.integers(0, 10**9, n) * 1000,  # us, ms-aligned not guaranteed
+            "rid": np.arange(n),
+            "v": np.round(rng.uniform(0, 500, n), 2),
+            "flag": rng.random(n) < 0.15,
+        }
+    )
+    # null values + single-row entity + all-flagless entity
+    df.loc[rng.choice(n, 60, replace=False), "v"] = np.nan
+    df.loc[df["k"] == 5, "flag"] = False
+    df = df[~((df["k"] == 7) & (df.index > df[df["k"] == 7].index.min()))]
+    df["ts_dt"] = pd.to_datetime(df["ts"], unit="us")
+    return df.reset_index(drop=True)
+
+
+def test_time_weighted_avg_matches_bruteforce(series):
+    got = (
+        grouped_time_weighted_avg(
+            rd.from_pandas(series[["k", "ts_dt", "rid", "v"]]),
+            ["k"],
+            "v",
+            "ts_dt",
+            order_cols=["ts_dt", "rid"],
+            out_col="twa",
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        g = series[series["k"] == row["k"]].sort_values(["ts", "rid"])
+        cents = np.round(g["v"].to_numpy() * 100)
+        ts = g["ts"].to_numpy()
+        gaps = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            gaps[:-1] = (ts[1:] - ts[:-1]) // 1000
+        ok = ~np.isnan(g["v"].to_numpy())
+        denom = int(gaps[ok].sum())
+        assert row["n_events"] == len(g)
+        if denom == 0:
+            assert pd.isna(row["twa"])
+        else:
+            numer = int((cents[ok] * gaps[ok]).sum())
+            assert row["twa"] == (numer / denom) / 100
+
+
+def test_time_since_matches_bruteforce(series):
+    got = (
+        add_group_time_since(
+            rd.from_pandas(series[["k", "ts_dt", "rid", "flag"]]),
+            "k",
+            "ts_dt",
+            "flag",
+            order_cols=["ts_dt", "rid"],
+            out_col="since",
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts_dt", "rid"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for k, g in series.sort_values(["k", "ts", "rid"]).groupby("k"):
+        last = None
+        for _, r in g.iterrows():
+            want.append(None if last is None else r["ts"] - last)
+            if r["flag"]:
+                last = r["ts"]
+    w = pd.Series(want, dtype="float64")
+    g = got["since"].astype("float64")
+    assert ((g.isna() == w.isna()) & ((g == w) | w.isna())).all()
+    # entity 5 has no flagged rows at all -> all NULL
+    assert got.loc[got["k"] == 5, "since"].isna().all()
+
+
+def test_expanding_rank_matches_bruteforce(series):
+    got = (
+        add_group_expanding_rank(
+            rd.from_pandas(series[["k", "ts_dt", "rid", "v"]]),
+            "k",
+            "v",
+            order_cols=["ts_dt", "rid"],
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts_dt", "rid"])
+        .reset_index(drop=True)
+    )
+    srt = series.sort_values(["k", "ts", "rid"]).reset_index(drop=True)
+    for k, g in srt.groupby("k"):
+        sub = got[got["k"] == k].reset_index(drop=True)
+        hist: list[float] = []
+        for i, (_, r) in enumerate(g.iterrows()):
+            if np.isnan(r["v"]):
+                assert pd.isna(sub.loc[i, "n_prior"])
+                assert pd.isna(sub.loc[i, "n_less"])
+                assert pd.isna(sub.loc[i, "pct_rank"])
+                continue
+            n_prior = len(hist)
+            n_less = sum(1 for h in hist if h < r["v"])
+            assert sub.loc[i, "n_prior"] == n_prior
+            assert sub.loc[i, "n_less"] == n_less
+            if n_prior == 0:
+                assert pd.isna(sub.loc[i, "pct_rank"])
+            else:
+                assert sub.loc[i, "pct_rank"] == n_less / n_prior
+            hist.append(r["v"])
+
+
+def test_validate_suite_counts(ray_session):
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 5],  # one duplicate pair
+            "cat": ["a", "b", "zz", None, "a", "a"],
+            "x": [1.0, -3.0, 50.0, None, 120.0, 7.0],
+            "s": ["{j}", "nope", None, "{k}", "{m}", "{n}"],
+        }
+    )
+    out = validate(
+        rd.from_pandas(df).repartition(3),
+        [
+            Expectation("x_not_null", "x", "not_null"),
+            Expectation("x_range", "x", "between", lo=0.0, hi=100.0),
+            Expectation("cat_known", "cat", "in_set", allowed=("a", "b")),
+            Expectation("id_unique", "id", "unique"),
+            Expectation("s_brace", "s", "matches", pattern=r"^\{"),
+        ],
+        num_buckets=2,
+    ).to_pandas().set_index("expectation")
+    assert (out["n_rows"] == 6).all()
+    assert out.loc["x_not_null", "n_violations"] == 1
+    assert out.loc["x_range", "n_violations"] == 2  # -3 and 120; NULL passes
+    assert out.loc["cat_known", "n_violations"] == 1  # zz; NULL passes
+    assert out.loc["id_unique", "n_violations"] == 1
+    assert out.loc["s_brace", "n_violations"] == 1  # 'nope'; NULL passes
+    assert not out["passed"].any()
+
+
+def test_validate_all_green(ray_session):
+    df = pd.DataFrame({"id": [1, 2, 3], "x": [1.0, 2.0, 3.0]})
+    out = validate(
+        rd.from_pandas(df),
+        [
+            Expectation("x_not_null", "x", "not_null"),
+            Expectation("id_unique", "id", "unique"),
+        ],
+        num_buckets=2,
+    ).to_pandas()
+    assert out["passed"].all()
+    assert (out["n_violations"] == 0).all()
+
+
+def test_expectation_validation_errors():
+    with pytest.raises(ValueError):
+        Expectation("e", "c", "bogus")
+    with pytest.raises(ValueError):
+        Expectation("e", "c", "between")
+    with pytest.raises(ValueError):
+        Expectation("e", "c", "in_set")
+    with pytest.raises(ValueError):
+        validate(None, [Expectation("a", "c", "not_null"),
+                        Expectation("a", "d", "not_null")])
