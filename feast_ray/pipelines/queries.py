@@ -4518,6 +4518,71 @@ ORACLE_SQL["expectations_events"] = """
 """
 
 
+def q_late_orders_priority(sf_dir: str):
+    """TPC-H Q4 flavor adapted to this lineitem schema: count orders per
+    priority having AT LEAST ONE line shipped more than 90 days after the
+    order date (EXISTS semantics — an order counts once however many lines
+    are late).  The predicate needs both sides, so this is the
+    semi-join-with-cross-table-predicate shape Q4 exercises: co-partitioned
+    equi-join on orderkey (lineitem pruned to 2 columns at the read),
+    vectorized lateness filter, per-orderkey first-row dedup inside the
+    SAME bucket layout (already partitioned by orderkey — the second
+    grouped_map reuses the partitioning key, no semantic re-shuffle), then
+    a map-side-combined priority count."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import partial_count_sum
+
+    LATE_US = 90 * 86_400_000_000
+    li = read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    orders = read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_orderkey", "l_shipdate"])
+
+    li = li.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+    j = equi_join(li, orders, keys=["o_orderkey"])
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64())
+        od = t["o_orderdate"].combine_chunks().cast(pa.int64())
+        keep = pc.greater(pc.subtract(ship, od), LATE_US)
+        return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    lateo = j.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_order(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        take = pa.array(starts[:-1])
+        return pa.table(
+            {
+                "o_orderpriority": pc.take(
+                    t["o_orderpriority"].combine_chunks(), take
+                )
+            }
+        )
+
+    distinct = grouped_map(lateo, ["o_orderkey"], first_per_order)
+    return partial_count_sum(
+        distinct, ["o_orderpriority"], count_name="n_late_orders"
+    )
+
+
+QUERIES["late_orders_priority"] = q_late_orders_priority
+ORACLE_SQL["late_orders_priority"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+            > 7776000000000)
+    GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing ordering: the SURVEY §2 operator-ledger core first, so any
 # driver that SAMPLES the registry (CORRECTNESS_r03 took 50 of 161) always

@@ -3094,3 +3094,263 @@ ORACLE_SQL_ML["lift_type_pairs_session"] = f"""
     JOIN tc ta ON ta.event_type = pr.type_a
     JOIN tc tb ON tb.event_type = pr.type_b
 """
+
+
+def q_attribution_linear(sf_dir: str):
+    """Multi-touch LINEAR attribution at purchase granularity (the
+    fractional-credit companion to `attribution_last_touch`): every
+    non-purchase event in the 7 days up to and including the purchase
+    shares the purchase's revenue equally; the report emits one row per
+    (purchase, touching type) with the type's touch count and its credit
+    = cents * n_of_type / n_touches.  Touchless purchases emit a 'none'
+    row carrying full credit.
+
+    Kernel: ONE grouped exchange on user — trailing [t-7d, t] window
+    bounds via the shared `rolling_time_bounds` helper, per-type prefix
+    sums (type domain is a dictionary, so the loop is over categories,
+    never rows), vectorized nonzero expansion.  All factors int64; the
+    single float division per emitted row matches the twin bit-exactly."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.windows import rolling_time_bounds
+
+    WIN_US = 7 * 24 * 3600 * 1_000_000
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        empty = pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().slice(0, 0),
+                "event_id": t["event_id"].combine_chunks().slice(0, 0),
+                "touch_type": pa.array([], pa.string()),
+                "n_touches": pa.array([], pa.int64()),
+                "n_of_type": pa.array([], pa.int64()),
+                "credit_cents": pa.array([], pa.float64()),
+            }
+        )
+        if n_rows == 0:
+            return empty
+        tarr = t["ts"].combine_chunks()
+        if pa.types.is_timestamp(tarr.type):
+            tarr = tarr.cast(pa.timestamp("us", tz=tarr.type.tz))
+        ts = tarr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.cast(pa.string()).to_pylist()
+        ws, we = rolling_time_bounds(ts, starts, WIN_US)
+        try:
+            p_code = types.index("purchase")
+        except ValueError:
+            return empty
+        pi = np.flatnonzero(codes == p_code)
+        if len(pi) == 0:
+            return empty
+        touch_codes = [c for c in range(len(types)) if c != p_code]
+        cnts = np.empty((len(pi), len(touch_codes)), dtype=np.int64)
+        for j, c in enumerate(touch_codes):
+            P = np.concatenate(([0], np.cumsum(codes == c)))
+            cnts[:, j] = P[we[pi]] - P[ws[pi]]
+        n_touch = cnts.sum(axis=1)
+        cents = np.round(
+            t["value"].combine_chunks().cast(pa.float64()).fill_null(0.0)
+            .to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[pi]
+        # rows with at least one touch: one output row per nonzero cell
+        ri, ci = np.nonzero(cnts)
+        n_of_type = cnts[ri, ci]
+        credit = (cents[ri] * n_of_type) / n_touch[ri]
+        # touchless purchases: a 'none' row carrying the full cents
+        zi = np.flatnonzero(n_touch == 0)
+        uid = t["user_id"].combine_chunks()
+        eid = t["event_id"].combine_chunks()
+        type_strs = [types[touch_codes[c]] for c in ci] + ["none"] * len(zi)
+        take = pa.array(np.concatenate((pi[ri], pi[zi])))
+        return pa.table(
+            {
+                "user_id": pc.take(uid, take),
+                "event_id": pc.take(eid, take),
+                "touch_type": pa.array(type_strs, pa.string()),
+                "n_touches": pa.array(
+                    np.concatenate((n_touch[ri], np.zeros(len(zi), np.int64)))
+                ),
+                "n_of_type": pa.array(
+                    np.concatenate((n_of_type, np.zeros(len(zi), np.int64)))
+                ),
+                "credit_cents": pa.array(
+                    np.concatenate((credit, cents[zi].astype(np.float64)))
+                ),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["attribution_linear"] = q_attribution_linear
+ORACLE_SQL_ML["attribution_linear"] = """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts, event_type AS touch_type
+      FROM events WHERE event_type <> 'purchase'),
+    cnt AS (
+      SELECT p.event_id, p.user_id, p.cents, t.touch_type,
+             COUNT(*) AS n_of_type
+      FROM p JOIN t
+        ON t.user_id = p.user_id AND t.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+      GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT event_id, SUM(n_of_type) AS n_touches FROM cnt GROUP BY 1)
+    SELECT c.user_id, c.event_id, c.touch_type,
+           CAST(tot.n_touches AS BIGINT) AS n_touches,
+           CAST(c.n_of_type AS BIGINT) AS n_of_type,
+           CAST(c.cents * c.n_of_type AS DOUBLE) / tot.n_touches
+             AS credit_cents
+    FROM cnt c JOIN tot USING (event_id)
+    UNION ALL
+    SELECT p.user_id, p.event_id, 'none', 0, 0, CAST(p.cents AS DOUBLE)
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t
+      WHERE t.user_id = p.user_id AND t.ts <= p.ts
+        AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000)
+"""
+
+
+def q_survival_km_signup(sf_dir: str):
+    """Kaplan-Meier survival of time-to-first-purchase after signup — the
+    survival-analysis feature head (churn/conversion curves).  Per user:
+    duration = days from first signup to first subsequent purchase (event)
+    or to the user's last observed event (right-censored).  Output: one
+    row per EVENT day — n_risk, n_events, n_censored, hazard = d/n, and
+    the KM survival estimate prod(1 - d_i/n_i) multiplied in ascending
+    day order (np.cumprod and the twin's recursive CTE multiply in the
+    identical sequence, so the floats are bit-exact).
+
+    Scale: per-user reduction in one grouped exchange; the per-day exit
+    table is bounded by the DAY DOMAIN (span/86400), never by user count —
+    materializing it on the driver is the documented bounded step (same
+    contract as the histogram/profile queries)."""
+    import pandas as pd
+
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum
+
+    DAY_US = 86_400_000_000
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "ev": pa.array([], pa.int64())}
+            )
+        tarr = t["ts"].combine_chunks()
+        if pa.types.is_timestamp(tarr.type):
+            tarr = tarr.cast(pa.timestamp("us", tz=tarr.type.tz))
+        ts = tarr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks()
+        is_s = pc.equal(et, "signup").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        n_g = len(sizes)
+        BIG = np.iinfo(np.int64).max
+        # first signup ts per group (rows are ts-sorted within group)
+        s_ts = np.full(n_g, BIG, dtype=np.int64)
+        np.minimum.at(s_ts, gidx[is_s], ts[is_s])
+        # first purchase AT OR AFTER the group's signup
+        p_ok = is_p & (ts >= s_ts[gidx])
+        p_ts = np.full(n_g, BIG, dtype=np.int64)
+        np.minimum.at(p_ts, gidx[p_ok], ts[p_ok])
+        c_ts = ts[starts[1:] - 1] if n_g else np.empty(0, np.int64)
+        has_s = s_ts != BIG
+        has_p = p_ts != BIG
+        end = np.where(has_p, p_ts, c_ts)
+        day = (end - s_ts) // DAY_US
+        return pa.table(
+            {
+                "day": pa.array(day[has_s]),
+                "ev": pa.array(has_p[has_s].astype(np.int64)),
+            }
+        )
+
+    per_user = grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+    exits = partial_count_sum(per_user, ["day", "ev"], count_name="n")
+    # bounded by the day domain x 2, not by user count
+    rows = exits.take_all()
+    cols = ["day", "n_risk", "n_events", "n_censored", "hazard", "survival"]
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype="int64" if i < 4 else "float64")
+                             for i, c in enumerate(cols)})
+    df = pd.DataFrame(rows).sort_values("day").reset_index(drop=True)
+    days = np.sort(df["day"].unique())
+    d_ev = np.zeros(len(days), dtype=np.int64)
+    d_cen = np.zeros(len(days), dtype=np.int64)
+    pos = {d: i for i, d in enumerate(days)}
+    for _, r in df.iterrows():
+        (d_ev if r["ev"] == 1 else d_cen)[pos[r["day"]]] += r["n"]
+    total = int(d_ev.sum() + d_cen.sum())
+    exits_per_day = d_ev + d_cen
+    n_risk = total - np.concatenate(([0], np.cumsum(exits_per_day)[:-1]))
+    mask = d_ev > 0
+    hazard = d_ev[mask] / n_risk[mask]
+    survival = np.cumprod(1.0 - hazard)
+    return pd.DataFrame(
+        {
+            "day": days[mask],
+            "n_risk": n_risk[mask],
+            "n_events": d_ev[mask],
+            "n_censored": d_cen[mask],
+            "hazard": hazard,
+            "survival": survival,
+        }
+    )
+
+
+QUERIES_ML["survival_km_signup"] = q_survival_km_signup
+ORACLE_SQL_ML["survival_km_signup"] = """
+    WITH RECURSIVE s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts GROUP BY 1),
+    lastev AS (SELECT user_id, MAX(ts) AS c_ts FROM events GROUP BY 1),
+    u AS (
+      SELECT s.user_id,
+             CASE WHEN fp.p_ts IS NOT NULL
+                  THEN (epoch_us(fp.p_ts) - epoch_us(s.s_ts)) // 86400000000
+                  ELSE (epoch_us(lastev.c_ts) - epoch_us(s.s_ts)) // 86400000000
+             END AS day,
+             CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN fp USING (user_id) JOIN lastev USING (user_id)),
+    agg AS (
+      SELECT day, SUM(ev) AS d, COUNT(*) - SUM(ev) AS cens, COUNT(*) AS exits
+      FROM u GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM u),
+    risk AS (
+      SELECT day, d, cens,
+             tot.n - COALESCE(SUM(exits) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM agg, tot),
+    evd AS (
+      SELECT day, n_risk, d, cens, CAST(d AS DOUBLE) / n_risk AS hazard,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM risk WHERE d > 0),
+    km AS (
+      SELECT rn, day, n_risk, d, cens, hazard, 1.0 - hazard AS surv
+      FROM evd WHERE rn = 1
+      UNION ALL
+      SELECT e.rn, e.day, e.n_risk, e.d, e.cens, e.hazard,
+             km.surv * (1.0 - e.hazard)
+      FROM evd e JOIN km ON e.rn = km.rn + 1)
+    SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(cens AS BIGINT) AS n_censored,
+           hazard, surv AS survival
+    FROM km
+"""

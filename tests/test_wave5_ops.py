@@ -187,3 +187,84 @@ def test_expectation_validation_errors():
     with pytest.raises(ValueError):
         validate(None, [Expectation("a", "c", "not_null"),
                         Expectation("a", "d", "not_null")])
+
+
+def _km_bruteforce(durations, events):
+    """Textbook KM over (duration, event) pairs; returns rows per event day."""
+    import collections
+
+    ev = collections.Counter()
+    cen = collections.Counter()
+    for d, e in zip(durations, events):
+        (ev if e else cen)[d] += 1
+    days = sorted(set(ev) | set(cen))
+    total = len(durations)
+    out, at_risk, s = [], total, 1.0
+    for d in days:
+        if ev[d] > 0:
+            h = ev[d] / at_risk
+            s = s * (1.0 - h)
+            out.append((d, at_risk, ev[d], cen[d], h, s))
+        at_risk -= ev[d] + cen[d]
+    return out
+
+
+def test_survival_km_matches_bruteforce(ray_session, tmp_path):
+    # synthetic event log: signup then maybe purchase, plus noise events
+    rng = np.random.default_rng(5)
+    rows = []
+    eid = 0
+    day_us = 86_400_000_000
+    for u in range(120):
+        t0 = int(rng.integers(0, 30)) * day_us
+        rows.append((u, eid, t0, "signup", 1.0)); eid += 1
+        # a decoy purchase BEFORE signup must not count
+        if u % 10 == 0:
+            rows.append((u, eid, t0 - 2 * day_us, "purchase", 5.0)); eid += 1
+        horizon = int(rng.integers(1, 40))
+        if rng.random() < 0.6:
+            rows.append((u, eid, t0 + horizon * day_us, "purchase", 9.0)); eid += 1
+        else:
+            rows.append((u, eid, t0 + horizon * day_us, "view", 0.0)); eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p)
+
+    from feast_ray.pipelines.queries_ml import q_survival_km_signup
+
+    got = q_survival_km_signup(str(tmp_path))
+    durations, events = [], []
+    for u, g in df.groupby("user_id"):
+        s = g[g["event_type"] == "signup"]["ts"].min()
+        pur = g[(g["event_type"] == "purchase") & (g["ts"] >= s)]["ts"]
+        last = g["ts"].max()
+        if len(pur):
+            durations.append((pur.min() - s).value // (day_us * 1000))
+            events.append(1)
+        else:
+            durations.append((last - s).value // (day_us * 1000))
+            events.append(0)
+    want = _km_bruteforce(durations, events)
+    assert len(got) == len(want)
+    for (_, r), w in zip(got.iterrows(), want):
+        assert (r["day"], r["n_risk"], r["n_events"], r["n_censored"]) == w[:4]
+        assert r["hazard"] == w[4] and r["survival"] == w[5]
+
+
+def test_attribution_linear_credit_conserved(ray_session):
+    """Every purchase's credit rows sum exactly to its cents (linear
+    attribution conserves revenue), and types never include 'purchase'."""
+    from feast_ray.pipelines.queries_ml import q_attribution_linear
+
+    got = q_attribution_linear("/root/testdata/sf0.001").to_pandas()
+    assert (got["touch_type"] != "purchase").all()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pur = ev[ev["event_type"] == "purchase"].set_index("event_id")
+    per = got.groupby("event_id")["credit_cents"].sum()
+    for eid, tot in per.items():
+        cents = round(float(pur.loc[eid, "value"]) * 100)
+        assert abs(tot - cents) < 1e-6, (eid, tot, cents)
+    # fractional rows: n_of_type <= n_touches, credit matches the formula
+    frac = got[got["touch_type"] != "none"]
+    assert (frac["n_of_type"] <= frac["n_touches"]).all()
