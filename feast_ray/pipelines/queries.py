@@ -4583,6 +4583,332 @@ ORACLE_SQL["late_orders_priority"] = """
 """
 
 
+def q_context_window_join(sf_dir: str):
+    """Temporal BAND join (symmetric tolerance, ALL matches): for every
+    purchase, every other event by the same user within +/-24 h — the
+    context-window extraction step for label-centered training examples
+    (as-of joins keep ONE nearest row; a band join keeps the whole
+    neighborhood, fan-out bounded by the band).  One grouped exchange on
+    user; per-row [t-tol, t+tol] bounds via the same disjoint-offset
+    searchsorted trick as `rolling_time_bounds`, expansion by repeat +
+    rebased arange — no per-row Python, no pair blowup beyond the true
+    output.  dt_us is signed (context before OR after the anchor)."""
+    from feast_ray.grouped import grouped_map
+
+    TOL_US = 24 * 3600 * 1_000_000
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        uid = t["user_id"].combine_chunks()
+        eid = t["event_id"].combine_chunks()
+        ety = t["event_type"].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": uid.slice(0, 0),
+                    "anchor_id": eid.slice(0, 0),
+                    "ctx_id": eid.slice(0, 0),
+                    "ctx_type": ety.slice(0, 0),
+                    "dt_us": pa.array([], pa.int64()),
+                }
+            )
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        tmin = ts[starts[:-1]]
+        ranges = ts[starts[1:] - 1] - tmin
+        # shift each group onto a disjoint key range > 2*tol apart so one
+        # global searchsorted cannot cross a group boundary
+        rel = ts - np.repeat(tmin, sizes)
+        offs = np.concatenate(([0], np.cumsum(ranges + 2 * TOL_US + 2)))[:-1]
+        keyv = rel + np.repeat(offs, sizes)
+        lo = np.searchsorted(keyv, keyv - TOL_US, side="left")
+        hi = np.searchsorted(keyv, keyv + TOL_US, side="right")
+        is_p = pc.equal(ety, "purchase").to_numpy(zero_copy_only=False)
+        pi = np.flatnonzero(is_p)
+        cnt = hi[pi] - lo[pi]
+        total = int(cnt.sum())
+        anchor = np.repeat(pi, cnt)
+        steps = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt)
+        )
+        ctx = np.repeat(lo[pi], cnt) + steps
+        keep = ctx != anchor
+        anchor, ctx = anchor[keep], ctx[keep]
+        ta, tc = pa.array(anchor), pa.array(ctx)
+        return pa.table(
+            {
+                "user_id": pc.take(uid, ta),
+                "anchor_id": pc.take(eid, ta),
+                "ctx_id": pc.take(eid, tc),
+                "ctx_type": pc.take(ety, tc),
+                "dt_us": pa.array(ts[ctx] - ts[anchor]),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES["context_window_join"] = q_context_window_join
+ORACLE_SQL["context_window_join"] = """
+    SELECT p.user_id, p.event_id AS anchor_id, c.event_id AS ctx_id,
+           c.event_type AS ctx_type,
+           epoch_us(c.ts) - epoch_us(p.ts) AS dt_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id AND c.event_id <> p.event_id
+     AND ABS(epoch_us(c.ts) - epoch_us(p.ts)) <= 86400000000
+    WHERE p.event_type = 'purchase'
+"""
+
+
+def q_cusum_value_user(sf_dir: str):
+    """One-sided CUSUM drift statistic per user (``stages.stats.
+    add_group_cusum``): S_i = max(0, S_{i-1} + cents_i - k) over event-time
+    order with k = 10000 cents — the sequential change-point / behavioral
+    drift detector.  Entirely int64 (values fix-pointed to cents), so the
+    twin's prefix identity S = C - least(0, min C) is EXACT — integer
+    window SUM/MIN have no float schedule at all."""
+    from feast_ray.stages.stats import add_group_cusum
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cents": c,
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_group_cusum(
+        ds,
+        "user_id",
+        "cents",
+        order_cols=["ts", "event_id"],
+        drift=10_000,
+        out_col="cusum_cents",
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "cusum_cents"])
+
+
+QUERIES["cusum_value_user"] = q_cusum_value_user
+ORACLE_SQL["cusum_value_user"] = """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) - 10000 AS step
+      FROM events),
+    c AS (
+      SELECT user_id, event_id, ts,
+             SUM(step) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+    SELECT user_id, event_id, ts,
+           CAST(cum - LEAST(0, MIN(cum) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+                AS BIGINT) AS cusum_cents
+    FROM c
+"""
+
+
+def q_gini_value_user(sf_dir: str):
+    """Per-user Gini concentration of purchase value — the inequality /
+    whale-dependence feature (is the user's spend one big order or many
+    small ones?).  G = (2 * sum(i * x_i)) / (n * sum(x)) - (n+1)/n over
+    the user's purchase cents sorted ascending (ties give identical sums,
+    so any stable order works).  The exchange's (key, cents) local sort
+    makes ranks pure index arithmetic (same trick as grouped_quantile);
+    both weighted sums are int64, the float chain is two divisions and a
+    subtract in fixed order — bit-exact vs the twin."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _typed_events(sf_dir, "purchase", ["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        uid = pc.take(t["user_id"].combine_chunks(), take)
+        n_rows = t.num_rows
+        sizes = np.diff(starts)
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "user_id": uid,
+                    "n_purchases": pa.array(sizes.astype(np.int64)),
+                    "gini_value": pa.array([], pa.float64()),
+                }
+            )
+        x = t["cents"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.arange(n_rows, dtype=np.int64) - np.repeat(firsts, sizes) + 1
+        s1 = np.add.reduceat(rank * x, firsts)
+        s2 = np.add.reduceat(x, firsts)
+        s1 = np.where(sizes == 0, 0, s1)
+        s2 = np.where(sizes == 0, 0, s2)
+        n = sizes.astype(np.int64)
+        bad = (s2 == 0) | (n == 0)
+        safe_n = np.maximum(n, 1)
+        safe_s2 = np.where(bad, 1, s2)
+        g = (2 * s1) / (safe_n * safe_s2) - (safe_n + 1) / safe_n
+        return pa.table(
+            {
+                "user_id": uid,
+                "n_purchases": pa.array(n),
+                "gini_value": pa.array(g, mask=bad),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["cents"])
+
+
+QUERIES["gini_value_user"] = q_gini_value_user
+ORACLE_SQL["gini_value_user"] = """
+    WITH p AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents) AS rnk
+      FROM p),
+    a AS (
+      SELECT user_id, COUNT(*) AS n, SUM(cents) AS s,
+             SUM(rnk * cents) AS sw
+      FROM r GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_purchases,
+           CASE WHEN s = 0 THEN NULL
+                ELSE CAST(2 * sw AS DOUBLE) / (n * s)
+                     - CAST(n + 1 AS DOUBLE) / n END AS gini_value
+    FROM a
+"""
+
+
+def q_next_type_pred_user(sf_dir: str):
+    """Per-(user, current type) modal NEXT event type — the first-order
+    Markov next-action predictor (with its evidence count), deterministic
+    lexical tie rule.  Three shrinking exchanges: (1) adjacent-pair
+    formation needs event-time order per user, and the kernel pre-combines
+    to per-(user, cur, next) counts before emitting; (2) a tiny sum_by on
+    the triple; (3) argmax per (user, cur) — within-bucket lexsort on
+    (count desc, next asc), first row per group."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def pair_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        uid = t["user_id"].combine_chunks()
+        ety = t["event_type"].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": uid.slice(0, 0),
+                    "cur": ety.slice(0, 0),
+                    "nxt": ety.slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        enc = ety.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(int(codes.max()) + 1, 1)
+        # adjacent pairs within a group
+        same = gidx[1:] == gidx[:-1]
+        ci = np.flatnonzero(same)  # index of the CURRENT row of each pair
+        pack = (gidx[ci] * k + codes[ci]) * k + codes[ci + 1]
+        upack, cnt = np.unique(pack, return_counts=True)
+        grp = upack // (k * k)
+        row_of_grp = starts[:-1][grp]
+        return pa.table(
+            {
+                "user_id": pc.take(uid, pa.array(row_of_grp)),
+                "cur": pc.take(enc.dictionary, pa.array((upack // k) % k)),
+                "nxt": pc.take(enc.dictionary, pa.array(upack % k)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pairs = grouped_map(ds, ["user_id"], pair_kernel, sort_keys=["ts", "event_id"])
+    counts = sum_by(pairs, ["user_id", "cur", "nxt"], ["n"])
+
+    def argmax_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        uid = t["user_id"].combine_chunks()
+        cur = t["cur"].combine_chunks()
+        nxt = t["nxt"].combine_chunks()
+        cnt = t["n"].combine_chunks()
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "user_id": uid.slice(0, 0),
+                    "cur": cur.slice(0, 0),
+                    "pred_next": nxt.slice(0, 0),
+                    "n_obs": cnt.slice(0, 0),
+                }
+            )
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        c = cnt.to_numpy(zero_copy_only=False).astype(np.int64)
+        # lexical rank of nxt (dictionary order is first-appearance)
+        enc = nxt.dictionary_encode()
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        perm = np.argsort(vocab)
+        rank_of = np.empty(len(vocab), dtype=np.int64)
+        rank_of[perm] = np.arange(len(vocab), dtype=np.int64)
+        nrank = rank_of[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        order = np.lexsort((nrank, -c, gidx))
+        og = gidx[order]
+        first = np.empty(len(og), dtype=bool)
+        first[0] = True
+        first[1:] = og[1:] != og[:-1]
+        pick = pa.array(order[first])
+        return pa.table(
+            {
+                "user_id": pc.take(uid, pick),
+                "cur": pc.take(cur, pick),
+                "pred_next": pc.take(nxt, pick),
+                "n_obs": pc.take(cnt, pick),
+            }
+        )
+
+    return grouped_map(counts, ["user_id", "cur"], argmax_kernel)
+
+
+QUERIES["next_type_pred_user"] = q_next_type_pred_user
+ORACLE_SQL["next_type_pred_user"] = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT user_id, event_type AS cur, nxt, COUNT(*) AS n
+      FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, cur
+                                   ORDER BY n DESC, nxt) AS rn
+      FROM c)
+    SELECT user_id, cur, nxt AS pred_next, CAST(n AS BIGINT) AS n_obs
+    FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing ordering: the SURVEY §2 operator-ledger core first, so any
 # driver that SAMPLES the registry (CORRECTNESS_r03 took 50 of 161) always

@@ -1784,3 +1784,55 @@ def add_group_expanding_rank(
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
     )
+
+
+def add_group_cusum(
+    ds,
+    key: str | Sequence[str],
+    int_col: str,
+    *,
+    order_cols: Sequence[str],
+    drift: int,
+    out_col: str = "cusum",
+    num_buckets: Optional[int] = None,
+):
+    """One-sided CUSUM change-point statistic per entity, exact int64 —
+    the classic drift/anomaly detector: ``S_i = max(0, S_{i-1} + x_i - k)``
+    over the entity's rows in event-time order (k = ``drift``, the
+    tolerated per-step reference level; alarm when S crosses a threshold
+    downstream).  Feature stores ship this as "behavioral drift score".
+
+    ``int_col`` must be integral (fixed-point upstream — same contract as
+    ``add_group_zscore``), so the whole recursion stays in int64 and the
+    SQL twin reproduces it EXACTLY via the prefix identity
+    ``S_i = C_i - least(0, min_{j<=i} C_j)`` with ``C`` the running sum of
+    (x - k): integer window SUM/MIN are order-free, no float schedule at
+    all.  Kernel: one global cumsum rebased at group starts + a grouped
+    cummin (pandas C path) — O(rows), no per-group Python.
+    """
+    import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
+    drift = int(drift)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        x = (
+            t[int_col].combine_chunks().cast(pa.int64()).fill_null(0)
+            .to_numpy(zero_copy_only=False)
+        )
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        d = x - drift
+        C = np.cumsum(d)
+        base = np.repeat(C[starts[:-1]] - d[starts[:-1]], sizes)
+        C_rel = C - base
+        runmin = pd.Series(C_rel).groupby(gidx).cummin().to_numpy()
+        s = C_rel - np.minimum(runmin, 0)
+        return t.append_column(out_col, pa.array(s))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )

@@ -268,3 +268,113 @@ def test_attribution_linear_credit_conserved(ray_session):
     # fractional rows: n_of_type <= n_touches, credit matches the formula
     frac = got[got["touch_type"] != "none"]
     assert (frac["n_of_type"] <= frac["n_touches"]).all()
+
+
+def test_cusum_matches_recursion(ray_session):
+    rng = np.random.default_rng(9)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 11, n),
+            "rid": np.arange(n),
+            "x": rng.integers(-500, 520, n),
+        }
+    )
+    from feast_ray.stages.stats import add_group_cusum
+
+    got = (
+        add_group_cusum(
+            rd.from_pandas(df), "k", "x", order_cols=["rid"], drift=7,
+            out_col="s", num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "rid"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for k, g in df.sort_values(["k", "rid"]).groupby("k"):
+        s = 0
+        for x in g["x"]:
+            s = max(0, s + int(x) - 7)
+            want.append(s)
+    assert (got["s"].to_numpy() == np.array(want)).all()
+    assert (got["s"] >= 0).all()
+
+
+def test_context_window_join_matches_bruteforce(ray_session):
+    from feast_ray.pipelines.queries import q_context_window_join
+
+    got = (
+        q_context_window_join("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["anchor_id", "ctx_id"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    tol = 24 * 3600 * 1_000_000
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        p = g[g["event_type"] == "purchase"]
+        for _, a in p.iterrows():
+            near = g[(g["event_id"] != a["event_id"])
+                     & ((g["us"] - a["us"]).abs() <= tol)]
+            for _, c in near.iterrows():
+                rows.append((u, a["event_id"], c["event_id"],
+                             c["event_type"], c["us"] - a["us"]))
+    want = pd.DataFrame(
+        rows, columns=["user_id", "anchor_id", "ctx_id", "ctx_type", "dt_us"]
+    ).sort_values(["anchor_id", "ctx_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_gini_matches_bruteforce(ray_session):
+    from feast_ray.pipelines.queries import q_gini_value_user
+
+    got = (
+        q_gini_value_user("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pur = ev[ev["event_type"] == "purchase"]
+    for u, g in pur.groupby("user_id"):
+        x = np.sort(np.round(g["value"].to_numpy() * 100).astype(np.int64))
+        n, s = len(x), int(x.sum())
+        sw = int((np.arange(1, n + 1) * x).sum())
+        want = (2 * sw) / (n * s) - (n + 1) / n
+        assert got.loc[u, "n_purchases"] == n
+        assert got.loc[u, "gini_value"] == want
+        assert -1e-9 <= got.loc[u, "gini_value"] <= 1.0
+
+
+def test_next_type_pred_matches_bruteforce(ray_session):
+    from feast_ray.pipelines.queries import q_next_type_pred_user
+
+    got = (
+        q_next_type_pred_user("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index(["user_id", "cur"])
+        .sort_index()
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    import collections
+
+    want: dict = {}
+    for u, g in ev.groupby("user_id"):
+        types = g["event_type"].tolist()
+        cnt: dict = collections.defaultdict(collections.Counter)
+        for a, b in zip(types, types[1:]):
+            cnt[a][b] += 1
+        for cur, c in cnt.items():
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            want[(u, cur)] = best
+    assert len(got) == len(want)
+    for (u, cur), (nxt, n) in want.items():
+        assert got.loc[(u, cur), "pred_next"] == nxt, (u, cur)
+        assert got.loc[(u, cur), "n_obs"] == n
