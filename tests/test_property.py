@@ -411,3 +411,39 @@ def test_png_roundtrip_property(h, w, seed):
     w2, h2, out = decode_png(bytes(encode_png(px)))
     assert (w2, h2) == (w, h)
     assert np.array_equal(out, px)
+
+
+@given(
+    sizes=group_sizes,
+    drift=st.integers(min_value=-5, max_value=20),
+    data=st.data(),
+)
+@settings(max_examples=120, deadline=None)
+def test_cusum_prefix_identity_matches_recursion(sizes, drift, data):
+    """The vectorized prefix identity S = C - min(0, running-min C) used by
+    `stats.add_group_cusum` equals the textbook recursion
+    S_i = max(0, S_{i-1} + x_i - k) for every group independently."""
+    n = sum(sizes)
+    xs = data.draw(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=n, max_size=n)
+    )
+    x = np.array(xs, dtype=np.int64)
+    starts = _starts(sizes)
+    # vectorized path (same arithmetic as the kernel)
+    gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    d = x - drift
+    C = np.cumsum(d)
+    base = np.repeat(C[starts[:-1]] - d[starts[:-1]], sizes)
+    C_rel = C - base
+    import pandas as pd
+
+    runmin = pd.Series(C_rel).groupby(gidx).cummin().to_numpy()
+    got = C_rel - np.minimum(runmin, 0)
+    # naive recursion
+    want = np.empty(n, dtype=np.int64)
+    for g in range(len(sizes)):
+        s = 0
+        for i in range(starts[g], starts[g + 1]):
+            s = max(0, s + int(x[i]) - drift)
+            want[i] = s
+    assert (got == want).all()
