@@ -2943,3 +2943,41 @@ ORACLE_SQL_DOCS["weighted_sample_docs"] = f"""
       FROM t)
     SELECT doc_id, n_chars FROM k ORDER BY skey DESC LIMIT 50
 """
+
+
+def q_token_entropy_docs(sf_dir: str):
+    """Per-document token entropy in bits (``stages.text.token_entropy``):
+    the lexical-diversity quality gate (template spam and keyword stuffing
+    score near 0) — fully batch-local (a doc is one row), zero shuffles,
+    fixed-point micro-bit terms for bit-exact SQL parity."""
+    from feast_ray.stages.text import token_entropy
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+    return token_entropy(ds, id_col="doc_id", text_col="text")
+
+
+QUERIES_DOCS["token_entropy_docs"] = q_token_entropy_docs
+ORACLE_SQL_DOCS["token_entropy_docs"] = """
+    WITH toks AS (
+      SELECT doc_id, u.t AS token
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    c AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+    t2 AS (
+      SELECT doc_id, cnt,
+             CAST(ROUND(cnt * log2(cnt) * 1000000) AS BIGINT) AS term
+      FROM c),
+    s AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(term) AS BIGINT) AS ts
+      FROM t2 GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           log2(CAST(n_tokens AS DOUBLE))
+             - (CAST(ts AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)
+             AS entropy_bits
+    FROM s
+"""

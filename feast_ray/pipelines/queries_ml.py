@@ -3354,3 +3354,136 @@ ORACLE_SQL_ML["survival_km_signup"] = """
            hazard, surv AS survival
     FROM km
 """
+
+
+def q_entropy_type_user(sf_dir: str):
+    """Per-user Shannon entropy (bits) of the event-type mix
+    (``stages.stats.grouped_entropy``): the behavioral-diversity feature —
+    one map-side-combined exchange to (user, type) counts, fixed-point
+    micro-bit terms so the cross-type sum is exact int64, final float ops
+    in a DuckDB-bit-equal schedule (pc.log2)."""
+    from feast_ray.stages.stats import grouped_entropy
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return grouped_entropy(ds, "user_id", "event_type",
+                           n_name="n", types_name="n_types")
+
+
+QUERIES_ML["entropy_type_user"] = q_entropy_type_user
+ORACLE_SQL_ML["entropy_type_user"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT user_id, cnt,
+             CAST(ROUND(cnt * log2(cnt) * 1000000) AS BIGINT) AS term
+      FROM c),
+    s AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(term) AS BIGINT) AS ts
+      FROM t GROUP BY 1)
+    SELECT user_id, n, n_types,
+           log2(CAST(n AS DOUBLE))
+             - (CAST(ts AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+             AS entropy_bits
+    FROM s
+"""
+
+
+def q_centered_ma_events(sf_dir: str):
+    """Centered 5-row moving average of value cents per user
+    (``stages.windows.add_group_centered_mean``): the offline smoothing
+    window (2 preceding + 2 following, clipped at entity edges) — exact
+    int64 prefix-sum window sums, one IEEE divide."""
+    from feast_ray.stages.windows import add_group_centered_mean
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return _with_cents(t).drop_columns(["value"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = add_group_centered_mean(
+        ds, "user_id", "cents", order_cols=["ts", "event_id"],
+        before=2, after=2,
+    )
+    return out.select_columns(["user_id", "event_id", "c_ma", "w_n"])
+
+
+QUERIES_ML["centered_ma_events"] = q_centered_ma_events
+ORACLE_SQL_ML["centered_ma_events"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_id,
+           CAST(SUM(c) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+             AS c_ma,
+           CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def q_purged_split_events(sf_dir: str):
+    """Chronological train/embargo/test labels over the event stream
+    (``stages.sampling.time_split``): 80% of the global time span trains,
+    one day after the cutoff is embargoed (purged split) — integer-
+    microsecond arithmetic, global extrema from one-row-per-block
+    partials, stateless labeling map."""
+    from feast_ray.stages.sampling import time_split
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+    out = time_split(ds, ts_col="ts", train_frac_pct=80,
+                     embargo_us=86_400_000_000)
+    return out.select_columns(["event_id", "split"])
+
+
+QUERIES_ML["purged_split_events"] = q_purged_split_events
+ORACLE_SQL_ML["purged_split_events"] = """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events)
+    SELECT event_id,
+           CASE
+             WHEN epoch_us(ts) <= tmin + ((tmax - tmin) * 80) // 100
+               THEN 'train'
+             WHEN epoch_us(ts) <= tmin + ((tmax - tmin) * 80) // 100
+                                  + 86400000000
+               THEN 'embargo'
+             ELSE 'test'
+           END AS split
+    FROM events, b
+"""
+
+
+def q_embedding_moments(sf_dir: str):
+    """Per-dimension count/sum/min/max/mean profile of the embedding table
+    (``stages.stats.list_col_moments``): fixed-point micro units keep the
+    cross-row sums exact; per-block partials reduce each block to d rows
+    before the one tiny d-group exchange."""
+    from feast_ray.stages.stats import list_col_moments
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return list_col_moments(ds, "embedding")
+
+
+QUERIES_ML["embedding_moments"] = q_embedding_moments
+ORACLE_SQL_ML["embedding_moments"] = """
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+      FROM embeddings),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(micro) AS BIGINT) AS s_micro,
+             CAST(MIN(micro) AS BIGINT) AS min_micro,
+             CAST(MAX(micro) AS BIGINT) AS max_micro
+      FROM x GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n, s_micro, min_micro, max_micro,
+           (CAST(s_micro AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mean_v
+    FROM s
+"""

@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -347,3 +348,63 @@ def weighted_reservoir_sample(
         n,
     )
     return top.drop_columns(["__skey"])
+
+
+def time_split(
+    ds,
+    *,
+    ts_col: str = "ts",
+    train_frac_pct: int = 80,
+    embargo_us: int = 86_400_000_000,
+    split_col: str = "split",
+):
+    """Leakage-safe chronological train/test split with a purge embargo
+    (the financial-ML "purged" split, and the right default for any
+    time-dependent target): rows in the first ``train_frac_pct`` percent of
+    the GLOBAL time span are ``train``; the ``embargo_us`` microseconds
+    after the cutoff are ``embargo`` (dropped by trainers — they straddle
+    label horizons); the rest is ``test``.  The constructive counterpart of
+    the temporal-leakage audit: instead of flagging leaks, it makes them
+    impossible by construction.
+
+    All arithmetic is integer microseconds (cutoff = tmin +
+    (span * pct) // 100), so the labels are exact and cluster-shape-free.
+    Global extrema come from one-row-per-block partials (driver folds a
+    blocks-sized list of ints); the labeling pass is stateless map_batches
+    with the two cutoffs closed over — nothing corpus-sized leaves the
+    object store.
+    """
+    src = ds.materialize()
+
+    def _us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        arr = col.combine_chunks()
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
+        return arr.cast(pa.int64())
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        us = _us(t[ts_col])
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    rows = src.map_batches(
+        extrema, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not rows:
+        raise ValueError("time_split: empty input")
+    tmin = min(int(r["mn"]) for r in rows)
+    tmax = max(int(r["mx"]) for r in rows)
+    train_end = tmin + ((tmax - tmin) * train_frac_pct) // 100
+    embargo_end = train_end + embargo_us
+
+    def label(t: pa.Table) -> pa.Table:
+        us = _us(t[ts_col]).to_numpy(zero_copy_only=False)
+        lab = np.where(
+            us <= train_end, "train", np.where(us <= embargo_end, "embargo", "test")
+        )
+        return t.append_column(split_col, pa.array(lab, pa.string()))
+
+    return src.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)

@@ -1836,3 +1836,157 @@ def add_group_cusum(
     return grouped_map(
         ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
     )
+
+
+def grouped_entropy(
+    ds,
+    key: str | Sequence[str],
+    cat_col: str,
+    *,
+    out_col: str = "entropy_bits",
+    n_name: str = "n",
+    types_name: str = "n_types",
+    num_buckets: Optional[int] = None,
+):
+    """Shannon entropy (bits) of each entity's categorical mix — the
+    behavioral-diversity feature ("does this user do one thing or many")
+    of churn/abuse models, and the label-balance monitor of a curation
+    pipeline.  SQL twin: ``SUM(-p*log2(p))`` over the per-(entity, cat)
+    shares.
+
+    Exactness: a float sum over categories is accumulation-order-dependent,
+    so the kernel uses the identity ``H = log2(N) - (SUM_c c*log2(c)) / N``
+    and carries each category's term as FIXED-POINT micro-bits
+    (``ROUND(c*log2(c)*1e6)`` as int64, half-away rounding) — the cross-
+    category SUM is then exact int64 and order-free, and the remaining
+    float ops (one log2, two divides, one subtract) run in a fixed schedule
+    a SQL twin reproduces bit-for-bit.  pyarrow's ``log2`` matches DuckDB's
+    bitwise on this platform (both libm); numpy's does NOT — use pc here.
+
+    Shape: one map-side-combined exchange to (entity, cat) counts, one tiny
+    exchange over distinct pairs.  Raw rows are never re-shuffled.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    pairs = partial_count_sum(ds, keys + [cat_col], count_name="_c",
+                              num_buckets=num_buckets)
+
+    def term(t: pa.Table) -> pa.Table:
+        cd = t["_c"].combine_chunks().cast(pa.float64())
+        tm = pc.cast(
+            pc.round(pc.multiply(pc.multiply(cd, pc.log2(cd)), 1_000_000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        cols = {k: t[k] for k in keys}
+        cols["_c"] = t["_c"]
+        cols["_t"] = tm
+        cols["_one"] = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table(cols)
+
+    termed = pairs.map_batches(term, batch_format="pyarrow", zero_copy_batch=True)
+    sums = sum_by(termed, keys, ["_c", "_t", "_one"], num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        nd = t["_c"].combine_chunks().cast(pa.float64())
+        ts = t["_t"].combine_chunks().cast(pa.float64())
+        h = pc.subtract(
+            pc.log2(nd), pc.divide(pc.divide(ts, 1_000_000.0), nd)
+        )
+        cols = {k: t[k] for k in keys}
+        cols[n_name] = t["_c"].combine_chunks().cast(pa.int64())
+        cols[types_name] = t["_one"].combine_chunks().cast(pa.int64())
+        cols[out_col] = h
+        return pa.table(cols)
+
+    return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def list_col_moments(
+    ds,
+    list_col: str,
+    *,
+    dim_name: str = "dim",
+    scale: float = 1_000_000.0,
+    num_buckets: Optional[int] = None,
+):
+    """Per-dimension count / exact fixed-point sum / min / max / mean over a
+    ``list<float>`` column — the embedding-space health profile (dead dims,
+    scale drift, outlier channels) run before training on a vector corpus.
+
+    Each element is fixed-pointed to ``ROUND(v*scale)`` int64 (half-away,
+    matching SQL ROUND), so the cross-row sums are exact and order-free.
+    Per-block partials reduce each block to one row per dimension (lists are
+    reshaped, so the block must carry fixed-length lists — true of any real
+    embedding column; ragged input raises); the exchange then carries
+    ``blocks x d`` tiny rows into a d-group reduce.  ``dim`` is 1-based to
+    match SQL ``generate_subscripts``.  Mean is ``(s/scale)/n`` in a fixed
+    float schedule.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        empty = {
+            dim_name: pa.array([], pa.int64()),
+            "_n": pa.array([], pa.int64()),
+            "_s": pa.array([], pa.int64()),
+            "_mn": pa.array([], pa.int64()),
+            "_mx": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        arr = t[list_col].combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        n_rows = len(arr)
+        if n_rows == 0:
+            return pa.table(empty)
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError(f"{list_col} is ragged; moments need fixed-length lists")
+        flat = pc.list_flatten(arr).cast(pa.float64())
+        micro = (
+            pc.cast(
+                pc.round(pc.multiply(flat, scale),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .reshape(n_rows, d)
+        )
+        return pa.table({
+            dim_name: pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "_n": pa.array(np.full(d, n_rows, np.int64)),
+            "_s": pa.array(micro.sum(axis=0, dtype=np.int64)),
+            "_mn": pa.array(micro.min(axis=0)),
+            "_mx": pa.array(micro.max(axis=0)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        take = pa.array(firsts)
+        n = t["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = t["_mn"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = t["_mx"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(n):
+            N = np.add.reduceat(n, firsts).astype(np.int64)
+            S = np.add.reduceat(s, firsts).astype(np.int64)
+            MN = np.minimum.reduceat(mn, firsts)
+            MX = np.maximum.reduceat(mx, firsts)
+        else:
+            N = S = MN = MX = np.zeros(0, np.int64)
+        mean = pc.divide(
+            pc.divide(pa.array(S.astype(np.float64)), scale),
+            pa.array(N.astype(np.float64)),
+        )
+        return pa.table({
+            dim_name: pc.take(t[dim_name].combine_chunks(), take),
+            "n": pa.array(N),
+            "s_micro": pa.array(S),
+            "min_micro": pa.array(MN.astype(np.int64)),
+            "max_micro": pa.array(MX.astype(np.int64)),
+            "mean_v": mean,
+        })
+
+    return grouped_map(partials, [dim_name], reduce_kernel, num_buckets=num_buckets)

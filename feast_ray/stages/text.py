@@ -1001,3 +1001,84 @@ def cooccurrence_topk(
         "df_b", pa.array([lut[v] for v in top_tbl["tok_b"].to_pylist()], pa.int64())
     )
     return rd.from_arrow(out)
+
+
+def token_entropy(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = SPLIT_RE,
+):
+    """Per-document unigram (token) Shannon entropy in bits — the lexical-
+    diversity quality signal of an LLM-data pipeline: boilerplate, keyword
+    stuffing and template spam sit far below prose of the same length.
+    ZERO shuffles: a document is one input row, so its token counts, the
+    entropy identity ``H = log2(N) - SUM_t c_t*log2(c_t) / N`` and the
+    output row are all batch-local.
+
+    Exactness contract (same as ``stats.grouped_entropy``): per-token terms
+    are fixed-pointed to micro-bits (``ROUND(c*log2(c)*1e6)`` int64, half-
+    away) so the cross-token sum is exact; the final float ops run in a
+    fixed schedule via pyarrow kernels (pc.log2 is bit-identical to DuckDB's
+    log2 on this platform; numpy's is not).  Documents with zero tokens are
+    absent from the output (SQL twin: the tokens CTE drops them).
+    """
+    import pandas as pd
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "entropy_bits": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        col = t[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+        doc_row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_row = doc_row[keep]
+        if len(doc_row) == 0:
+            return empty
+        # count per (doc, token) — batch-local and final (1 doc = 1 row)
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays(
+                [doc_row, flat.to_numpy(zero_copy_only=False)]
+            ),
+            sort=False,
+        )
+        c = np.bincount(codes).astype(np.int64)
+        _, first_idx = np.unique(codes, return_index=True)
+        doc_of_pair = doc_row[first_idx]
+        cd = pa.array(c.astype(np.float64))
+        term = pc.cast(
+            pc.round(pc.multiply(pc.multiply(cd, pc.log2(cd)), 1_000_000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n_docs = len(lens)
+        # int sums in float64 stay exact well below 2^53 per document
+        term_sum = np.bincount(doc_of_pair, weights=term, minlength=n_docs)
+        n_tok = np.bincount(doc_row, minlength=n_docs).astype(np.int64)
+        n_typ = np.bincount(doc_of_pair, minlength=n_docs).astype(np.int64)
+        present = np.flatnonzero(n_tok > 0)
+        nd = pa.array(n_tok[present].astype(np.float64))
+        h = pc.subtract(
+            pc.log2(nd),
+            pc.divide(pc.divide(pa.array(term_sum[present]), 1_000_000.0), nd),
+        )
+        return pa.table({
+            id_col: pc.take(ids, pa.array(present)).cast(pa.int64()),
+            "n_tokens": pa.array(n_tok[present]),
+            "n_types": pa.array(n_typ[present]),
+            "entropy_bits": h,
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

@@ -993,3 +993,58 @@ def rolling_distinct_time(
         return t.append_column(out_name, pa.array(counts.astype(np.int64)))
 
     return grouped_map(ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets)
+
+
+def add_group_centered_mean(
+    ds,
+    key: str | Sequence[str],
+    val_col: str,
+    *,
+    order_cols: Sequence[str],
+    before: int = 2,
+    after: int = 2,
+    out_col: str = "c_ma",
+    n_col: str = "w_n",
+    num_buckets=None,
+):
+    """Centered moving average per entity (SQL ``AVG(v) OVER (... ROWS
+    BETWEEN before PRECEDING AND after FOLLOWING)``) — the smoothing /
+    trend-extraction window (look-AHEAD allowed) used for offline label
+    denoising and seasonality removal, as opposed to the engine's causal
+    rolling features.  Windows clip at entity edges (SQL semantics).
+
+    Kernel: one grouped exchange; window sums are two lookups into a
+    per-bucket int64 prefix sum (``val_col`` must be integer fixed-point,
+    so sums are exact) and the mean is one IEEE double divide — bit-equal
+    to ``CAST(SUM(..) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)``.
+    Appends ``out_col`` (double) and ``n_col`` (int64 window size).
+    """
+    from feast_ray.grouped import grouped_map
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.float64())) \
+                    .append_column(n_col, pa.array([], pa.int64()))
+        v = (
+            t[val_col].combine_chunks().cast(pa.int64()).fill_null(0)
+            .to_numpy(zero_copy_only=False)
+        )
+        sizes = np.diff(starts)
+        gstart = np.repeat(starts[:-1], sizes)
+        gend = np.repeat(starts[1:], sizes)
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(gstart, idx - before)
+        hi = np.minimum(gend - 1, idx + after)
+        cs = np.concatenate(([0], np.cumsum(v)))
+        wsum = cs[hi + 1] - cs[lo]
+        wn = (hi - lo + 1).astype(np.int64)
+        ma = wsum.astype(np.float64) / wn.astype(np.float64)
+        return t.append_column(out_col, pa.array(ma)) \
+                .append_column(n_col, pa.array(wn))
+
+    return grouped_map(
+        ds, keys, kernel, sort_keys=list(order_cols), num_buckets=num_buckets
+    )
