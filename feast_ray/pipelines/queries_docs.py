@@ -2981,3 +2981,77 @@ ORACLE_SQL_DOCS["token_entropy_docs"] = """
              AS entropy_bits
     FROM s
 """
+
+
+PII_PATTERNS = {
+    "n_email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "n_url": r"https?://[^\s]+",
+    "n_longnum": r"[0-9]{7,}",
+}
+
+
+def q_pii_count_docs(sf_dir: str):
+    """Per-document PII-risk profile (``stages.text.pattern_counts``):
+    counts of email addresses, URLs and 7+-digit runs — the screening pass
+    that decides redaction vs drop in an LLM-data pipeline.  Stateless
+    vectorized RE2 scan, zero shuffles."""
+    from feast_ray.stages.text import pattern_counts
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+    return pattern_counts(ds, PII_PATTERNS)
+
+
+QUERIES_DOCS["pii_count_docs"] = q_pii_count_docs
+ORACLE_SQL_DOCS["pii_count_docs"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '{PII_PATTERNS["n_email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(lower(text),
+                '{PII_PATTERNS["n_url"]}')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(lower(text),
+                '{PII_PATTERNS["n_longnum"]}')) AS BIGINT) AS n_longnum
+    FROM documents
+"""
+
+
+def q_zipf_slope_docs(sf_dir: str):
+    """Corpus Zipf-fit health summary (``stages.text.zipf_slope``): OLS
+    slope of log2(freq) on log2(rank) over the vocabulary with count >= 3
+    — distributed token counts, range-partitioned frequency ranks,
+    fixed-point milli-log term sums, one-row output."""
+    from feast_ray.stages.text import zipf_slope
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+    return zipf_slope(ds, min_count=3)
+
+
+QUERIES_DOCS["zipf_slope_docs"] = q_zipf_slope_docs
+ORACLE_SQL_DOCS["zipf_slope_docs"] = """
+    WITH toks AS (
+      SELECT u.t AS token
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1 HAVING COUNT(*) >= 3),
+    r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM c),
+    t AS (
+      SELECT CAST(ROUND(log2(CAST(rnk AS DOUBLE)) * 1000) AS BIGINT) AS xm,
+             CAST(ROUND(log2(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS ym
+      FROM r),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+             CAST(SUM(xm * xm) AS BIGINT) AS sxx,
+             CAST(SUM(xm * ym) AS BIGINT) AS sxy
+      FROM t)
+    SELECT n AS n_vocab,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS zipf_slope
+    FROM s
+"""

@@ -3487,3 +3487,143 @@ ORACLE_SQL_ML["embedding_moments"] = """
            (CAST(s_micro AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mean_v
     FROM s
 """
+
+
+def q_benford_values(sf_dir: str):
+    """Benford leading-digit profile of positive value cents — the
+    fabricated-data / fraud screen over a monetary column.  Leading digit
+    via decimal-string slicing (bit-exact vs SQL substr; no float log10
+    edge cases), counts via ONE map-side-combined exchange."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["value"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        pos = pc.greater(c, 0)
+        c = c.filter(pos)
+        d = pc.cast(pc.utf8_slice_codeunits(pc.cast(c, pa.string()), 0, 1),
+                    pa.int64())
+        return pa.table({"digit": d})
+
+    dd = ds.map_batches(digit, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_count_sum(dd, ["digit"], count_name="n")
+
+
+QUERIES_ML["benford_values"] = q_benford_values
+ORACLE_SQL_ML["benford_values"] = """
+    WITH c AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c WHERE cents > 0)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY digit
+"""
+
+
+def q_chisq_type_drift(sf_dir: str):
+    """Chi-square independence statistic of the event-type x time-half
+    contingency (halves split at the midpoint of the global time span) —
+    the categorical drift monitor between two eras of the stream.  Counts
+    come from one map-side-combined exchange; the full type x half grid
+    (bounded by the categorical domain) folds on the driver with
+    fixed-point micro terms so the cell sum is exact and order-free."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "ts"]).materialize()
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    rows = ds.map_batches(
+        extrema, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    tmin = min(int(r["mn"]) for r in rows)
+    tmax = max(int(r["mx"]) for r in rows)
+    mid = tmin + (tmax - tmin) // 2
+
+    def half(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "half": pa.array((us > mid).astype(np.int64)),
+        })
+
+    obs = partial_count_sum(
+        ds.map_batches(half, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "half"], count_name="obs",
+    ).take_all()  # bounded: |type domain| x 2 rows
+
+    types = sorted({r["event_type"] for r in obs})
+    grid = np.zeros((len(types), 2), dtype=np.int64)
+    ti = {t: i for i, t in enumerate(types)}
+    for r in obs:
+        grid[ti[r["event_type"]], int(r["half"])] = int(r["obs"])
+    rt = grid.sum(axis=1, dtype=np.int64)
+    ct = grid.sum(axis=0, dtype=np.int64)
+    n = int(grid.sum())
+    # fixed schedule per cell, micro fixed-point, exact int sum (pc.round
+    # half-away matches SQL ROUND)
+    e = (rt.astype(np.float64)[:, None] * ct.astype(np.float64)[None, :]) / float(n)
+    d = grid.astype(np.float64) - e
+    term = pc.cast(
+        pc.round(pa.array((d * d / e).ravel() * 1_000_000.0),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    chi2 = float(int(term.sum())) / 1_000_000.0
+    return pa.table({
+        "n_cells": pa.array([grid.size], pa.int64()),
+        "dof": pa.array([(len(types) - 1) * 1], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64()),
+    })
+
+
+QUERIES_ML["chisq_type_drift"] = q_chisq_type_drift
+ORACLE_SQL_ML["chisq_type_drift"] = """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events),
+    e AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) > tmin + (tmax - tmin) // 2
+                  THEN 1 ELSE 0 END AS half
+      FROM events, b),
+    o AS (
+      SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM e GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, h.half, COALESCE(o.obs, 0) AS obs
+      FROM (SELECT DISTINCT event_type FROM o) t
+      CROSS JOIN (VALUES (0), (1)) h(half)
+      LEFT JOIN o ON o.event_type = t.event_type AND o.half = h.half),
+    m AS (
+      SELECT obs,
+             CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(SUM(obs) OVER (PARTITION BY half) AS BIGINT) AS ct,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM grid),
+    t2 AS (
+      SELECT CAST(ROUND(
+               (CAST(obs AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(obs AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000) AS BIGINT) AS term
+      FROM m),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(SUM(term) AS BIGINT) AS ts FROM t2)
+    SELECT n_cells,
+           CAST((SELECT COUNT(DISTINCT event_type) FROM o) - 1 AS BIGINT) AS dof,
+           CAST(ts AS DOUBLE) / 1000000.0 AS chi2
+    FROM s
+"""

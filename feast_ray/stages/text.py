@@ -1082,3 +1082,126 @@ def token_entropy(
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pattern_counts(
+    ds,
+    patterns: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document non-overlapping match counts of named RE2 patterns —
+    the PII / boilerplate profiler of a curation pipeline (emails, URLs,
+    phone-ish digit runs) run BEFORE deciding to redact or drop.  Stateless
+    vectorized ``map_batches``: pyarrow's ``count_substring_regex`` and
+    DuckDB's ``regexp_extract_all`` are both RE2 with the same
+    leftmost-non-overlapping scan, so the SQL twin is exact.  Text is
+    lowercased once per batch; one output column per pattern name.
+    """
+    items = sorted(patterns.items())
+
+    def kernel(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        low = pc.utf8_lower(arr)
+        cols = {id_col: t[id_col]}
+        for name, pat in items:
+            cols[name] = pc.cast(pc.count_substring_regex(low, pat), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zipf_slope(
+    ds,
+    *,
+    text_col: str = "text",
+    pattern: str = SPLIT_RE,
+    min_count: int = 3,
+    num_buckets=None,
+) -> pa.Table:
+    """Zipf-law fit of the corpus token-frequency distribution: the OLS
+    slope of ``log2(freq)`` against ``log2(rank)`` over the vocabulary
+    (tokens with ``count >= min_count``) — natural text sits near -1;
+    template/boilerplate corpora flatten, spam steepens.  A one-row
+    corpus-health summary.
+
+    Distribution of work: per-batch token-count partials -> one grouped
+    exchange to exact vocabulary counts -> the engine's range-partitioned
+    ``global_order_index`` assigns frequency ranks (col = -count,
+    tiebreak = a Horner codepoint hash of the token; rank order within a
+    tied count is irrelevant — every regression sum is invariant to
+    permutations among equal-frequency tokens, so hash collisions inside a
+    tie block are harmless) -> per-block one-row partial sums of
+    fixed-point milli-log terms (int64-exact, order-free) -> a driver fold
+    of block partials and one fixed-schedule float combination matching
+    the SQL twin bit-for-bit.  Nothing vocabulary-sized reaches the driver.
+    """
+    from feast_ray.stages.dedup import GRAM_BASE, _flat_codepoints
+    from feast_ray.stages.stats import global_order_index, partial_count_sum
+
+    def toks(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(arr), pattern))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    counts = partial_count_sum(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], count_name="cnt", num_buckets=num_buckets,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["cnt"], min_count))
+        tok = t["token"].combine_chunks()
+        data, offsets = _flat_codepoints(tok)
+        lens = np.diff(offsets)
+        h = np.zeros(len(tok), np.uint64)
+        firsts = offsets[:-1]
+        for j in range(int(lens.max()) if len(lens) else 0):
+            sel = lens > j
+            h[sel] = h[sel] * GRAM_BASE + data[firsts[sel] + j]
+        return pa.table({
+            "cnt": t["cnt"].combine_chunks(),
+            "neg": pc.negate(t["cnt"].combine_chunks()),
+            "th": pa.array(h.view(np.int64)),
+        })
+
+    ranked = global_order_index(
+        counts.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "neg", tiebreak="th", pos_name="r0", num_buckets=num_buckets,
+    )
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        cols = ["n", "sx", "sy", "sxx", "sxy"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        rank = pc.cast(pc.add(t["r0"], 1), pa.float64())
+        cnt = pc.cast(t["cnt"], pa.float64())
+        mk = lambda a: pc.cast(
+            pc.round(pc.multiply(pc.log2(a), 1000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        xm, ym = mk(rank), mk(cnt)
+        vals = [len(xm), xm.sum(), ym.sum(), (xm * xm).sum(), (xm * ym).sum()]
+        return pa.table({c: pa.array([int(v)], pa.int64()) for c, v in zip(cols, vals)})
+
+    rows = ranked.map_batches(
+        term_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(int(r["n"]) for r in rows)
+    if n < 2:
+        raise ValueError("zipf_slope: vocabulary too small to fit")
+    sx = float(sum(int(r["sx"]) for r in rows))
+    sy = float(sum(int(r["sy"]) for r in rows))
+    sxx = float(sum(int(r["sxx"]) for r in rows))
+    sxy = float(sum(int(r["sxy"]) for r in rows))
+    nd = float(n)
+    slope = (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+    return pa.table({
+        "n_vocab": pa.array([n], pa.int64()),
+        "zipf_slope": pa.array([slope], pa.float64()),
+    })
