@@ -3055,3 +3055,40 @@ ORACLE_SQL_DOCS["zipf_slope_docs"] = """
               / CAST(n AS DOUBLE)) AS zipf_slope
     FROM s
 """
+
+
+def q_ks_doclen_sources(sf_dir: str):
+    """Exact two-sample KS statistic between the document-length
+    distributions of two feeds (``stages.stats.ks_two_sample``): the
+    supremum gap is an exact int64 cross-multiple over cumulative counts
+    at distinct lengths; one float divide at the end."""
+    from feast_ray.stages.stats import ks_two_sample
+
+    ds = _docs(sf_dir, columns=("source", "n_chars"))
+    return ks_two_sample(ds, "n_chars", "source", "src0", "src1")
+
+
+QUERIES_DOCS["ks_doclen_sources"] = q_ks_doclen_sources
+ORACLE_SQL_DOCS["ks_doclen_sources"] = """
+    WITH f AS (
+      SELECT n_chars AS v, source AS g FROM documents
+      WHERE source IN ('src0', 'src1')),
+    c AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM f GROUP BY v),
+    t AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM c),
+    w AS (
+      SELECT SUM(a) OVER (ORDER BY v) AS ca, SUM(b) OVER (ORDER BY v) AS cb
+      FROM c),
+    m AS (
+      SELECT CAST(MAX(ABS(ca * t.nb - cb * t.na)) AS BIGINT) AS mx
+      FROM w, t GROUP BY t.na, t.nb)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(m.mx AS DOUBLE)
+             / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_stat
+    FROM m, t
+"""

@@ -3627,3 +3627,72 @@ ORACLE_SQL_ML["chisq_type_drift"] = """
            CAST(ts AS DOUBLE) / 1000000.0 AS chi2
     FROM s
 """
+
+
+def q_entity_split_events(sf_dir: str):
+    """Group-aware deterministic train/val/test split of the event stream
+    (``stages.sampling.entity_split``): all of a user's rows share one
+    split (mix64(user_id) % 100 under 80/10/10 thresholds) — the
+    entity-leakage-safe complement of the purged time split.  Stateless
+    map, no shuffle."""
+    from feast_ray.stages.sampling import entity_split
+
+    ds = _events(sf_dir, ["event_id", "user_id"])
+    return entity_split(ds, key_col="user_id", train_pct=80, val_pct=10)
+
+
+QUERIES_ML["entity_split_events"] = q_entity_split_events
+ORACLE_SQL_ML["entity_split_events"] = f"""
+    WITH h AS (
+      SELECT event_id, user_id,
+             {_mix64_sql("user_id")} % 100 AS hv
+      FROM events)
+    SELECT event_id, user_id,
+           CASE WHEN hv < 80 THEN 'train'
+                WHEN hv < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+"""
+
+
+def q_percent_rank_global(sf_dir: str):
+    """Continuous global percent rank of value cents over the whole stream
+    (``stages.stats.global_order_index``): rank/(n-1) with a unique
+    (cents, event_id) total order — the global normalization feature and
+    the continuous sibling of the equal-frequency decile."""
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    ranked = global_order_index(dv, "cents", tiebreak="event_id", pos_name="r0")
+    n = dv.count()
+
+    def fin(t: pa.Table) -> pa.Table:
+        pr = pc.divide(
+            pc.cast(t["r0"], pa.float64()), float(n - 1)
+        )
+        return pa.table({
+            "event_id": t["event_id"], "cents": t["cents"], "pct_rank": pr,
+        })
+
+    return ranked.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["percent_rank_global"] = q_percent_rank_global
+ORACLE_SQL_ML["percent_rank_global"] = """
+    WITH e AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_id, cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY cents, event_id) - 1 AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM e) - 1 AS DOUBLE) AS pct_rank
+    FROM e
+"""

@@ -408,3 +408,33 @@ def time_split(
         return t.append_column(split_col, pa.array(lab, pa.string()))
 
     return src.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entity_split(
+    ds,
+    *,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    modulus: int = 100,
+    split_col: str = "split",
+):
+    """Group-aware deterministic train/val/test assignment: every row of an
+    entity lands in the SAME split (``mix64(key) % modulus`` thresholds),
+    so no entity leaks across splits — the complement of the chronological
+    ``time_split`` (that one stops time leakage; this one stops entity
+    leakage).  Stateless vectorized map, reproducible on any cluster shape,
+    SQL-replayable via the HUGEINT split-multiply mixer.
+    """
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= modulus):
+        raise ValueError("invalid split percentages")
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = (mix64(k) % np.uint64(modulus)).astype(np.int64)
+        lab = np.where(
+            hv < train_pct, "train", np.where(hv < train_pct + val_pct, "val", "test")
+        )
+        return t.append_column(split_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -1990,3 +1990,61 @@ def list_col_moments(
         })
 
     return grouped_map(partials, [dim_name], reduce_kernel, num_buckets=num_buckets)
+
+
+def ks_two_sample(
+    ds,
+    val_col: str,
+    group_col: str,
+    a,
+    b,
+    *,
+    num_buckets: Optional[int] = None,
+) -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the ``val_col``
+    distributions of groups ``a`` and ``b`` — the distribution-shift test
+    between two corpus feeds / eras (doc lengths by source, values by
+    cohort).  One-row output: ``n_a, n_b, ks_stat``.
+
+    Exactness: the KS supremum occurs at data values, and
+    ``|F_a - F_b| = |c_a*n_b - c_b*n_a| / (n_a*n_b)`` — the numerator is
+    pure int64 over cumulative counts, so the max is exact and the single
+    float division is schedule-fixed.  Work shape: rows fold to per-batch
+    (value, group) count partials, ONE grouped exchange reduces them, and
+    the driver walks the DISTINCT-VALUE domain (bounded — lengths, cents,
+    scores; not row count) for the cumulative max.  ``val_col`` must be
+    integer-valued.
+    """
+    av, bv = a, b
+
+    def filt(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        keep = pc.or_(pc.equal(g, av), pc.equal(g, bv))
+        t = t.filter(keep)
+        return pa.table({
+            "v": t[val_col].combine_chunks().cast(pa.int64()),
+            "g": t[group_col],
+        })
+
+    counts = partial_count_sum(
+        ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True),
+        ["v", "g"], count_name="c", num_buckets=num_buckets,
+    ).take_all()  # bounded: distinct values x 2
+    if not counts:
+        raise ValueError("ks_two_sample: no rows in either group")
+    vals = sorted({int(r["v"]) for r in counts})
+    vi = {v: i for i, v in enumerate(vals)}
+    ca = np.zeros(len(vals), np.int64)
+    cb = np.zeros(len(vals), np.int64)
+    for r in counts:
+        (ca if r["g"] == av else cb)[vi[int(r["v"])]] = int(r["c"])
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        raise ValueError("ks_two_sample: one group is empty")
+    m = int(np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na).max())
+    ks = float(m) / (float(na) * float(nb))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "ks_stat": pa.array([ks], pa.float64()),
+    })
