@@ -3696,3 +3696,106 @@ ORACLE_SQL_ML["percent_rank_global"] = """
              / CAST((SELECT COUNT(*) FROM e) - 1 AS DOUBLE) AS pct_rank
     FROM e
 """
+
+
+def q_calendar_events(sf_dir: str):
+    """Calendar covariates per event (``stages.normalize.calendar_features``):
+    year/month/dow/hour/is_weekend from pure integer epoch arithmetic
+    (Hinnant civil-date derivation), bit-equal to SQL date functions.
+    Stateless map, zero shuffles."""
+    from feast_ray.stages.normalize import calendar_features
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+    out = calendar_features(ds, ts_col="ts")
+    return out.select_columns(
+        ["event_id", "year", "month", "dow", "hour", "is_weekend"]
+    )
+
+
+QUERIES_ML["calendar_events"] = q_calendar_events
+ORACLE_SQL_ML["calendar_events"] = """
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS year,
+           CAST(month(ts) AS BIGINT) AS month,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_weekend
+    FROM events
+"""
+
+
+def q_geomean_value_user(sf_dir: str):
+    """Per-user geometric mean of positive value cents
+    (``stages.stats.grouped_geomean``): micro-nat fixed-point ln terms on
+    the map-side-combined exchange, exp(avg) in a DuckDB-bit-equal
+    schedule."""
+    from feast_ray.stages.stats import grouped_geomean
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t = pa.table({"user_id": t["user_id"], "cents": c})
+        return t.filter(pc.greater(t["cents"], 0))
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_geomean(dv, "user_id", "cents", out_col="geomean_cents")
+
+
+QUERIES_ML["geomean_value_user"] = q_geomean_value_user
+ORACLE_SQL_ML["geomean_value_user"] = """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    t AS (
+      SELECT user_id, CAST(ROUND(ln(c) * 1000000) AS BIGINT) AS term
+      FROM e WHERE c > 0),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(term) AS BIGINT) AS ts
+      FROM t GROUP BY 1)
+    SELECT user_id, n,
+           exp((CAST(ts AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+             AS geomean_cents
+    FROM s
+"""
+
+
+def q_knn_density_embeddings(sf_dir: str):
+    """Per-vector density score: cosine similarity to the 3rd-nearest
+    neighbor (the LOF-style sparse-region detector — low kth-neighbor
+    similarity = isolated point = outlier or novel sample).  Rides the
+    exact blockpair kNN graph (``stages.similarity.knn_graph``); output is
+    the rank-3 edge per node."""
+    from feast_ray.stages.similarity import knn_graph
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    g = knn_graph(ds, k=3, id_col="vec_id", emb_col="embedding")
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["nbr_rank"], 3))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "kth_cos": t["cos_sim"],
+        })
+
+    return g.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["knn_density_embeddings"] = q_knn_density_embeddings
+ORACLE_SQL_ML["knn_density_embeddings"] = """
+    WITH s AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, nbr_id)
+                  AS BIGINT) AS nbr_rank
+      FROM s)
+    SELECT vec_id, cos_sim AS kth_cos FROM r WHERE nbr_rank = 3
+"""

@@ -68,3 +68,51 @@ def normalize(
         field_mapping=field_mapping, columns=columns, ts_cols=ts_cols, schema=schema, tz=tz
     )
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def calendar_features(
+    ds,
+    *,
+    ts_col: str = "ts",
+    prefix: str = "",
+):
+    """Append the standard calendar feature set derived from a timestamp:
+    ``year, month, dow (0=Sunday..6=Saturday, the SQL DOW convention),
+    hour, is_weekend`` — the seasonality covariates every tabular model
+    wants.  Pure integer arithmetic on epoch microseconds (the civil-date
+    algorithm is Howard Hinnant's public-domain days-from-epoch
+    derivation), verified bit-equal to DuckDB's year()/month()/dayofweek()/
+    hour() across the timestamp range — no calendar library, no timezone
+    surprises (input is treated as UTC, matching the engine's normalized
+    timestamps).  Stateless vectorized map, zero shuffles.
+    """
+    import numpy as np
+
+    p = prefix
+
+    def kernel(t: pa.Table) -> pa.Table:
+        arr = t[ts_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
+        us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        z = days + 719_468
+        era = z // 146_097
+        doe = z - era * 146_097
+        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        month = np.where(mp < 10, mp + 3, mp - 9)
+        year = yoe + era * 400 + (month <= 2)
+        dow = (days + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        wknd = ((dow == 0) | (dow == 6)).astype(np.int64)
+        for name, v in (
+            (f"{p}year", year), (f"{p}month", month), (f"{p}dow", dow),
+            (f"{p}hour", hour), (f"{p}is_weekend", wknd),
+        ):
+            t = t.append_column(name, pa.array(v.astype(np.int64)))
+        return t
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

@@ -2048,3 +2048,54 @@ def ks_two_sample(
         "n_b": pa.array([nb], pa.int64()),
         "ks_stat": pa.array([ks], pa.float64()),
     })
+
+
+def grouped_geomean(
+    ds,
+    key: str | Sequence[str],
+    val_col: str,
+    *,
+    out_col: str = "geomean",
+    n_name: str = "n",
+    num_buckets: Optional[int] = None,
+):
+    """Geometric mean of a POSITIVE integer fixed-point column per entity —
+    the right average for multiplicative / heavy-tailed quantities (spend,
+    latencies, ratios) where the arithmetic mean is outlier-dominated.
+    SQL twin: ``exp(avg(ln(v)))``.
+
+    Exactness (same fixed-point discipline as ``grouped_entropy``): each
+    row's ``ln(v)`` is fixed-pointed to micro-nats int64 (half-away ROUND),
+    the per-entity sum rides the map-side-combined count/sum exchange
+    exactly, and the final ``exp((s/1e6)/n)`` runs via pyarrow kernels —
+    pc.ln/pc.exp are bit-identical to DuckDB's ln/exp on this platform.
+    Caller filters non-positive rows (ln domain), matching the SQL twin's
+    WHERE.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def term(t: pa.Table) -> pa.Table:
+        v = t[val_col].combine_chunks().cast(pa.float64())
+        tm = pc.cast(
+            pc.round(pc.multiply(pc.ln(v), 1_000_000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        cols = {k: t[k] for k in keys}
+        cols["_t"] = tm
+        return pa.table(cols)
+
+    termed = ds.map_batches(term, batch_format="pyarrow", zero_copy_batch=True)
+    sums = partial_count_sum(termed, keys, "_t", count_name=n_name, sum_name="_s",
+                             num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        nd = t[n_name].combine_chunks().cast(pa.float64())
+        sd = t["_s"].combine_chunks().cast(pa.float64())
+        g = pc.exp(pc.divide(pc.divide(sd, 1_000_000.0), nd))
+        cols = {k: t[k] for k in keys}
+        cols[n_name] = t[n_name].combine_chunks().cast(pa.int64())
+        cols[out_col] = g
+        return pa.table(cols)
+
+    return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
