@@ -3799,3 +3799,192 @@ ORACLE_SQL_ML["knn_density_embeddings"] = """
       FROM s)
     SELECT vec_id, cos_sim AS kth_cos FROM r WHERE nbr_rank = 3
 """
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Upper-triangle covariance matrix of the embedding table
+    (``stages.stats.list_col_covariance``): per-block exact int64 Gram
+    partials via the augmented-matrix trick, one tiny (d+1)(d+2)/2-group
+    exchange — the whitening / PCA-prep summary."""
+    from feast_ray.stages.stats import list_col_covariance
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return list_col_covariance(ds, "embedding")
+
+
+QUERIES_ML["embedding_covariance"] = q_embedding_covariance
+ORACLE_SQL_ML["embedding_covariance"] = """
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings),
+    p AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2),
+    m AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS s FROM x GROUP BY 1)
+    SELECT CAST(p.i AS BIGINT) AS dim_a, CAST(p.j AS BIGINT) AS dim_b,
+           p.n AS n,
+           ((CAST(p.sxy AS DOUBLE)
+               - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE)
+                 / CAST(p.n AS DOUBLE))
+              / CAST(p.n AS DOUBLE)) / 1000000000000.0 AS cov
+    FROM p JOIN m ma ON ma.dim = p.i JOIN m mb ON mb.dim = p.j
+"""
+
+
+def q_transition_entropy_user(sf_dir: str):
+    """Per-user Shannon entropy of the event-type TRANSITION distribution
+    (how predictable is this user's behavioral grammar): lag pairs form
+    inside one grouped exchange, then ``grouped_entropy`` over the pair
+    category — low entropy = habitual loops, high = erratic."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import grouped_entropy
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def pair_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n_rows = t.num_rows
+        et = t["event_type"].combine_chunks()
+        uid = t["user_id"].combine_chunks()
+        if n_rows == 0:
+            return pa.table({
+                "user_id": uid.slice(0, 0),
+                "pair": pa.array([], pa.string()),
+            })
+        mask = np.ones(max(n_rows - 1, 0), dtype=bool)
+        last = starts[1:] - 1
+        mask[last[last < n_rows - 1]] = False
+        idx = np.flatnonzero(mask)
+        frm = pc.take(et, pa.array(idx))
+        to = pc.take(et, pa.array(idx + 1))
+        return pa.table({
+            "user_id": pc.take(uid, pa.array(idx)),
+            "pair": pc.binary_join_element_wise(frm, to, ">"),
+        })
+
+    pairs = grouped_map(
+        ds, ["user_id"], pair_kernel, sort_keys=["ts", "event_id"]
+    )
+    return grouped_entropy(pairs, "user_id", "pair",
+                           n_name="n_transitions", types_name="n_pairs")
+
+
+QUERIES_ML["transition_entropy_user"] = q_transition_entropy_user
+ORACLE_SQL_ML["transition_entropy_user"] = """
+    WITH seq AS (
+      SELECT user_id, event_type || '>' ||
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pair
+      FROM events),
+    c AS (
+      SELECT user_id, pair, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE pair IS NOT NULL GROUP BY 1, 2),
+    t AS (
+      SELECT user_id, cnt,
+             CAST(ROUND(cnt * log2(cnt) * 1000000) AS BIGINT) AS term
+      FROM c),
+    s AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(term) AS BIGINT) AS ts
+      FROM t GROUP BY 1)
+    SELECT user_id, n_transitions, n_pairs,
+           log2(CAST(n_transitions AS DOUBLE))
+             - (CAST(ts AS DOUBLE) / 1000000.0)
+               / CAST(n_transitions AS DOUBLE) AS entropy_bits
+    FROM s
+"""
+
+
+def q_wilson_ci_types(sf_dir: str):
+    """Per-event-type big-purchase rate with 95% Wilson score interval —
+    the uncertainty-aware conversion metric (small-n types get wide,
+    well-behaved bounds where the normal interval fails).  k and n are
+    exact int64 off one map-side-combined exchange; the interval is a
+    fixed IEEE float schedule (sqrt is correctly rounded per IEEE-754, so
+    pyarrow and DuckDB agree bitwise)."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "big": pc.cast(pc.greater_equal(c, 10_000), pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_count_sum(dv, ["event_type"], "big",
+                            count_name="n", sum_name="k")
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = t["n"].combine_chunks().cast(pa.float64())
+        kd = t["k"].combine_chunks().cast(pa.float64())
+        # NB: DuckDB folds the literal product 1.96*1.96 in exact DECIMAL
+        # arithmetic (3.8416) BEFORE casting to double; squaring the double
+        # 1.96 lands one ulp away.  Use the decimal-exact constant.
+        z, z2 = 1.96, 3.8416
+        ph = pc.divide(kd, nd)
+        denom = pc.add(1.0, pc.divide(z2, nd))
+        center = pc.divide(
+            pc.add(ph, pc.divide(z2, pc.multiply(2.0, nd))), denom
+        )
+        half = pc.divide(
+            pc.multiply(
+                z,
+                pc.sqrt(
+                    pc.add(
+                        pc.divide(pc.multiply(ph, pc.subtract(1.0, ph)), nd),
+                        pc.divide(z2, pc.multiply(pc.multiply(4.0, nd), nd)),
+                    )
+                ),
+            ),
+            denom,
+        )
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": t["n"].combine_chunks().cast(pa.int64()),
+            "k": t["k"].combine_chunks().cast(pa.int64()),
+            "rate": ph,
+            "wilson_lo": pc.subtract(center, half),
+            "wilson_hi": pc.add(center, half),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["wilson_ci_types"] = q_wilson_ci_types
+ORACLE_SQL_ML["wilson_ci_types"] = """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN CAST(ROUND(value * 100) AS BIGINT) >= 10000
+                  THEN 1 ELSE 0 END AS big
+      FROM events WHERE value IS NOT NULL),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(big) AS BIGINT) AS k
+      FROM e GROUP BY 1),
+    f AS (
+      SELECT event_type, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+             1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE) AS denom
+      FROM a)
+    SELECT event_type, n, k, ph AS rate,
+           (ph + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / denom
+             - 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)))
+               / denom AS wilson_lo,
+           (ph + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / denom
+             + 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)))
+               / denom AS wilson_hi
+    FROM f
+"""

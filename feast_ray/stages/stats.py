@@ -2099,3 +2099,99 @@ def grouped_geomean(
         return pa.table(cols)
 
     return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def list_col_covariance(
+    ds,
+    list_col: str,
+    *,
+    scale: float = 1_000_000.0,
+    num_buckets: Optional[int] = None,
+):
+    """Distributed population covariance matrix (upper triangle) of a
+    ``list<float>`` column — the whitening / PCA-prep primitive of an
+    embedding pipeline (a d x d summary no matter the corpus size).
+
+    Shape: each block reduces to ONE exact int64 Gram matrix via the
+    augmented-matrix trick — prepend a constant-1 column, then
+    ``A^T A`` simultaneously carries n (cell 0,0), the per-dim sums
+    (row 0) and all cross sums — emitted as (d+1)(d+2)/2 upper-triangle
+    rows.  One tiny grouped exchange sums the partials; the (0,*) row
+    (d+1 ints) folds on the driver and broadcasts into the final map.
+    Values are fixed-pointed to ``ROUND(v*scale)`` so every sum is exact
+    and order-free; overflow bound: ``n * (scale*|v|_max)^2 < 2^63``
+    (drop ``scale`` for larger corpora; exactness degrades gracefully to
+    the chosen fixed-point grid).  ``cov = ((sxy - si*sj/n)/n)/scale^2``
+    in a fixed float schedule.  Dims are 1-based (SQL
+    ``generate_subscripts``).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        empty = {
+            "i": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        arr = t[list_col].combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        n_rows = len(arr)
+        if n_rows == 0:
+            return pa.table(empty)
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError(f"{list_col} is ragged; covariance needs fixed-length lists")
+        flat = pc.list_flatten(arr).cast(pa.float64())
+        micro = (
+            pc.cast(
+                pc.round(pc.multiply(flat, scale),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .reshape(n_rows, d)
+        )
+        a = np.concatenate([np.ones((n_rows, 1), np.int64), micro], axis=1)
+        g = a.T @ a  # exact int64 Gram
+        iu, ju = np.triu_indices(d + 1)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "s": pa.array(g[iu, ju]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    sums = sum_by(partials, ["i", "j"], ["s"], num_buckets=num_buckets).materialize()
+
+    # row 0 of the Gram: n and the per-dim sums — d+1 ints, driver-bounded
+    head = sums.map_batches(
+        lambda t: t.filter(pc.equal(t["i"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    n = next(int(r["s"]) for r in head if int(r["j"]) == 0)
+    dim_sum = {int(r["j"]): int(r["s"]) for r in head if int(r["j"]) > 0}
+    if n == 0:
+        raise ValueError("list_col_covariance: empty input")
+    sc2 = scale * scale
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["i"], 1))
+        i = t["i"].combine_chunks().to_numpy(zero_copy_only=False)
+        j = t["j"].combine_chunks().to_numpy(zero_copy_only=False)
+        sxy = pc.cast(t["s"], pa.float64())
+        si = pa.array(np.array([dim_sum[x] for x in i], np.float64))
+        sj = pa.array(np.array([dim_sum[x] for x in j], np.float64))
+        nd = float(n)
+        cov = pc.divide(
+            pc.divide(pc.subtract(sxy, pc.divide(pc.multiply(si, sj), nd)), nd),
+            sc2,
+        )
+        return pa.table({
+            "dim_a": pa.array(i), "dim_b": pa.array(j),
+            "n": pa.array(np.full(len(i), n, np.int64)),
+            "cov": cov,
+        })
+
+    return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
