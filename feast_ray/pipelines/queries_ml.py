@@ -3988,3 +3988,123 @@ ORACLE_SQL_ML["wilson_ci_types"] = """
                / denom AS wilson_hi
     FROM f
 """
+
+
+def q_circular_hour_user(sf_dir: str):
+    """Per-user circular time-of-day statistics
+    (``stages.stats.grouped_circular_time``): resultant length R (activity
+    concentration around one time of day) + circular mean angle — the
+    cyclically-correct replacement for "average hour"."""
+    from feast_ray.stages.stats import grouped_circular_time
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    return grouped_circular_time(ds, "user_id", "ts")
+
+
+QUERIES_ML["circular_hour_user"] = q_circular_hour_user
+ORACLE_SQL_ML["circular_hour_user"] = """
+    WITH e AS (
+      SELECT user_id,
+             (CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+                * 6.283185307179586) / 86400000000.0 AS theta
+      FROM events),
+    t AS (
+      SELECT user_id,
+             CAST(ROUND(sin(theta) * 1000000) AS BIGINT) AS s,
+             CAST(ROUND(cos(theta) * 1000000) AS BIGINT) AS c
+      FROM e),
+    a AS (
+      SELECT user_id, CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(c) AS BIGINT) AS cc, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1),
+    f AS (
+      SELECT user_id, n,
+             CAST(ss AS DOUBLE) / 1000000.0 AS sd,
+             CAST(cc AS DOUBLE) / 1000000.0 AS cd
+      FROM a)
+    SELECT user_id, n,
+           sqrt(sd * sd + cd * cd) / CAST(n AS DOUBLE) AS resultant_r,
+           atan2(sd, cd) AS mean_angle
+    FROM f
+"""
+
+
+def q_decayed_count_user(sf_dir: str):
+    """Exponential time-decay activity score per user: events weighted
+    by exp(-age_days * ln2/7) relative to the stream's max timestamp (a
+    7-day half-life recency feature, the freshness signal of ranking
+    models).  Per-row micro fixed-point weights (libm exp parity), exact
+    int64 sums on the map-side-combined exchange."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "ts"]).materialize()
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({"mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    rows = ds.map_batches(
+        extrema, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ref = max(int(r["mx"]) for r in rows)
+
+    def wterm(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = pa.array((ref - us).astype(np.float64))
+        days = pc.divide(age, 86400000000.0)
+        w = pc.exp(pc.multiply(days, -0.0990210257942779))
+        wm = pc.cast(
+            pc.round(pc.multiply(w, 1_000_000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"user_id": t["user_id"], "_w": wm})
+
+    termed = ds.map_batches(wterm, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_count_sum(termed, ["user_id"], "_w",
+                            count_name="n", sum_name="_s")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n": t["n"].combine_chunks().cast(pa.int64()),
+            "decayed_count": pc.divide(
+                pc.cast(t["_s"].combine_chunks(), pa.float64(), safe=False),
+                1_000_000.0),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["decayed_count_user"] = q_decayed_count_user
+ORACLE_SQL_ML["decayed_count_user"] = """
+    WITH b AS (SELECT MAX(epoch_us(ts)) AS ref FROM events),
+    t AS (
+      SELECT user_id,
+             CAST(ROUND(exp((CAST(ref - epoch_us(ts) AS DOUBLE)
+                               / 86400000000.0) * -0.0990210257942779)
+                        * 1000000) AS BIGINT) AS w
+      FROM events, b)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(w) AS DOUBLE) / 1000000.0 AS decayed_count
+    FROM t GROUP BY 1
+"""
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Top-2 PCA coordinates per embedding (``stages.stats.pca_project``):
+    exact distributed covariance -> driver d x d eigh -> broadcast
+    projection.  No SQL twin (eigendecomposition); parity pinned by the
+    numpy twin in tests/test_wave14_ops.py (rows-only driver check)."""
+    from feast_ray.stages.stats import pca_project
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out, _evr = pca_project(ds, "embedding", id_col="vec_id", n_components=2)
+    return out
+
+
+QUERIES_ML["pca_embeddings"] = q_pca_embeddings
+# no ORACLE_SQL entry: eigendecomposition is not SQL-expressible (rows-only
+# driver check; exact numpy parity pinned in tests/test_wave14_ops.py)

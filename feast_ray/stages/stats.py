@@ -1888,7 +1888,7 @@ def grouped_entropy(
 
     def final(t: pa.Table) -> pa.Table:
         nd = t["_c"].combine_chunks().cast(pa.float64())
-        ts = t["_t"].combine_chunks().cast(pa.float64())
+        ts = pc.cast(t["_t"].combine_chunks(), pa.float64(), safe=False)
         h = pc.subtract(
             pc.log2(nd), pc.divide(pc.divide(ts, 1_000_000.0), nd)
         )
@@ -2091,7 +2091,7 @@ def grouped_geomean(
 
     def final(t: pa.Table) -> pa.Table:
         nd = t[n_name].combine_chunks().cast(pa.float64())
-        sd = t["_s"].combine_chunks().cast(pa.float64())
+        sd = pc.cast(t["_s"].combine_chunks(), pa.float64(), safe=False)
         g = pc.exp(pc.divide(pc.divide(sd, 1_000_000.0), nd))
         cols = {k: t[k] for k in keys}
         cols[n_name] = t[n_name].combine_chunks().cast(pa.int64())
@@ -2180,7 +2180,7 @@ def list_col_covariance(
         t = t.filter(pc.greater_equal(t["i"], 1))
         i = t["i"].combine_chunks().to_numpy(zero_copy_only=False)
         j = t["j"].combine_chunks().to_numpy(zero_copy_only=False)
-        sxy = pc.cast(t["s"], pa.float64())
+        sxy = pc.cast(t["s"].combine_chunks(), pa.float64(), safe=False)
         si = pa.array(np.array([dim_sum[x] for x in i], np.float64))
         sj = pa.array(np.array([dim_sum[x] for x in j], np.float64))
         nd = float(n)
@@ -2195,3 +2195,134 @@ def list_col_covariance(
         })
 
     return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TWO_PI = 6.283185307179586
+
+
+def grouped_circular_time(
+    ds,
+    key: str | Sequence[str],
+    ts_col: str,
+    *,
+    period_us: int = 86_400_000_000,
+    num_buckets: Optional[int] = None,
+):
+    """Circular statistics of event time-of-day per entity: the resultant
+    length R in [0,1] ("how concentrated is this user's activity around one
+    time of day" — 1 = always the same instant, 0 = uniform) and the mean
+    angle (radians, atan2 convention) — the right way to average a cyclic
+    quantity, where the arithmetic mean of hours is meaningless across
+    midnight.
+
+    Exactness: per-row sin/cos terms are fixed-pointed to micro units
+    (libm sin/cos/atan2/sqrt are bit-identical between pyarrow and DuckDB
+    on this platform; ROUND half-away matches), per-entity sums ride the
+    map-side-combined exchange exactly, and the final R/angle run in a
+    fixed float schedule.  Output: keys, n, resultant_r, mean_angle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def term(t: pa.Table) -> pa.Table:
+        arr = t[ts_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
+        us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        frac = pa.array((us % period_us).astype(np.float64))
+        theta = pc.divide(pc.multiply(frac, TWO_PI), float(period_us))
+        fp = lambda a: pc.cast(
+            pc.round(pc.multiply(a, 1_000_000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        cols = {k: t[k] for k in keys}
+        cols["_s"] = fp(pc.sin(theta))
+        cols["_c"] = fp(pc.cos(theta))
+        cols["_one"] = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table(cols)
+
+    termed = ds.map_batches(term, batch_format="pyarrow", zero_copy_batch=True)
+    sums = sum_by(termed, keys, ["_s", "_c", "_one"], num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        sd = pc.divide(pc.cast(t["_s"].combine_chunks(), pa.float64(), safe=False), 1_000_000.0)
+        cd = pc.divide(pc.cast(t["_c"].combine_chunks(), pa.float64(), safe=False), 1_000_000.0)
+        nd = pc.cast(t["_one"], pa.float64())
+        r = pc.divide(
+            pc.sqrt(pc.add(pc.multiply(sd, sd), pc.multiply(cd, cd))), nd
+        )
+        ang = pc.atan2(sd, cd)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = t["_one"].combine_chunks().cast(pa.int64())
+        cols["resultant_r"] = r
+        cols["mean_angle"] = ang
+        return pa.table(cols)
+
+    return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pca_project(
+    ds,
+    list_col: str,
+    *,
+    id_col: str,
+    n_components: int = 2,
+    scale: float = 1_000_000.0,
+    num_buckets: Optional[int] = None,
+):
+    """Distributed PCA projection: covariance via
+    :func:`list_col_covariance` (per-block exact Gram partials), a d x d
+    eigendecomposition ON THE DRIVER (d is the embedding width — constant,
+    never corpus-sized), then a stateless broadcast projection pass
+    emitting the top ``n_components`` coordinates per row — the dimension-
+    reduction / visualization / whitening step of an embedding pipeline.
+
+    Determinism: eigenvectors are sign-fixed (largest-magnitude entry
+    positive, ties to the lower index) so the output is reproducible on
+    any cluster shape.  No SQL twin exists (eigendecomposition is not
+    SQL-expressible); parity is pinned by a numpy twin in
+    ``tests/test_wave14_ops.py``.
+    """
+    cov_rows = list_col_covariance(
+        ds, list_col, scale=scale, num_buckets=num_buckets
+    ).take_all()  # d(d+1)/2 rows — bounded by the embedding width
+    d = max(int(r["dim_b"]) for r in cov_rows)
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        i, j = int(r["dim_a"]) - 1, int(r["dim_b"]) - 1
+        cov[i, j] = cov[j, i] = float(r["cov"])
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order]  # (d, k)
+    # sign convention: largest-|entry| positive
+    for c in range(comps.shape[1]):
+        a = comps[:, c]
+        if a[np.argmax(np.abs(a))] < 0:
+            comps[:, c] = -a
+    evr = w[order] / max(w.sum(), 1e-300)
+
+    import ray
+
+    comps_ref = ray.put(comps)
+
+    def project(t: pa.Table) -> pa.Table:
+        p = ray.get(comps_ref)
+        arr = t[list_col].combine_chunks()
+        n_rows = len(arr)
+        cols = {id_col: t[id_col]}
+        if n_rows == 0:
+            for c in range(p.shape[1]):
+                cols[f"pc{c + 1}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        x = (
+            pc.list_flatten(arr).cast(pa.float64())
+            .to_numpy(zero_copy_only=False).reshape(n_rows, -1)
+        )
+        y = x @ p
+        for c in range(p.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(y[:, c])
+        return pa.table(cols)
+
+    out = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return out, evr
