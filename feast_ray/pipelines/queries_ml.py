@@ -4108,3 +4108,224 @@ def q_pca_embeddings(sf_dir: str):
 QUERIES_ML["pca_embeddings"] = q_pca_embeddings
 # no ORACLE_SQL entry: eigendecomposition is not SQL-expressible (rows-only
 # driver check; exact numpy parity pinned in tests/test_wave14_ops.py)
+
+
+def q_type_corr_hourly(sf_dir: str):
+    """Cross-series Pearson correlation between the hourly click and
+    purchase count series (does browse activity track buying?): counts per
+    (hour, type) off one map-side-combined exchange, hour-pivoted in a
+    grouped kernel, moments folded as per-block one-row int64 partials —
+    the corr itself is five exact integer sums + one fixed float schedule.
+    One-row output."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = t.filter(keep)
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hr": pa.array(us // 3_600_000_000),
+            "event_type": t["event_type"],
+        })
+
+    counts = partial_count_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["hr", "event_type"], count_name="c",
+    )
+
+    def pivot_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes)), sizes)
+        x = np.zeros(len(sizes), np.int64)
+        y = np.zeros(len(sizes), np.int64)
+        isx = et == "click"
+        np.add.at(x, gidx[isx], c[isx])
+        np.add.at(y, gidx[~isx], c[~isx])
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    xy = grouped_map(counts, ["hr"], pivot_kernel)
+
+    def moments(t: pa.Table) -> pa.Table:
+        cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        x = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        y = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = [len(x), x.sum(), y.sum(), (x * x).sum(), (y * y).sum(),
+                (x * y).sum()]
+        return pa.table({c: pa.array([int(v)], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    rows = xy.map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(int(r["n"]) for r in rows)
+    sx = float(sum(int(r["sx"]) for r in rows))
+    sy = float(sum(int(r["sy"]) for r in rows))
+    sxx = float(sum(int(r["sxx"]) for r in rows))
+    syy = float(sum(int(r["syy"]) for r in rows))
+    sxy = float(sum(int(r["sxy"]) for r in rows))
+    nd = float(n)
+    import math
+    r = (nd * sxy - sx * sy) / (
+        math.sqrt(nd * sxx - sx * sx) * math.sqrt(nd * syy - sy * sy)
+    )
+    return pa.table({
+        "n_hours": pa.array([n], pa.int64()),
+        "corr_xy": pa.array([r], pa.float64()),
+    })
+
+
+QUERIES_ML["type_corr_hourly"] = q_type_corr_hourly
+ORACLE_SQL_ML["type_corr_hourly"] = """
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (
+      SELECT hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM h GROUP BY hr),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM g)
+    SELECT n AS n_hours,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_xy
+    FROM s
+"""
+
+
+def q_overdispersion_type(sf_dir: str):
+    """Index of dispersion (variance/mean) of per-user event counts for
+    each event type — the burstiness monitor: D >> 1 means activity
+    concentrates in few users (Poisson gives D = 1).  Two cascaded
+    map-side-combined exchanges, exact int64 moments, one fixed float
+    schedule."""
+    from feast_ray.stages.stats import partial_count_sum, sum_by
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    per_user = partial_count_sum(ds, ["event_type", "user_id"], count_name="c")
+
+    def term(t: pa.Table) -> pa.Table:
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "_one": pa.array(np.ones(len(c), np.int64)),
+            "c": t["c"],
+            "c2": pa.array(c * c),
+        })
+
+    termed = per_user.map_batches(term, batch_format="pyarrow", zero_copy_batch=True)
+    sums = sum_by(termed, ["event_type"], ["_one", "c", "c2"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = pc.cast(t["_one"].combine_chunks(), pa.float64(), safe=False)
+        sc = pc.cast(t["c"].combine_chunks(), pa.float64(), safe=False)
+        sc2 = pc.cast(t["c2"].combine_chunks(), pa.float64(), safe=False)
+        mean = pc.divide(sc, nd)
+        var = pc.divide(
+            pc.subtract(sc2, pc.divide(pc.multiply(sc, sc), nd)), nd
+        )
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_users": t["_one"].combine_chunks().cast(pa.int64()),
+            "mean_c": mean,
+            "dispersion": pc.divide(var, mean),
+        })
+
+    return sums.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["overdispersion_type"] = q_overdispersion_type
+ORACLE_SQL_ML["overdispersion_type"] = """
+    WITH u AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM u GROUP BY 1)
+    SELECT event_type, n AS n_users,
+           CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+           ((CAST(sc2 AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE))
+             / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion
+    FROM s
+"""
+
+
+def q_fk_orphans_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema's FK edges
+    (orders -> customer, lineitem -> orders): orphan counts via the
+    co-partitioned anti-join, totals from parquet metadata — the ingest
+    data-contract check run before any join is trusted."""
+    from feast_ray.stages.join import anti_join
+
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    li = read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    okeys = read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    o2 = orders.map_batches(
+        lambda t: pa.table({"k": t["o_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    c2 = cust.map_batches(
+        lambda t: pa.table({"k": t["c_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    l2 = li.map_batches(
+        lambda t: pa.table({"k": t["l_orderkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ok2 = okeys.map_batches(
+        lambda t: pa.table({"k": t["o_orderkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    n_orders = orders.count()
+    n_li = li.count()
+    orph_o = anti_join(o2, c2, keys=["k"]).count()
+    orph_l = anti_join(l2, ok2, keys=["k"]).count()
+    return pa.table({
+        "fk": pa.array(["lineitem->orders", "orders->customer"]),
+        "n_rows": pa.array([n_li, n_orders], pa.int64()),
+        "n_orphans": pa.array([orph_l, orph_o], pa.int64()),
+    })
+
+
+QUERIES_ML["fk_orphans_audit"] = q_fk_orphans_audit
+ORACLE_SQL_ML["fk_orphans_audit"] = """
+    SELECT 'orders->customer' AS fk,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+"""
