@@ -3092,3 +3092,68 @@ ORACLE_SQL_DOCS["ks_doclen_sources"] = """
              / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_stat
     FROM m, t
 """
+
+
+from feast_ray.pipelines.queries_ml import _mix64_sql as _MIX64_DOCS  # noqa: E402
+
+
+def q_split_leak_docs(sf_dir: str):
+    """Train/test duplicate-leak audit: docs split 80/20 by mix64(doc_id);
+    a text that appears on BOTH sides is a leak (the dup-across-split
+    contamination that inflates eval scores).  One grouped exchange keyed
+    on the text (at corpus scale key on the fingerprint hash instead —
+    same pipeline shape); per-group side flags OR-fold vectorized."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.sampling import mix64
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = ((mix64(k) % np.uint64(100)) < np.uint64(80)).astype(np.int64)
+        return pa.table({"text": t["text"], "is_train": pa.array(tr)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        cols = ["n_texts", "n_leaky_texts", "n_leaky_docs"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tr = t["is_train"].combine_chunks().to_numpy(zero_copy_only=False)
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        any_tr = np.add.reduceat(tr, firsts) > 0
+        any_te = np.add.reduceat(1 - tr, firsts) > 0
+        leaky = any_tr & any_te
+        vals = [len(firsts), int(leaky.sum()), int(sizes[leaky].sum())]
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    rows = grouped_map(tagged, ["text"], kernel).take_all()
+    return pa.table({
+        "n_texts": pa.array([sum(int(r["n_texts"]) for r in rows)], pa.int64()),
+        "n_leaky_texts": pa.array(
+            [sum(int(r["n_leaky_texts"]) for r in rows)], pa.int64()),
+        "n_leaky_docs": pa.array(
+            [sum(int(r["n_leaky_docs"]) for r in rows)], pa.int64()),
+    })
+
+
+QUERIES_DOCS["split_leak_docs"] = q_split_leak_docs
+ORACLE_SQL_DOCS["split_leak_docs"] = f"""
+    WITH s AS (
+      SELECT text,
+             CASE WHEN {_MIX64_DOCS("doc_id")} % 100 < 80
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents),
+    g AS (
+      SELECT text, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(is_train) AS any_tr, MIN(is_train) AS all_tr
+      FROM s GROUP BY text)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
+           CAST(SUM(CASE WHEN any_tr = 1 AND all_tr = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaky_texts,
+           CAST(SUM(CASE WHEN any_tr = 1 AND all_tr = 0 THEN n ELSE 0 END)
+                AS BIGINT) AS n_leaky_docs
+    FROM g
+"""

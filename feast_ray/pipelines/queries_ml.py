@@ -4329,3 +4329,111 @@ ORACLE_SQL_ML["fk_orphans_audit"] = """
                                    WHERE o.o_orderkey = l.l_orderkey))
                 AS BIGINT) AS n_orphans
 """
+
+
+RARE_TYPE_MIN = 1000
+
+
+def q_collapse_rare_types(sf_dir: str):
+    """Rare-category collapsing (the 'other' bucket every categorical
+    encoder needs before one-hot/target encoding): event types with a
+    global count below RARE_TYPE_MIN recode to 'other'; output is the
+    recoded count table.  Domain counts come from one map-side-combined
+    exchange; the keep-set (bounded by the categorical domain) broadcasts
+    into a stateless recode map."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_type"]).materialize()
+    dom = partial_count_sum(ds, ["event_type"], count_name="n").take_all()
+    keep = {r["event_type"] for r in dom if int(r["n"]) >= RARE_TYPE_MIN}
+
+    def recode(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        in_keep = pc.is_in(et, value_set=pa.array(sorted(keep), pa.string()))
+        return pa.table({
+            "event_type_c": pc.if_else(in_keep, et, "other"),
+        })
+
+    rec = ds.map_batches(recode, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_count_sum(rec, ["event_type_c"], count_name="n")
+
+
+QUERIES_ML["collapse_rare_types"] = q_collapse_rare_types
+ORACLE_SQL_ML["collapse_rare_types"] = f"""
+    WITH d AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    r AS (
+      SELECT CASE WHEN d.n >= {RARE_TYPE_MIN} THEN e.event_type
+                  ELSE 'other' END AS event_type_c
+      FROM events e JOIN d ON d.event_type = e.event_type)
+    SELECT event_type_c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY 1
+"""
+
+
+def q_activity_windows_user(sf_dir: str):
+    """Multi-horizon activity snapshot per user AS OF the stream's max
+    timestamp: event counts and exact cents sums in the trailing 1d / 7d /
+    30d — the point-in-time freshness features an online model reads at
+    serving time, computed in ONE scan (conditional map-side-combined
+    sums; horizon flags are per-row comparisons against broadcast integer
+    cutoffs)."""
+    from feast_ray.stages.stats import sum_by
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"]).materialize()
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({"mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    rows = ds.map_batches(
+        extrema, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ref = max(int(r["mx"]) for r in rows)
+    day = 86_400_000_000
+    cuts = {"1d": ref - day, "7d": ref - 7 * day, "30d": ref - 30 * day}
+
+    def flags(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].combine_chunks()
+        cents = pc.cast(
+            pc.round(pc.multiply(v, 100.0)), pa.int64()
+        ).fill_null(0).to_numpy(zero_copy_only=False)
+        cols = {"user_id": t["user_id"]}
+        for name, lo in cuts.items():
+            inw = (us > lo).astype(np.int64)
+            cols[f"n_{name}"] = pa.array(inw)
+            cols[f"cents_{name}"] = pa.array(inw * cents)
+        return pa.table(cols)
+
+    flagged = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return sum_by(
+        flagged, ["user_id"],
+        [f"{p}_{h}" for h in ("1d", "7d", "30d") for p in ("n", "cents")],
+    )
+
+
+QUERIES_ML["activity_windows_user"] = q_activity_windows_user
+ORACLE_SQL_ML["activity_windows_user"] = """
+    WITH b AS (SELECT MAX(epoch_us(ts)) AS ref FROM events),
+    e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0) AS c
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN us > ref - 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_1d,
+           CAST(SUM(CASE WHEN us > ref - 86400000000 THEN c ELSE 0 END)
+                AS BIGINT) AS cents_1d,
+           CAST(SUM(CASE WHEN us > ref - 7 * 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_7d,
+           CAST(SUM(CASE WHEN us > ref - 7 * 86400000000 THEN c ELSE 0 END)
+                AS BIGINT) AS cents_7d,
+           CAST(SUM(CASE WHEN us > ref - 30 * 86400000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_30d,
+           CAST(SUM(CASE WHEN us > ref - 30 * 86400000000 THEN c ELSE 0 END)
+                AS BIGINT) AS cents_30d
+    FROM e, b GROUP BY user_id
+"""
