@@ -4437,3 +4437,81 @@ ORACLE_SQL_ML["activity_windows_user"] = """
                 AS BIGINT) AS cents_30d
     FROM e, b GROUP BY user_id
 """
+
+
+def q_user_overlap_types(sf_dir: str):
+    """Audience overlap between event types: exact Jaccard of the USER
+    SETS of every type pair (do buyers also click?) — the segment-overlap
+    matrix of a growth dashboard.  Distinct (user, type) pairs off one
+    map-side-combined exchange; a per-user kernel expands the (tiny,
+    domain-bounded) sorted type list into pairs + diagonal set-size rows;
+    a second exchange counts them.  The final |domain|^2-bounded fold
+    computes inter/(n_a + n_b - inter)."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    dist = partial_count_sum(ds, ["user_id", "event_type"], count_name="_c")
+
+    def pair_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string())})
+        et = t["event_type"].combine_chunks()
+        sizes = np.diff(starts)
+        firsts = starts[:-1]
+        # bucket sorted by (user, type): each group is a sorted type list.
+        # Vectorized pair expansion: one numpy pass per DISTINCT group size
+        # (bounded by the categorical domain, e.g. <= 5), never per group.
+        chunks_a, chunks_b = [], []
+        for z in np.unique(sizes):
+            gi, gj = np.triu_indices(int(z))
+            offs = firsts[sizes == z]
+            chunks_a.append((offs[:, None] + gi[None, :]).ravel())
+            chunks_b.append((offs[:, None] + gj[None, :]).ravel())
+        take_a = pa.array(np.concatenate(chunks_a) if chunks_a
+                          else np.zeros(0, np.int64))
+        take_b = pa.array(np.concatenate(chunks_b) if chunks_b
+                          else np.zeros(0, np.int64))
+        return pa.table({"ta": pc.take(et, take_a), "tb": pc.take(et, take_b)})
+
+    pairs = grouped_map(dist, ["user_id"], pair_kernel, sort_keys=["event_type"])
+    counts = partial_count_sum(pairs, ["ta", "tb"], count_name="inter").take_all()
+    sizes = {r["ta"]: int(r["inter"]) for r in counts if r["ta"] == r["tb"]}
+    off = sorted(
+        (r["ta"], r["tb"], int(r["inter"]))
+        for r in counts if r["ta"] != r["tb"]
+    )
+    ta = [a for a, _, _ in off]
+    tb = [b for _, b, _ in off]
+    inter = np.array([i for _, _, i in off], np.int64)
+    na = np.array([sizes[a] for a in ta], np.int64)
+    nb = np.array([sizes[b] for b in tb], np.int64)
+    return pa.table({
+        "ta": pa.array(ta, pa.string()),
+        "tb": pa.array(tb, pa.string()),
+        "inter": pa.array(inter),
+        "n_a": pa.array(na),
+        "n_b": pa.array(nb),
+        "jaccard": pa.array(
+            inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
+        ),
+    })
+
+
+QUERIES_ML["user_overlap_types"] = q_user_overlap_types
+ORACLE_SQL_ML["user_overlap_types"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+    SELECT p.ta, p.tb, p.inter, sa.n AS n_a, sb.n AS n_b,
+           CAST(p.inter AS DOUBLE)
+             / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+    FROM p JOIN s sa ON sa.event_type = p.ta
+           JOIN s sb ON sb.event_type = p.tb
+"""

@@ -108,3 +108,46 @@ def test_activity_windows_matches_naive(ray_session, tmp_path):
             assert out.loc[uid, f"cents_{name}"] == int(g["c"][inw].sum())
     # windows nest
     assert (out["n_1d"] <= out["n_7d"]).all() and (out["n_7d"] <= out["n_30d"]).all()
+
+
+def test_user_overlap_types_matches_naive(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feast_ray.pipelines.queries_ml import q_user_overlap_types
+
+    rng = np.random.default_rng(66)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+    })
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(np.arange(n)),
+            "ts": pa.array(pd.to_datetime(np.arange(n) * 10**6, unit="us")).cast(
+                pa.timestamp("us")),
+            "user_id": pa.array(df["user_id"]),
+            "event_type": pa.array(df["event_type"]),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }),
+        tmp_path / "events.parquet",
+    )
+    out = (
+        q_user_overlap_types(str(tmp_path))
+        .to_pandas().set_index(["ta", "tb"]).sort_index()
+    )
+    sets = {t: set(g["user_id"]) for t, g in df.groupby("event_type")}
+    types = sorted(sets)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in out.index
+                continue
+            r = out.loc[(a, b)]
+            assert r["inter"] == inter
+            assert r["n_a"] == len(sets[a]) and r["n_b"] == len(sets[b])
+            assert r["jaccard"] == pytest.approx(
+                inter / len(sets[a] | sets[b]), abs=1e-12)
