@@ -4948,3 +4948,289 @@ def ordered_queries() -> dict:
     out = {k: QUERIES[k] for k in CORE_QUERIES if k in QUERIES}
     out.update({k: v for k, v in QUERIES.items() if k not in out})
     return out
+
+
+def q_returned_customers(sf_dir: str):
+    """Top-20 customers by revenue lost to returned items in 1996-Q3
+    (TPC-H Q10 flavor): returnflag pushdown at the lineitem read, orderdate
+    pushdown at the orders read, two co-partitioned ``equi_join`` hops
+    (lineitem x orders on orderkey, revenue-per-customer x customer on
+    custkey), a co-partitioned nation hop, and a global ``sorted_head``
+    top-k — only 20 rows ever reach the driver.  Revenue in exact integer
+    units (cents x (100 - discount pct)), tie-broken by custkey."""
+    import pandas as pd
+
+    from feast_ray.grouped import grouped_aggregate, sorted_head
+    from feast_ray.stages.join import equi_join
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    ).map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                            pa.int64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pd.Timestamp("1996-07-01"))
+            & (pc.field("o_orderdate") < pd.Timestamp("1996-10-01"))
+        ),
+    ).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "custkey": t["o_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = equi_join(li, orders, keys=["orderkey"], how="inner")
+    per_cust = grouped_aggregate(
+        j.select_columns(["custkey", "rev"]), ["custkey"],
+        {"revenue_units": ("sum", "rev")},
+    )
+    top = sorted_head(per_cust, ["revenue_units", "custkey"],
+                      [True, False], 20)
+    cust = read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_name", "c_acctbal",
+                                    "nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.set_column(
+            3, "nationkey", t["nationkey"].cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = equi_join(top, cust, keys=["custkey"], how="inner")
+    nation = read_pq(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(
+        lambda t: pa.table({"nationkey": t["n_nationkey"].cast(pa.int64()),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return equi_join(j2, nation, keys=["nationkey"], how="inner").map_batches(
+        lambda t: pa.table({
+            "custkey": t["custkey"],
+            "c_name": t["c_name"],
+            "c_acctbal": t["c_acctbal"],
+            "n_name": t["n_name"],
+            "revenue_units": t["revenue_units"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["returned_customers"] = q_returned_customers
+ORACLE_SQL["returned_customers"] = """
+    WITH r AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_units
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'
+      GROUP BY 1
+      ORDER BY revenue_units DESC, custkey ASC
+      LIMIT 20)
+    SELECT custkey, c_name, c_acctbal, n_name, revenue_units
+    FROM r JOIN customer ON custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """Revenue by nation from LOCAL commerce — orders where the supplier
+    sits in the customer's own nation (the full TPC-H Q5 shape, which
+    `revenue_by_nation` simplifies away): lineitem x orders (orderkey,
+    co-partitioned) x customer (custkey) x supplier (suppkey), the
+    same-nation predicate applied the moment both nationkeys co-exist,
+    then a nation-name hop and one grouped aggregate.  Every read is
+    column-pruned; the 1996 date filter is pushed to the orders read."""
+    import pandas as pd
+
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "suppkey": t["l_suppkey"],
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                            pa.int64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+            & (pc.field("o_orderdate") < pd.Timestamp("1997-01-01"))
+        ),
+    ).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "custkey": t["o_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = equi_join(li, orders, keys=["orderkey"], how="inner")
+    cust = read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"custkey": t["c_custkey"],
+                            "c_nat": t["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = equi_join(j1.select_columns(["custkey", "suppkey", "rev"]), cust,
+                   keys=["custkey"], how="inner")
+    supp = read_pq(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"suppkey": t["s_suppkey"],
+                            "s_nat": t["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j3 = equi_join(j2.select_columns(["suppkey", "c_nat", "rev"]), supp,
+                   keys=["suppkey"], how="inner").map_batches(
+        lambda t: t.filter(pc.equal(t["c_nat"], t["s_nat"]))
+                   .select(["c_nat", "rev"])
+                   .rename_columns(["nationkey", "rev"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    nation = read_pq(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(
+        lambda t: pa.table({"nationkey": t["n_nationkey"].cast(pa.int64()),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j4 = equi_join(j3, nation, keys=["nationkey"], how="inner")
+    return grouped_aggregate(
+        j4.select_columns(["n_name", "rev"]), ["n_name"],
+        {"n_items": ("count", None), "revenue_units": ("sum", "rev")},
+    ).map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "n_items": t["n_items"].cast(pa.int64()),
+            "revenue_units": t["revenue_units"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["local_supplier_revenue"] = q_local_supplier_revenue
+ORACLE_SQL["local_supplier_revenue"] = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND c_nationkey = s_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """Cheapest supplier per part (TPC-H Q2 flavor over lineitem — there is
+    no partsupp table, so the observed unit price floor(extendedprice /
+    quantity * 100) cents stands in for supplycost): a (partkey, suppkey)
+    grouped MIN collapses the fact table once, a per-part ``grouped_map``
+    argmin (tie: lowest suppkey) picks the winner, then two co-partitioned
+    dimension hops attach brand and supplier name.  One row per part ever
+    appears after the first aggregate — the argmin shuffle moves a
+    supplier-count-bounded table, not lineitem."""
+    from feast_ray.grouped import grouped_aggregate, grouped_map
+    from feast_ray.stages.join import equi_join
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "partkey": t["l_partkey"],
+            "suppkey": t["l_suppkey"],
+            "uc": pc.cast(pc.floor(pc.multiply(
+                pc.divide(t["l_extendedprice"], t["l_quantity"]), 100.0)),
+                pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    per_pair = grouped_aggregate(li, ["partkey", "suppkey"],
+                                 {"unit_cents": ("min", "uc")})
+
+    def argmin_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        return t.take(pa.array(starts[:-1], pa.int64()))
+
+    best = grouped_map(per_pair, ["partkey"], argmin_kernel,
+                       sort_keys=["unit_cents", "suppkey"])
+    part = read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: pa.table({"partkey": t["p_partkey"],
+                            "p_brand": t["p_brand"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = read_pq(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(
+        lambda t: pa.table({"suppkey": t["s_suppkey"],
+                            "s_name": t["s_name"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = equi_join(best, part, keys=["partkey"], how="inner")
+    return equi_join(j1, supp, keys=["suppkey"], how="inner").map_batches(
+        lambda t: pa.table({
+            "partkey": t["partkey"],
+            "p_brand": t["p_brand"],
+            "suppkey": t["suppkey"],
+            "s_name": t["s_name"],
+            "unit_cents": t["unit_cents"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+ORACLE_SQL["min_cost_supplier"] = """
+    WITH u AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS unit_cents
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT partkey, suppkey, unit_cents,
+             ROW_NUMBER() OVER (PARTITION BY partkey
+                                ORDER BY unit_cents, suppkey) AS rn
+      FROM u)
+    SELECT partkey, p_brand, suppkey, s_name, unit_cents
+    FROM best JOIN part ON partkey = p_partkey
+              JOIN supplier ON suppkey = s_suppkey
+    WHERE rn = 1
+"""
