@@ -4515,3 +4515,501 @@ ORACLE_SQL_ML["user_overlap_types"] = """
     FROM p JOIN s sa ON sa.event_type = p.ta
            JOIN s sb ON sb.event_type = p.tb
 """
+
+
+def q_psi_value_type(sf_dir: str):
+    """Population Stability Index per event_type between the stream's time
+    halves — THE train/serve drift score monitoring teams alarm on.  Value
+    cents bucket into 10 equal-width bands over the global [min, max]
+    (`value_drift_halves`'s banding), counts come from ONE map-side-combined
+    exchange, and the PSI log terms run over the bounded (type x band)
+    contingency with Laplace +1 smoothing (zero bands included): the
+    driver-side finalize touches <= 10 x |types| rows no matter the corpus
+    size.  Fixed float schedule: micro-nat ROUND(half-away) terms, exact
+    int64 sum, one final division."""
+    from feast_ray.stages.stats import global_order_index, partial_count_sum
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([pc.min(t["cents"]).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(t["cents"]).as_py()], pa.int64())})
+
+    ex = dv.map_batches(extrema, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    mn = min(int(r["mn"]) for r in ex)
+    mx = max(int(r["mx"]) for r in ex)
+    span = mx - mn + 1
+
+    ranked = global_order_index(
+        dv.map_batches(
+            lambda t: pa.table({"ts_us": t["ts_us"], "rid": pc.add(t["ts_us"], 0)}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "ts_us", tiebreak="rid", pos_name="grank",
+    ).materialize()
+    n_all = ranked.count()
+    med_rank = (n_all + 1) // 2 - 1
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(g == med_rank)).select(["ts_us"])
+
+    med_ts = int(
+        ranked.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()[0]["ts_us"]
+    )
+
+    def band(t: pa.Table) -> pa.Table:
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = t["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "band": pa.array(((c - mn) * 10) // span),
+            "half": pa.array(np.where(us <= med_ts, 1, 2).astype(np.int64)),
+        })
+
+    cnt = partial_count_sum(
+        dv.map_batches(band, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "band", "half"], count_name="n",
+    ).take_all()  # bounded: <= |types| * 10 * 2 rows
+
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    types = sorted(cdf["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, range(10)], names=["event_type", "band"]
+    ).to_frame(index=False)
+    piv = (cdf.pivot_table(index=["event_type", "band"], columns="half",
+                           values="n", aggfunc="sum", fill_value=0)
+           .reindex(columns=[1, 2], fill_value=0).reset_index())
+    piv.columns = ["event_type", "band", "n1", "n2"]
+    dens = grid.merge(piv, on=["event_type", "band"], how="left").fillna(0)
+    dens["n1"] = dens["n1"].astype("int64")
+    dens["n2"] = dens["n2"].astype("int64")
+    tot = dens.groupby("event_type", as_index=False).agg(na=("n1", "sum"),
+                                                         nb=("n2", "sum"))
+    m = dens.merge(tot, on="event_type")
+    p_a = pa.array((m["n1"].to_numpy() + 1.0) / (m["na"].to_numpy() + 10.0))
+    p_b = pa.array((m["n2"].to_numpy() + 1.0) / (m["nb"].to_numpy() + 10.0))
+    term = pc.cast(
+        pc.round(pc.multiply(
+            pc.multiply(pc.subtract(p_a, p_b), pc.ln(pc.divide(p_a, p_b))),
+            1_000_000.0), round_mode="half_towards_infinity"),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    m["tm"] = term
+    out = m.groupby("event_type", as_index=False).agg(
+        n_first=("n1", "sum"), n_second=("n2", "sum"), tmsum=("tm", "sum"))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_first": pa.array(out["n_first"].to_numpy(), pa.int64()),
+        "n_second": pa.array(out["n_second"].to_numpy(), pa.int64()),
+        "psi": pc.divide(pc.cast(pa.array(out["tmsum"].to_numpy()), pa.float64()),
+                         1_000_000.0),
+    })
+
+
+QUERIES_ML["psi_value_type"] = q_psi_value_type
+ORACLE_SQL_ML["psi_value_type"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT MIN(c) AS mn, MAX(c) AS mx, quantile_disc(us, 0.5) AS med
+          FROM e),
+    b AS (SELECT event_type, ((e.c - g.mn) * 10) // (g.mx - g.mn + 1) AS band,
+                 CASE WHEN e.us <= g.med THEN 1 ELSE 2 END AS half
+          FROM e CROSS JOIN g),
+    cnt AS (SELECT event_type, band,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM b GROUP BY 1, 2),
+    grid AS (SELECT d.event_type, r.range AS band
+             FROM (SELECT DISTINCT event_type FROM e) d CROSS JOIN range(10) r),
+    dens AS (SELECT grid.event_type, grid.band,
+                    COALESCE(cnt.n1, 0) AS n1, COALESCE(cnt.n2, 0) AS n2
+             FROM grid LEFT JOIN cnt
+               ON cnt.event_type = grid.event_type AND cnt.band = grid.band),
+    tot AS (SELECT event_type, CAST(SUM(n1) AS BIGINT) AS na,
+                   CAST(SUM(n2) AS BIGINT) AS nb
+            FROM dens GROUP BY 1),
+    term AS (SELECT dens.event_type,
+                    CAST(ROUND(((dens.n1 + 1.0) / (tot.na + 10.0)
+                                - (dens.n2 + 1.0) / (tot.nb + 10.0))
+                               * ln(((dens.n1 + 1.0) / (tot.na + 10.0))
+                                    / ((dens.n2 + 1.0) / (tot.nb + 10.0)))
+                               * 1000000.0) AS BIGINT) AS tm
+             FROM dens JOIN tot USING (event_type))
+    SELECT tot.event_type, tot.na AS n_first, tot.nb AS n_second,
+           CAST(s.tmsum AS DOUBLE) / 1000000.0 AS psi
+    FROM tot JOIN (SELECT event_type, CAST(SUM(tm) AS BIGINT) AS tmsum
+                   FROM term GROUP BY 1) s USING (event_type)
+"""
+
+
+def _label_counts_by_type(sf_dir: str):
+    """Shared scaffolding for the supervised encoders: binary label
+    y = (value cents strictly above the global mean), derived EXACTLY —
+    c > floor(S / N) is equivalent to c * N > S for N > 0 (number theory:
+    floor-division equivalence), so no int64 overflow at any corpus size
+    and no float mean ever exists.  Returns (per-(type, y) count rows,
+    n_nonnull) with counts from one map-side-combined exchange."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([pc.sum(t["cents"]).as_py()], pa.int64())})
+
+    mom = dv.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n_tot = sum(int(r["n"]) for r in mom)
+    s_tot = sum(int(r["s"]) for r in mom)
+    thr = s_tot // n_tot  # exact floor; y := cents > thr  <=>  cents * N > S
+
+    def label(t: pa.Table) -> pa.Table:
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "y": pa.array((c > thr).astype(np.int64)),
+        })
+
+    cnt = partial_count_sum(
+        dv.map_batches(label, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "y"], count_name="n",
+    ).take_all()  # bounded: <= 2 x |types| rows
+    return cnt, n_tot
+
+
+_LABEL_SQL = """
+    e AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+          FROM e),
+    l AS (SELECT event_type,
+                 CASE WHEN CAST(e.c AS HUGEINT) * g.n > CAST(g.s AS HUGEINT)
+                      THEN 1 ELSE 0 END AS y
+          FROM e CROSS JOIN g),
+    c2 AS (SELECT event_type,
+                  CAST(SUM(y) AS BIGINT) AS pos,
+                  CAST(SUM(1 - y) AS BIGINT) AS neg
+           FROM l GROUP BY 1)
+"""
+
+
+def q_woe_iv_types(sf_dir: str):
+    """Weight-of-evidence + information-value encoding of event_type
+    against the above-global-mean value label — the credit-scoring /
+    risk-model categorical encoder.  Per type: pos/neg counts (exact),
+    WOE = ln of the 0.5-smoothed odds ratio, and the IV term
+    (pos/P - neg/Q) * WOE.  The contingency is bounded by the categorical
+    domain, so the finalize never grows with the corpus.  Micro-nat
+    ROUND(half-away) fixed-point keeps both floats bit-equal to SQL."""
+    cnt, _ = _label_counts_by_type(sf_dir)
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    piv = (cdf.pivot_table(index="event_type", columns="y", values="n",
+                           aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0).reset_index())
+    piv.columns = ["event_type", "neg", "pos"]
+    k = len(piv)
+    p_tot = int(piv["pos"].sum())
+    q_tot = int(piv["neg"].sum())
+    pos = piv["pos"].to_numpy()
+    neg = piv["neg"].to_numpy()
+    woe_f = pc.ln(pa.array(
+        ((pos + 0.5) / (p_tot + 0.5 * k)) / ((neg + 0.5) / (q_tot + 0.5 * k))
+    ))
+    woe_m = pc.cast(pc.round(pc.multiply(woe_f, 1_000_000.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+    iv_f = pc.multiply(
+        pa.array(pos * 1.0 / p_tot - neg * 1.0 / q_tot), woe_f)
+    iv_m = pc.cast(pc.round(pc.multiply(iv_f, 1_000_000.0),
+                            round_mode="half_towards_infinity"), pa.int64())
+    return pa.table({
+        "event_type": pa.array(piv["event_type"], pa.string()),
+        "n_pos": pa.array(pos, pa.int64()),
+        "n_neg": pa.array(neg, pa.int64()),
+        "woe": pc.divide(pc.cast(woe_m, pa.float64()), 1_000_000.0),
+        "iv_term": pc.divide(pc.cast(iv_m, pa.float64()), 1_000_000.0),
+    })
+
+
+QUERIES_ML["woe_iv_types"] = q_woe_iv_types
+ORACLE_SQL_ML["woe_iv_types"] = f"""
+    WITH {_LABEL_SQL},
+    t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS q,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM c2)
+    SELECT event_type, pos AS n_pos, neg AS n_neg,
+           CAST(CAST(ROUND(ln(((pos + 0.5) / (t.p + 0.5 * t.k))
+                              / ((neg + 0.5) / (t.q + 0.5 * t.k)))
+                           * 1000000.0) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS woe,
+           CAST(CAST(ROUND((pos * 1.0 / t.p - neg * 1.0 / t.q)
+                           * ln(((pos + 0.5) / (t.p + 0.5 * t.k))
+                                / ((neg + 0.5) / (t.q + 0.5 * t.k)))
+                           * 1000000.0) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS iv_term
+    FROM c2 CROSS JOIN t
+"""
+
+
+def q_mutual_info_type_label(sf_dir: str):
+    """Mutual information (nats) between event_type and the
+    above-global-mean value label — the model-free feature-relevance
+    score a feature-selection pass ranks candidates by.  MI folds over
+    the bounded (type x label) contingency: term = (c/N) ln(cN / (ct*cy)),
+    micro-nat fixed point, exact int64 sum, one final division."""
+    cnt, n_tot = _label_counts_by_type(sf_dir)
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    ct = cdf.groupby("event_type")["n"].transform("sum").to_numpy()
+    cy = cdf.groupby("y")["n"].transform("sum").to_numpy()
+    c = cdf["n"].to_numpy()
+    ratio = pc.divide(
+        pc.cast(pa.array(c * n_tot), pa.float64()),
+        pc.cast(pa.array(ct * cy), pa.float64()))
+    term = pc.multiply(
+        pc.divide(pc.cast(pa.array(c), pa.float64()), float(n_tot)),
+        pc.ln(ratio))
+    tm = pc.cast(pc.round(pc.multiply(term, 1_000_000.0),
+                          round_mode="half_towards_infinity"), pa.int64())
+    tmsum = pc.sum(tm).as_py()
+    return pa.table({
+        "n": pa.array([n_tot], pa.int64()),
+        "mi_nats": pa.array([tmsum / 1_000_000.0], pa.float64()),
+    })
+
+
+QUERIES_ML["mutual_info_type_label"] = q_mutual_info_type_label
+ORACLE_SQL_ML["mutual_info_type_label"] = f"""
+    WITH {_LABEL_SQL},
+    cell AS (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+             FROM l GROUP BY 1, 2),
+    mt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ct FROM cell GROUP BY 1),
+    my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cell GROUP BY 1),
+    term AS (SELECT CAST(ROUND((CAST(cell.c AS DOUBLE) / CAST(g.n AS DOUBLE))
+                               * ln(CAST(cell.c * g.n AS DOUBLE)
+                                    / CAST(mt.ct * my.cy AS DOUBLE))
+                               * 1000000.0) AS BIGINT) AS tm
+             FROM cell JOIN mt USING (event_type) JOIN my USING (y)
+                       CROSS JOIN g)
+    SELECT g.n AS n,
+           CAST(s.tmsum AS DOUBLE) / 1000000.0 AS mi_nats
+    FROM g CROSS JOIN (SELECT CAST(SUM(tm) AS BIGINT) AS tmsum FROM term) s
+"""
+
+
+def q_hashed_cross_user(sf_dir: str):
+    """The hashing trick over a crossed categorical — md5(event_type x
+    hour-of-day) into 16 buckets, per-user sparse counts (user_id, bucket,
+    n).  The vocabulary-free encoder for unbounded categorical crosses:
+    each batch hashes only its DISTINCT cross values (md5 over <= |types| x
+    24 short strings, never per row) and maps rows through the tiny code
+    table; counts ride one map-side-combined exchange.  DuckDB twin hashes
+    with the identical md5 prefix."""
+    import hashlib
+
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": t["user_id"],
+                             "bucket": pa.array([], pa.int64())})
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24  # UTC epoch; ts >= 1970 in this domain
+        d = t["event_type"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        cross = codes * 24 + hour
+        uniq = np.unique(cross)
+        lut = np.empty(len(uniq), dtype=np.int64)
+        for i, cv in enumerate(uniq):  # bounded by |types| x 24, not rows
+            s = f"{vocab[cv // 24]}_{cv % 24}".encode()
+            lut[i] = int(hashlib.md5(s).hexdigest()[:8], 16) % 16
+        bucket = lut[np.searchsorted(uniq, cross)]
+        return pa.table({"user_id": t["user_id"], "bucket": pa.array(bucket)})
+
+    b = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_count_sum(b, ["user_id", "bucket"], count_name="n")
+
+
+QUERIES_ML["hashed_cross_user"] = q_hashed_cross_user
+ORACLE_SQL_ML["hashed_cross_user"] = """
+    SELECT user_id,
+           CAST(('0x' || substr(md5(event_type || '_'
+                                     || CAST(hour(ts) AS VARCHAR)), 1, 8)
+                )::UBIGINT % 16 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_last_k_types_user(sf_dir: str):
+    """Per-user last-5 event-type sequence string (newest first, '>'
+    separated) + total count — the sequence feature next-action models
+    consume.  One grouped exchange sorted (ts, event_id); the kernel
+    gathers each group's <= 5 tail rows (numpy slicing per group boundary)
+    and joins the short strings — O(groups), never O(rows) Python work."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        types = t["event_type"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": u_a.slice(0, 0),
+                "n_events": pa.array([], pa.int64()),
+                "last5": pa.array([], pa.string()),
+            })
+        firsts = starts[:-1]
+        ends = starts[1:]
+        # gather ONLY the <=5 tail rows per group, newest first, then join
+        # per group — Python string work is O(tail rows), not O(rows)
+        lo = np.maximum(ends - 5, firsts)
+        tails = np.concatenate(
+            [np.arange(e - 1, l - 1, -1) for l, e in zip(lo, ends)]
+        ) if len(firsts) else np.array([], dtype=np.int64)
+        tl = pc.take(types, pa.array(tails, pa.int64())).to_pylist()
+        sizes = (ends - lo).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        seqs = [">".join(tl[offs[i]:offs[i + 1]]) for i in range(len(firsts))]
+        return pa.table({
+            "user_id": pc.take(u_a, pa.array(firsts, pa.int64())),
+            "n_events": pa.array((ends - firsts).astype(np.int64)),
+            "last5": pa.array(seqs, pa.string()),
+        })
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["last_k_types_user"] = q_last_k_types_user
+ORACLE_SQL_ML["last_k_types_user"] = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      FROM events)
+    SELECT user_id, n_events,
+           STRING_AGG(event_type, '>' ORDER BY rn) AS last5
+    FROM r WHERE rn <= 5 GROUP BY user_id, n_events
+"""
+
+
+def q_cramers_v_type_hour(sf_dir: str):
+    """Cramer's V association between event_type and hour-of-day — the
+    normalized chi-square a feature-redundancy audit uses to drop
+    near-duplicate categoricals.  The contingency (|types| x 24, densified
+    with zero cells so expected-count terms are complete) comes from one
+    map-side-combined exchange; chi-square terms are micro fixed-point,
+    V = sqrt(chi2 / (n * min(r-1, k-1))) is the one final float chain."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pa.array(((us // 3_600_000_000) % 24).astype(np.int64)),
+        })
+
+    cnt = partial_count_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"], count_name="n",
+    ).take_all()  # bounded: |types| x 24
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    types = sorted(cdf["event_type"].unique())
+    hours = sorted(cdf["hour"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]).to_frame(index=False)
+    dens = grid.merge(cdf, on=["event_type", "hour"], how="left").fillna(0)
+    dens["n"] = dens["n"].astype("int64")
+    rt = dens.groupby("event_type")["n"].transform("sum").to_numpy()
+    ch = dens.groupby("hour")["n"].transform("sum").to_numpy()
+    o = dens["n"].to_numpy()
+    n = int(o.sum())
+    e = pc.divide(pc.cast(pa.array(rt * ch), pa.float64()), float(n))
+    d = pc.subtract(pc.cast(pa.array(o), pa.float64()), e)
+    term = pc.divide(pc.multiply(d, d), e)
+    tm = pc.cast(pc.round(pc.multiply(term, 1_000_000.0),
+                          round_mode="half_towards_infinity"), pa.int64())
+    chi2 = pc.sum(tm).as_py() / 1_000_000.0
+    dof_scale = n * min(len(types) - 1, len(hours) - 1)
+    import math
+
+    v = math.sqrt(chi2 / dof_scale)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64()),
+        "cramers_v": pa.array([v], pa.float64()),
+    })
+
+
+QUERIES_ML["cramers_v_type_hour"] = q_cramers_v_type_hour
+ORACLE_SQL_ML["cramers_v_type_hour"] = """
+    WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour
+               FROM events),
+    cnt AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, h.hour
+             FROM (SELECT DISTINCT event_type FROM e) t
+             CROSS JOIN (SELECT DISTINCT hour FROM e) h),
+    dens AS (SELECT grid.event_type, grid.hour, COALESCE(cnt.n, 0) AS n
+             FROM grid LEFT JOIN cnt
+               ON cnt.event_type = grid.event_type AND cnt.hour = grid.hour),
+    rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r FROM dens GROUP BY 1),
+    ch AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS c FROM dens GROUP BY 1),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT hour) AS BIGINT) AS nc
+          FROM dens),
+    term AS (SELECT CAST(ROUND(
+                 (dens.n - CAST(rt.r * ch.c AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * (dens.n - CAST(rt.r * ch.c AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 / (CAST(rt.r * ch.c AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS tm
+             FROM dens JOIN rt USING (event_type) JOIN ch USING (hour)
+                       CROSS JOIN g)
+    SELECT g.n AS n,
+           CAST(s.tmsum AS DOUBLE) / 1000000.0 AS chi2,
+           sqrt((CAST(s.tmsum AS DOUBLE) / 1000000.0)
+                / (g.n * CASE WHEN g.nr - 1 < g.nc - 1
+                              THEN g.nr - 1 ELSE g.nc - 1 END)) AS cramers_v
+    FROM g CROSS JOIN (SELECT CAST(SUM(tm) AS BIGINT) AS tmsum FROM term) s
+"""
