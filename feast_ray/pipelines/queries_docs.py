@@ -3157,3 +3157,158 @@ ORACLE_SQL_DOCS["split_leak_docs"] = f"""
                 AS BIGINT) AS n_leaky_docs
     FROM g
 """
+
+
+def q_hashed_bow_docs(sf_dir: str):
+    """Hashed bag-of-words featurization — every document as a sparse
+    64-bucket unigram count vector (doc_id, bucket, n): the vocabulary-free
+    text featurizer linear probes / DSIR-style selectors train on.  Tokens
+    hash via the SQL-replayable Horner codepoint polynomial
+    (``stages.text.token_bucket_ids``); counts ride one map-side-combined
+    exchange.  Output is sparse long form — at most 64 rows per doc no
+    matter the text length."""
+    from feast_ray.stages.stats import partial_count_sum
+    from feast_ray.stages.text import token_bucket_ids
+
+    docs = _docs(sf_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        row_of, bucket = token_bucket_ids(t["text"], 64)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[row_of]),
+            "bucket": pa.array(bucket),
+        })
+
+    b = docs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_count_sum(b, ["doc_id", "bucket"], count_name="n")
+
+
+QUERIES_DOCS["hashed_bow_docs"] = q_hashed_bow_docs
+ORACLE_SQL_DOCS["hashed_bow_docs"] = """
+    WITH toks AS (
+      SELECT d.doc_id, u.t AS tok
+      FROM documents d,
+           unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> '')
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(str_split(tok, ''),
+                                         c -> CAST(unicode(c) AS HUGEINT))),
+             (a, b) -> (a * 1000003 + b)
+                       % CAST(18446744073709551616 AS HUGEINT))
+                % 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1, 2
+"""
+
+
+CM_ROWS = 4
+CM_WIDTH = 512
+CM_SALT = 0x9E3779B97F4A7C15  # == sampling.MIX; row r keys off t64 + r*MIX
+
+
+def q_countmin_tokens_docs(sf_dir: str):
+    """Count-Min sketch token-frequency estimates, audited against exact
+    counts for the exact top-20 tokens — the fixed-memory frequency oracle
+    a streaming ingest keeps when the token domain is unbounded.  Sketch:
+    4 rows x 512 cells; row r's cell is mix64(t64 + r*MIX) % 512 over the
+    Horner token hash, so a DuckDB twin rebuilds the ENTIRE sketch
+    bit-exactly.  The cell table is bounded (2048 rows) and comes from one
+    map-side-combined exchange; estimates are min-over-rows.  CM guarantee
+    (est >= exact) is pinned in tests."""
+    from feast_ray.grouped import sorted_head
+    from feast_ray.stages.sampling import mix64
+    from feast_ray.stages.stats import partial_count_sum
+    from feast_ray.stages.text import token_hash64
+
+    docs = _docs(sf_dir, columns=("text",))
+
+    def cells(t: pa.Table) -> pa.Table:
+        _, h = token_hash64(t["text"])
+        nt = len(h)
+        r = np.repeat(np.arange(CM_ROWS, dtype=np.uint64), nt)
+        hh = np.tile(h, CM_ROWS)
+        cell = (mix64(hh + r * np.uint64(CM_SALT)) % np.uint64(CM_WIDTH))
+        return pa.table({
+            "r": pa.array(r.astype(np.int64)),
+            "cell": pa.array(cell.astype(np.int64)),
+        })
+
+    cm = partial_count_sum(
+        docs.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        ["r", "cell"], count_name="total",
+    ).take_all()  # bounded: CM_ROWS x CM_WIDTH
+    cm_map = {(int(x["r"]), int(x["cell"])): int(x["total"]) for x in cm}
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        from feast_ray.stages.text import tokenize_batch
+
+        toks = tokenize_batch(t)
+        return pa.table({"token": toks})
+
+    cnts = partial_count_sum(
+        docs.map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], count_name="cnt",
+    )
+    top = sorted_head(cnts, ["cnt", "token"], [True, True], 20).to_pandas()
+
+    from feast_ray.stages.dedup import GRAM_BASE
+
+    ests = []
+    m64 = 1 << 64
+    for tok in top["token"]:
+        h = 0
+        for ch in tok:  # exact Python-int Horner, mod 2^64
+            h = (h * int(GRAM_BASE) + ord(ch)) % m64
+        ests.append(min(
+            cm_map[(r, int(
+                mix64(np.array([(h + r * CM_SALT) % m64], dtype=np.uint64))[0]
+                % np.uint64(CM_WIDTH)))]
+            for r in range(CM_ROWS)
+        ))
+    return pa.table({
+        "token": pa.array(top["token"], pa.string()),
+        "exact_cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+        "cm_est": pa.array(ests, pa.int64()),
+    })
+
+
+QUERIES_DOCS["countmin_tokens_docs"] = q_countmin_tokens_docs
+_CM_T64 = """CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                            list_transform(str_split(token, ''),
+                                           c -> CAST(unicode(c) AS HUGEINT))),
+               (a, b) -> (a * 1000003 + b)
+                         % CAST(18446744073709551616 AS HUGEINT))
+             AS HUGEINT)"""
+from feast_ray.pipelines.queries_ml import _mix64_sql as _cm_mix64_sql
+
+ORACLE_SQL_DOCS["countmin_tokens_docs"] = f"""
+    WITH toks AS (
+      SELECT u.t AS token
+      FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    th AS (
+      SELECT token, {_CM_T64} AS t64, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY token),
+    keyed AS (
+      SELECT token, cnt, r.range AS r,
+             (t64 + r.range * CAST({CM_SALT} AS HUGEINT))
+               % CAST(18446744073709551616 AS HUGEINT) AS ck
+      FROM th CROSS JOIN range({CM_ROWS}) r),
+    tcell AS (
+      SELECT token, cnt, r,
+             CAST(({_cm_mix64_sql("ck")}) % {CM_WIDTH} AS BIGINT) AS cell
+      FROM keyed),
+    cells AS (
+      SELECT r, cell, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM tcell GROUP BY 1, 2),
+    top AS (SELECT token, cnt FROM th ORDER BY cnt DESC, token LIMIT 20)
+    SELECT top.token, top.cnt AS exact_cnt,
+           CAST(MIN(cells.total) AS BIGINT) AS cm_est
+    FROM top JOIN tcell USING (token)
+             JOIN cells ON cells.r = tcell.r AND cells.cell = tcell.cell
+    GROUP BY 1, 2
+"""

@@ -5013,3 +5013,248 @@ ORACLE_SQL_ML["cramers_v_type_hour"] = """
                               THEN g.nr - 1 ELSE g.nc - 1 END)) AS cramers_v
     FROM g CROSS JOIN (SELECT CAST(SUM(tm) AS BIGINT) AS tmsum FROM term) s
 """
+
+
+def q_oof_target_encode_events(sf_dir: str):
+    """Out-of-fold target encoding — the k-fold leakage-safe variant of
+    `target_encode_events`: fold = mix64(user_id) % 5 (deterministic on any
+    cluster shape), each row's encoding is the mean value cents of its
+    event_type computed from the OTHER four folds only, so a model trained
+    per fold never sees its own fold's target.  Cell stats are one
+    map-side-combined exchange over the bounded (type x fold) grid,
+    broadcast back into a stateless map — the raw rows never shuffle."""
+    from feast_ray.stages.sampling import mix64
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "fold": pa.array((mix64(u) % np.uint64(5)).astype(np.int64)),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    cells = partial_count_sum(
+        dv, ["event_type", "fold"], "cents", count_name="n", sum_name="s",
+    ).take_all()  # bounded: |types| x 5
+    import pandas as pd
+
+    cdf = pd.DataFrame(cells)
+    tot = cdf.groupby("event_type").agg(nt=("n", "sum"), st=("s", "sum"))
+    enc = {}
+    for _, row in cdf.iterrows():
+        n_o = int(tot.loc[row["event_type"], "nt"]) - int(row["n"])
+        s_o = int(tot.loc[row["event_type"], "st"]) - int(row["s"])
+        enc[(row["event_type"], int(row["fold"]))] = (
+            s_o / n_o if n_o > 0 else None)
+    # grid cells a fold never saw: full per-type stats (nothing to exclude)
+    for t_, r in tot.iterrows():
+        for f in range(5):
+            enc.setdefault((t_, f), int(r["st"]) / int(r["nt"]))
+
+    import ray
+
+    enc_ref = ray.put(enc)
+
+    def apply(t: pa.Table) -> pa.Table:
+        e = ray.get(enc_ref)
+        d = t["event_type"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()  # bounded by the categorical domain
+        lut = np.array(
+            [[np.nan if e.get((v, f)) is None else e[(v, f)]
+              for f in range(5)] for v in vocab],
+            dtype=np.float64,
+        ).reshape(len(vocab), 5)
+        folds = t["fold"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = lut[codes, folds] if len(vocab) else np.zeros(0)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "fold": t["fold"],
+            "oof_mean_cents": pa.array(vals, pa.float64(), from_pandas=True),
+        })
+
+    return dv.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["oof_target_encode_events"] = q_oof_target_encode_events
+ORACLE_SQL_ML["oof_target_encode_events"] = f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(({_mix64_sql("user_id")}) % 5 AS BIGINT) AS fold,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    cell AS (SELECT event_type, fold, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(c) AS BIGINT) AS s
+             FROM e GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(s) AS BIGINT) AS st
+            FROM cell GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.fold,
+           CASE WHEN tot.nt - cell.n > 0
+                THEN CAST(tot.st - cell.s AS DOUBLE)
+                     / CAST(tot.nt - cell.n AS DOUBLE) END AS oof_mean_cents
+    FROM e JOIN cell USING (event_type, fold) JOIN tot USING (event_type)
+"""
+
+
+_CORR_FEATS = ["n_events", "sum_cents", "n_types", "n_active_days"]
+
+
+def q_feature_corr_matrix_user(sf_dir: str):
+    """Feature-redundancy audit: the Pearson correlation matrix (upper
+    triangle) between four per-user features — event count, spend cents,
+    distinct types, distinct active days.  Per-user rows come from one
+    grouped exchange; the 4x4 Gram folds from one-row-per-block int64
+    partials summed EXACTLY as Python ints on the driver (a dozen numbers
+    per block, immune to int64 overflow at any corpus size); corr is the
+    engine's fixed float schedule.  Value-domain note: per-block int64
+    partials bound |feature| * sqrt(block_rows) < 2^31.5 — holds for count
+    -like features by construction."""
+    from feast_ray.grouped import grouped_map
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array(us // 86_400_000_000),
+            "event_type": t["event_type"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(pc.coalesce(t["value"], 0.0), 100.0)),
+                pa.int64()),
+        })
+
+    dv = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        firsts = starts[:-1]
+        n = np.diff(starts)
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "n_events": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+            })
+        gidx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(c, firsts)
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes = (t["event_type"].combine_chunks().dictionary_encode()
+                 .indices.to_numpy(zero_copy_only=False).astype(np.int64))
+
+        def distinct_per_group(vals: np.ndarray) -> np.ndarray:
+            order = np.lexsort((vals, gidx))
+            gg, vv = gidx[order], vals[order]
+            new = np.empty(t.num_rows, dtype=bool)
+            new[0] = True
+            new[1:] = (gg[1:] != gg[:-1]) | (vv[1:] != vv[:-1])
+            return np.bincount(gg[new], minlength=len(n)).astype(np.int64)
+
+        return pa.table({
+            "n_events": pa.array(n.astype(np.int64)),
+            "sum_cents": pa.array(sums.astype(np.int64)),
+            "n_types": pa.array(distinct_per_group(codes)),
+            "n_active_days": pa.array(distinct_per_group(d)),
+        })
+
+    feats = grouped_map(dv, ["user_id"], kernel, sort_keys=["day"])
+
+    def gram(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vals": pa.array([], pa.list_(pa.int64()))})
+        x = np.stack([
+            t[f].combine_chunks().to_numpy(zero_copy_only=False)
+            for f in _CORR_FEATS
+        ])  # 4 x rows int64
+        out = [t.num_rows] + [int(v) for v in x.sum(axis=1)]
+        for i in range(4):
+            for j in range(i, 4):
+                out.append(int(np.dot(x[i], x[j])))
+        return pa.table({"vals": pa.array([out], pa.list_(pa.int64()))})
+
+    parts = feats.map_batches(gram, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    agg = [0] * 15
+    for p in parts:  # exact Python-int fold — no overflow at any scale
+        for i, v in enumerate(p["vals"]):
+            agg[i] += int(v)
+    n_u = agg[0]
+    s = agg[1:5]
+    q = {}
+    k = 5
+    for i in range(4):
+        for j in range(i, 4):
+            q[(i, j)] = agg[k]
+            k += 1
+    import math
+
+    rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            num = n_u * q[(i, j)] - s[i] * s[j]
+            va = n_u * q[(i, i)] - s[i] * s[i]
+            vb = n_u * q[(j, j)] - s[j] * s[j]
+            corr = (float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+                    if va > 0 and vb > 0 else None)
+            rows.append((_CORR_FEATS[i], _CORR_FEATS[j], corr))
+    return pa.table({
+        "feat_a": pa.array([r[0] for r in rows], pa.string()),
+        "feat_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_users": pa.array([n_u] * len(rows), pa.int64()),
+        "corr": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+QUERIES_ML["feature_corr_matrix_user"] = q_feature_corr_matrix_user
+_CORR_PAIR_SQL = """
+      SELECT '{fa}' AS feat_a, '{fb}' AS feat_b,
+             (SELECT n FROM mom) AS n_users,
+             CASE WHEN (SELECT n * q{ii} - s{i} * s{i} FROM mom) > 0
+                   AND (SELECT n * q{jj} - s{j} * s{j} FROM mom) > 0
+                  THEN CAST((SELECT n * q{ij} - s{i} * s{j} FROM mom) AS DOUBLE)
+                       / (sqrt(CAST((SELECT n * q{ii} - s{i} * s{i} FROM mom)
+                                    AS DOUBLE))
+                          * sqrt(CAST((SELECT n * q{jj} - s{j} * s{j} FROM mom)
+                                      AS DOUBLE)))
+             END AS corr"""
+ORACLE_SQL_ML["feature_corr_matrix_user"] = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS f1,
+             CAST(COALESCE(SUM(CAST(ROUND(COALESCE(value, 0) * 100)
+                                    AS BIGINT)), 0) AS BIGINT) AS f2,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS f3,
+             CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS f4
+      FROM events GROUP BY 1),
+    mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(f1) AS HUGEINT) AS s1, CAST(SUM(f2) AS HUGEINT) AS s2,
+             CAST(SUM(f3) AS HUGEINT) AS s3, CAST(SUM(f4) AS HUGEINT) AS s4,
+             CAST(SUM(CAST(f1 AS HUGEINT) * f1) AS HUGEINT) AS q11,
+             CAST(SUM(CAST(f1 AS HUGEINT) * f2) AS HUGEINT) AS q12,
+             CAST(SUM(CAST(f1 AS HUGEINT) * f3) AS HUGEINT) AS q13,
+             CAST(SUM(CAST(f1 AS HUGEINT) * f4) AS HUGEINT) AS q14,
+             CAST(SUM(CAST(f2 AS HUGEINT) * f2) AS HUGEINT) AS q22,
+             CAST(SUM(CAST(f2 AS HUGEINT) * f3) AS HUGEINT) AS q23,
+             CAST(SUM(CAST(f2 AS HUGEINT) * f4) AS HUGEINT) AS q24,
+             CAST(SUM(CAST(f3 AS HUGEINT) * f3) AS HUGEINT) AS q33,
+             CAST(SUM(CAST(f3 AS HUGEINT) * f4) AS HUGEINT) AS q34,
+             CAST(SUM(CAST(f4 AS HUGEINT) * f4) AS HUGEINT) AS q44
+      FROM u)
+""" + " UNION ALL ".join(
+    _CORR_PAIR_SQL.format(
+        fa=_CORR_FEATS[i], fb=_CORR_FEATS[j],
+        i=i + 1, j=j + 1, ii=f"{i + 1}{i + 1}",
+        jj=f"{j + 1}{j + 1}", ij=f"{i + 1}{j + 1}",
+    )
+    for i in range(4) for j in range(i + 1, 4)
+)

@@ -310,6 +310,20 @@ def token_bucket_ids(
     bucket with ``list_reduce`` over ``unicode(c)`` exactly.  Vectorized
     across all tokens via one loop over the max token LENGTH.
     """
+    row_of, h = token_hash64(texts, pattern=pattern)
+    return row_of, (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def token_hash64(
+    texts: pa.Array | pa.ChunkedArray,
+    *,
+    pattern: str = r"[^a-z0-9]+",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, uint64 Horner hash) of every token of every string —
+    the raw 64-bit token identity :func:`token_bucket_ids` buckets, also
+    consumed directly by sketch builders (Count-Min) that derive several
+    independent cells from one hash.  Same SQL-replayable convention
+    (codepoint polynomial, base ``GRAM_BASE``, mod 2^64)."""
     from feast_ray.stages.dedup import GRAM_BASE, _flat_codepoints
 
     if isinstance(texts, pa.ChunkedArray):
@@ -323,7 +337,7 @@ def token_bucket_ids(
     ).astype(np.int64)
     flat = split.flatten()
     if len(flat) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     data, offsets = _flat_codepoints(flat)
     lens = np.diff(offsets)
     h = np.zeros(len(lens), dtype=np.uint64)
@@ -334,7 +348,7 @@ def token_bucket_ids(
         h[upd] = h[upd] * GRAM_BASE + d[(pos + j)[upd]]
     row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
     keep = lens > 0
-    return row_of[keep], (h[keep] % np.uint64(n_buckets)).astype(np.int64)
+    return row_of[keep], h[keep]
 
 
 def bpe_train(
