@@ -3312,3 +3312,114 @@ ORACLE_SQL_DOCS["countmin_tokens_docs"] = f"""
              JOIN cells ON cells.r = tcell.r AND cells.cell = tcell.cell
     GROUP BY 1, 2
 """
+
+
+def q_js_divergence_sources(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between sources over the
+    64-bucket hashed-unigram distribution — the corpus-mixing diagnostic
+    that says WHICH ingest feeds actually differ (symmetric, bounded,
+    unlike KL).  Bucket counts are one map-side-combined exchange bounded
+    by |sources| x 64; the pairwise finalize walks the densified grid with
+    Laplace +1 smoothing (zero buckets count).  Micro-nat ROUND(half-away)
+    terms, exact int64 sum per pair, one final division — bit-equal to the
+    DuckDB twin."""
+    from feast_ray.stages.stats import partial_count_sum
+    from feast_ray.stages.text import token_bucket_ids
+
+    docs = _docs(sf_dir, columns=("source", "text"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        row_of, bucket = token_bucket_ids(t["text"], 64)
+        src = t["source"].combine_chunks()
+        return pa.table({
+            "source": pc.take(src, pa.array(row_of, pa.int64())),
+            "bucket": pa.array(bucket),
+        })
+
+    cnt = partial_count_sum(
+        docs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "bucket"], count_name="n",
+    ).take_all()  # bounded: |sources| x 64
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    sources = sorted(cdf["source"].unique())
+    grid = pd.MultiIndex.from_product(
+        [sources, range(64)], names=["source", "bucket"]).to_frame(index=False)
+    dens = grid.merge(cdf, on=["source", "bucket"], how="left").fillna(0)
+    dens["n"] = dens["n"].astype("int64")
+    mat = dens.pivot(index="source", columns="bucket", values="n")
+    rows = []
+    for i, sa in enumerate(sources):
+        na = int(mat.loc[sa].sum())
+        for sb in sources[i + 1:]:
+            nb = int(mat.loc[sb].sum())
+            p = pa.array((mat.loc[sa].to_numpy() + 1.0) / (na + 64.0))
+            q = pa.array((mat.loc[sb].to_numpy() + 1.0) / (nb + 64.0))
+            m = pc.divide(pc.add(p, q), 2.0)
+            term = pc.multiply(
+                pc.multiply(
+                    0.5,
+                    pc.add(pc.multiply(p, pc.ln(pc.divide(p, m))),
+                           pc.multiply(q, pc.ln(pc.divide(q, m))))),
+                1_000_000.0)
+            tm = pc.cast(pc.round(term, round_mode="half_towards_infinity"),
+                         pa.int64())
+            rows.append((sa, sb, na, nb, pc.sum(tm).as_py() / 1_000_000.0))
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], pa.string()),
+        "source_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_tokens_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_tokens_b": pa.array([r[3] for r in rows], pa.int64()),
+        "jsd": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+QUERIES_DOCS["js_divergence_sources"] = q_js_divergence_sources
+ORACLE_SQL_DOCS["js_divergence_sources"] = """
+    WITH toks AS (
+      SELECT d.source, u.t AS tok
+      FROM documents d,
+           unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    tb AS (
+      SELECT source,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                            list_transform(str_split(tok, ''),
+                                           c -> CAST(unicode(c) AS HUGEINT))),
+               (a, b) -> (a * 1000003 + b)
+                         % CAST(18446744073709551616 AS HUGEINT))
+                  % 64 AS BIGINT) AS bucket
+      FROM toks),
+    cnt AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tb GROUP BY 1, 2),
+    grid AS (SELECT s.source, r.range AS bucket
+             FROM (SELECT DISTINCT source FROM documents) s
+             CROSS JOIN range(64) r),
+    dens AS (SELECT grid.source, grid.bucket, COALESCE(cnt.n, 0) AS n
+             FROM grid LEFT JOIN cnt
+               ON cnt.source = grid.source AND cnt.bucket = grid.bucket),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt
+            FROM dens GROUP BY 1),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ta.nt AS n_tokens_a, tb2.nt AS n_tokens_b,
+             CAST(ROUND(
+               0.5 * ((a.n + 1.0) / (ta.nt + 64.0)
+                      * ln(((a.n + 1.0) / (ta.nt + 64.0))
+                           / (((a.n + 1.0) / (ta.nt + 64.0)
+                               + (b.n + 1.0) / (tb2.nt + 64.0)) / 2.0))
+                      + (b.n + 1.0) / (tb2.nt + 64.0)
+                        * ln(((b.n + 1.0) / (tb2.nt + 64.0))
+                             / (((a.n + 1.0) / (ta.nt + 64.0)
+                                 + (b.n + 1.0) / (tb2.nt + 64.0)) / 2.0)))
+               * 1000000.0) AS BIGINT) AS tm
+      FROM dens a
+      JOIN dens b ON a.bucket = b.bucket AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb2 ON tb2.source = b.source)
+    SELECT source_a, source_b, n_tokens_a, n_tokens_b,
+           CAST(CAST(SUM(tm) AS BIGINT) AS DOUBLE) / 1000000.0 AS jsd
+    FROM pair GROUP BY 1, 2, 3, 4
+"""

@@ -5258,3 +5258,226 @@ ORACLE_SQL_ML["feature_corr_matrix_user"] = """
     )
     for i in range(4) for j in range(i + 1, 4)
 )
+
+
+def q_std_outlier_embeddings(sf_dir: str):
+    """Per-vector standardized outlier score — the diagonal-covariance
+    Mahalanobis distance (sum over dims of z^2 against per-dim population
+    moments) that flags corrupt / out-of-distribution embeddings before
+    they poison contrastive training.  Pass 1: per-dim (n, sum, sumsq) in
+    exact micro fixed point, one-list-per-block partials folded as Python
+    ints on the driver (overflow-proof at any corpus size).  Pass 2:
+    stateless vectorized z^2; each dim's term is micro-ROUNDed to int64 so
+    the per-row sum is ORDER-FREE — bit-equal to the SQL twin regardless
+    of either engine's reduction order."""
+    from feast_ray.sources.parquet import read_pq
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding"])
+
+    def micro_mat(t: pa.Table) -> np.ndarray:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().cast(pa.float64())
+        m = pc.cast(pc.round(pc.multiply(flat, 1_000_000.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        d = len(m) // t.num_rows
+        return m.reshape(t.num_rows, d)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vals": pa.array([], pa.list_(pa.int64()))})
+        x = micro_mat(t)
+        # int64 vectorized sums per 8k-row slab (micro^2 * 8k < 2^63 for
+        # |value| < ~100k), slabs folded as exact Python ints
+        ssum = [0] * x.shape[1]
+        qsum = [0] * x.shape[1]
+        for lo in range(0, x.shape[0], 8192):
+            sl = x[lo:lo + 8192]
+            for d_, v in enumerate(sl.sum(axis=0)):
+                ssum[d_] += int(v)
+            for d_, v in enumerate(np.einsum("ij,ij->j", sl, sl)):
+                qsum[d_] += int(v)
+        out = [t.num_rows] + ssum + qsum
+        return pa.table({"vals": pa.array([out], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    dim = (len(parts[0]["vals"]) - 1) // 2
+    n_tot = 0
+    s = [0] * dim
+    q = [0] * dim
+    for p in parts:  # exact Python-int fold
+        v = [int(x) for x in p["vals"]]
+        n_tot += v[0]
+        for d_ in range(dim):
+            s[d_] += v[1 + d_]
+            q[d_] += v[1 + dim + d_]
+    # fixed double schedule, mirrored verbatim in the SQL twin:
+    # mean = S/N ; var = (Q - S*S/N)/N ; z = (x - mean)/sqrt(var)
+    c_n = float(n_tot)
+    mean = np.array([float(s[d_]) / c_n for d_ in range(dim)])
+    var = np.array([(float(q[d_]) - float(s[d_]) * float(s[d_]) / c_n) / c_n
+                    for d_ in range(dim)])
+    sd = np.sqrt(var)
+
+    def score(t: pa.Table) -> pa.Table:
+        x = micro_mat(t).astype(np.float64)
+        z = (x - mean) / sd
+        tm = pc.cast(
+            pc.round(pc.multiply(pa.array((z * z).ravel()), 1_000_000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False).reshape(x.shape)
+        ssum = tm.sum(axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "std_score": pa.array(ssum.astype(np.float64) / 1_000_000.0),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["std_outlier_embeddings"] = q_std_outlier_embeddings
+ORACLE_SQL_ML["std_outlier_embeddings"] = """
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+      FROM embeddings),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(micro) AS BIGINT) AS sm,
+             CAST(SUM(CAST(micro AS HUGEINT) * micro) AS HUGEINT) AS qq
+      FROM x GROUP BY dim),
+    z AS (
+      SELECT x.vec_id,
+             CAST(ROUND(
+               ((x.micro - CAST(s.sm AS DOUBLE) / CAST(s.n AS DOUBLE))
+                / sqrt((CAST(s.qq AS DOUBLE)
+                        - CAST(s.sm AS DOUBLE) * CAST(s.sm AS DOUBLE)
+                          / CAST(s.n AS DOUBLE)) / CAST(s.n AS DOUBLE)))
+               * ((x.micro - CAST(s.sm AS DOUBLE) / CAST(s.n AS DOUBLE))
+                  / sqrt((CAST(s.qq AS DOUBLE)
+                          - CAST(s.sm AS DOUBLE) * CAST(s.sm AS DOUBLE)
+                            / CAST(s.n AS DOUBLE)) / CAST(s.n AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS tm
+      FROM x JOIN s USING (dim))
+    SELECT vec_id,
+           CAST(CAST(SUM(tm) AS BIGINT) AS DOUBLE) / 1000000.0 AS std_score
+    FROM z GROUP BY vec_id
+"""
+
+
+# Acklam's rational approximation of the inverse normal CDF (public
+# algorithm, max rel. error ~1.15e-9) — the SAME decimal literals feed the
+# numpy kernel and the generated SQL so both parse to identical doubles.
+_ACK_A = ["-3.969683028665376e+01", "2.209460984245205e+02",
+          "-2.759285104469687e+02", "1.383577518672690e+02",
+          "-3.066479806614716e+01", "2.506628277459239e+00"]
+_ACK_B = ["-5.447609879822406e+01", "1.615858368580409e+02",
+          "-1.556989798598866e+02", "6.680131188771972e+01",
+          "-1.328068155288572e+01"]
+_ACK_C = ["-7.784894002430293e-03", "-3.223964580411365e-01",
+          "-2.400758277161838e+00", "-2.549732539343734e+00",
+          "4.374664141464968e+00", "2.938163982698783e+00"]
+_ACK_D = ["7.784695709041462e-03", "3.224671290700398e-01",
+          "2.445134137142996e+00", "3.754408661907416e+00"]
+_ACK_PLOW = "0.02425"
+
+
+def _horner_np(coefs, x):
+    acc = np.full_like(x, float(coefs[0]))
+    for c in coefs[1:]:
+        acc = acc * x + float(c)
+    return acc
+
+
+def _horner_sql(coefs, x: str) -> str:
+    acc = coefs[0]
+    for c in coefs[1:]:
+        acc = f"({acc}) * ({x}) + {c}"
+    return acc
+
+
+def _acklam_np(p: np.ndarray) -> np.ndarray:
+    plow = float(_ACK_PLOW)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ql = np.sqrt(-2.0 * np.log(p))
+        low = _horner_np(_ACK_C, ql) / (_horner_np(_ACK_D, ql) * ql + 1.0)
+        qh = np.sqrt(-2.0 * np.log(1.0 - p))
+        high = -(_horner_np(_ACK_C, qh) / (_horner_np(_ACK_D, qh) * qh + 1.0))
+        qc = p - 0.5
+        r = qc * qc
+        cen = (_horner_np(_ACK_A, r) * qc
+               / (_horner_np(_ACK_B, r) * r + 1.0))
+    return np.where(p < plow, low, np.where(p > 1.0 - plow, high, cen))
+
+
+def _acklam_sql(p: str) -> str:
+    ql = f"sqrt(-2.0 * ln({p}))"
+    qh = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    qc = f"(({p}) - 0.5)"
+    r = f"({qc} * {qc})"
+    low = f"(({_horner_sql(_ACK_C, ql)}) / (({_horner_sql(_ACK_D, ql)}) * ({ql}) + 1.0))"
+    high = f"(-(({_horner_sql(_ACK_C, qh)}) / (({_horner_sql(_ACK_D, qh)}) * ({qh}) + 1.0)))"
+    cen = f"(({_horner_sql(_ACK_A, r)}) * {qc} / (({_horner_sql(_ACK_B, r)}) * {r} + 1.0))"
+    return (f"CASE WHEN ({p}) < {_ACK_PLOW} THEN {low} "
+            f"WHEN ({p}) > 1.0 - {_ACK_PLOW} THEN {high} "
+            f"ELSE {cen} END")
+
+
+def q_rank_gauss_values(sf_dir: str):
+    """Rank-gauss transform of value cents — the quantile-normalizing
+    feature map (rank -> uniform -> inverse normal CDF) gradient-boosted
+    and neural tabular models train on.  The global dense rank comes from
+    the engine's distributed order index (ONE value-sorted exchange, no
+    driver materialization); the Acklam inverse-CDF evaluates vectorized
+    per batch, its branch polynomials generated from the SAME literals as
+    the SQL twin.  Output quantized to micro so the parity is bit-exact."""
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = global_order_index(dv, "cents", tiebreak="event_id",
+                                pos_name="grank").materialize()
+    n = ranked.count()
+
+    def transform(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = (g + 1.0) / float(n + 1)
+        x = _acklam_np(p)
+        rg = pc.divide(
+            pc.cast(pc.round(pc.multiply(pa.array(x), 1_000_000.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+            .cast(pa.float64()),
+            1_000_000.0)
+        return pa.table({"event_id": t["event_id"], "rank_gauss": rg})
+
+    return ranked.map_batches(transform, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+QUERIES_ML["rank_gauss_values"] = q_rank_gauss_values
+ORACLE_SQL_ML["rank_gauss_values"] = f"""
+    WITH e AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY c, event_id) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM e) + 1 AS DOUBLE) AS p
+      FROM e)
+    SELECT event_id,
+           CAST(CAST(ROUND(({_acklam_sql("p")}) * 1000000.0) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS rank_gauss
+    FROM r
+"""
