@@ -5234,3 +5234,99 @@ ORACLE_SQL["min_cost_supplier"] = """
               JOIN supplier ON suppkey = s_suppkey
     WHERE rn = 1
 """
+
+
+def q_market_share_nation(sf_dir: str):
+    """TPC-H Q8-flavor market share: NATION_0 suppliers' share of total
+    lineitem revenue per order year — share-of-total over a three-hop
+    star join (lineitem x orders co-partitioned on orderkey, supplier
+    broadcast-size dimension co-partitioned on suppkey, nation name from
+    one tiny hop).  Revenue in exact integer units; the share is ONE float
+    division per year row."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.normalize import calendar_features
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "suppkey": t["l_suppkey"],
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                            pa.int64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = calendar_features(
+        read_pq(f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderdate"]),
+        ts_col="o_orderdate",
+    ).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "o_year": t["year"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = read_pq(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"suppkey": t["s_suppkey"],
+                            "s_nat": t["s_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = equi_join(li, orders, keys=["orderkey"], how="inner")
+    j2 = equi_join(j1.select_columns(["suppkey", "o_year", "rev"]), supp,
+                   keys=["suppkey"], how="inner").map_batches(
+        lambda t: pa.table({
+            "o_year": t["o_year"],
+            "rev": t["rev"],
+            "rev_n0": pc.if_else(pc.equal(t["s_nat"], 0), t["rev"],
+                                 pa.scalar(0, pa.int64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    agg = grouped_aggregate(
+        j2, ["o_year"],
+        {"rev_nation0": ("sum", "rev_n0"), "rev_total": ("sum", "rev")},
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "o_year": t["o_year"],
+            "rev_nation0": t["rev_nation0"].cast(pa.int64()),
+            "rev_total": t["rev_total"].cast(pa.int64()),
+            "mkt_share": pc.divide(
+                t["rev_nation0"].cast(pa.float64()),
+                t["rev_total"].cast(pa.float64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["market_share_nation"] = q_market_share_nation
+ORACLE_SQL["market_share_nation"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN s_nationkey = 0 THEN
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 ELSE 0 END) AS BIGINT) AS rev_nation0,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS rev_total,
+           CAST(SUM(CASE WHEN s_nationkey = 0 THEN
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1
+"""

@@ -5481,3 +5481,180 @@ ORACLE_SQL_ML["rank_gauss_values"] = f"""
                 AS DOUBLE) / 1000000.0 AS rank_gauss
     FROM r
 """
+
+
+def q_label_purchase_7d(sf_dir: str):
+    """Training-label generation with class weights — the supervised-learning
+    endpoint of the feature pipeline: for EVERY event, label = will this
+    user purchase within the next 7 days (half-open (t, t+7d], strictly
+    future so the label can never leak into features at t), plus the
+    inverse-class-frequency sample weight N / (2 * N_class) a balanced
+    trainer multiplies into the loss.  Forward window via
+    ``stages.asof.range_agg_forward`` (one exchange, no pair fan-out);
+    class counts fold from one-row-per-block partials."""
+    from feast_ray.stages.asof import range_agg_forward
+
+    spine = _events(sf_dir, ["event_id", "user_id", "ts"])
+    purchases = _events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    W = 7 * 86_400_000_000
+    lab = range_agg_forward(
+        spine, purchases, key="user_id", window_us=W,
+        count_name="n_purch",
+    ).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "label": pc.cast(
+                pc.greater(t["n_purch"], 0), pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "n1": pa.array([], pa.int64())})
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n1": pa.array([pc.sum(t["label"]).as_py() or 0], pa.int64()),
+        })
+
+    cc = lab.map_batches(counts, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in cc)
+    n1 = sum(int(r["n1"]) for r in cc)
+    w1 = float(n) / (2.0 * float(n1)) if n1 else None
+    w0 = float(n) / (2.0 * float(n - n1)) if n - n1 else None
+
+    def weight(t: pa.Table) -> pa.Table:
+        lb = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "sample_weight",
+            pa.array(np.where(lb == 1, w1, w0), pa.float64()))
+
+    return lab.map_batches(weight, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["label_purchase_7d"] = q_label_purchase_7d
+ORACLE_SQL_ML["label_purchase_7d"] = """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS pt FROM events
+               WHERE event_type = 'purchase'),
+    e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+    lab AS (
+      SELECT e.event_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM p
+               WHERE p.user_id = e.user_id
+                 AND p.pt > e.us AND p.pt <= e.us + 604800000000)
+                  THEN 1 ELSE 0 END AS label
+      FROM e),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS n1
+          FROM lab)
+    SELECT event_id, CAST(label AS BIGINT) AS label,
+           CAST(g.n AS DOUBLE)
+             / (2.0 * CAST(CASE WHEN label = 1 THEN g.n1
+                                ELSE g.n - g.n1 END AS DOUBLE))
+             AS sample_weight
+    FROM lab CROSS JOIN g
+"""
+
+
+def q_feature_auc_conversion(sf_dir: str):
+    """Univariate feature-screening AUC — the rank-sum (Mann-Whitney U)
+    probability that a converting user's total spend exceeds a
+    non-converter's, with exact tie handling (average ranks): the one-number
+    feature-importance screen run before any model training.  Per-user
+    (feature, label) rows from one grouped exchange; global 0-based ranks
+    from the engine's distributed order index; tie-group (min, max) ranks
+    from a feature-keyed exchange joined back co-partitioned; the integer
+    numerator folds from per-block partials as Python ints.  AUC is ONE
+    float division of exact integers — bit-equal to the SQL twin."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(pc.coalesce(t["value"], 0.0), 100.0)),
+                pa.int64()),
+            "is_p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+        })
+
+    per_user = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"feat": ("sum", "cents"), "label": ("max", "is_p")},
+    )
+    ranked = global_order_index(per_user, "feat", tiebreak="user_id",
+                                pos_name="grank").materialize()
+    ties = grouped_aggregate(
+        ranked, ["feat"],
+        {"min_r": ("min", "grank"), "max_r": ("max", "grank")},
+    )
+    j = equi_join(ranked.select_columns(["feat", "label"]), ties,
+                  keys=["feat"], how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vals": pa.array([], pa.list_(pa.int64()))})
+        lb = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = t["min_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = t["max_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = lb == 1
+        # 2 x average 1-based rank of a tied row = min_r + max_r + 2
+        r2 = int((mn[pos] + mx[pos] + 2).sum())
+        return pa.table({"vals": pa.array(
+            [[t.num_rows, int(pos.sum()), r2]], pa.list_(pa.int64()))})
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    n = n1 = r2pos = 0
+    for p in parts:
+        v = [int(x) for x in p["vals"]]
+        n += v[0]
+        n1 += v[1]
+        r2pos += v[2]
+    n0 = n - n1
+    auc = (float(r2pos - n1 * (n1 + 1)) / float(2 * n1 * n0)
+           if n1 and n0 else None)
+    return pa.table({
+        "n_pos": pa.array([n1], pa.int64()),
+        "n_neg": pa.array([n0], pa.int64()),
+        "auc": pa.array([auc], pa.float64()),
+    })
+
+
+QUERIES_ML["feature_auc_conversion"] = q_feature_auc_conversion
+ORACLE_SQL_ML["feature_auc_conversion"] = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CAST(ROUND(COALESCE(value, 0) * 100)
+                                    AS BIGINT)), 0) AS BIGINT) AS feat,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT label,
+             CAST(RANK() OVER (ORDER BY feat) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY feat) AS BIGINT) AS cnt
+      FROM u),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN label = 1 THEN 2 * rk + cnt - 1
+                           ELSE 0 END) AS BIGINT) AS r2pos,
+             CAST(SUM(label) AS BIGINT) AS n1,
+             CAST(SUM(1 - label) AS BIGINT) AS n0
+      FROM r)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CASE WHEN n1 > 0 AND n0 > 0
+                THEN CAST(r2pos - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
+    FROM s
+"""
