@@ -5330,3 +5330,173 @@ ORACLE_SQL["market_share_nation"] = """
     JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY 1
 """
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-flavor promotion effect: per order-month, the share of
+    lineitem revenue from PROMO-type parts.  The part dimension reduces to
+    (partkey, is_promo) at the read; lineitem x part co-partitioned on
+    partkey, orders hop for the month, one grouped aggregate — the share is
+    one float division per month row of two exact int64 sums."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.normalize import calendar_features
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "partkey": t["l_partkey"],
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                            pa.int64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    part = read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: pa.table({
+            "partkey": t["p_partkey"],
+            "is_promo": pc.cast(pc.equal(t["p_type"], "PROMO"), pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = calendar_features(
+        read_pq(f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderdate"]),
+        ts_col="o_orderdate",
+    ).map_batches(
+        lambda t: pa.table({
+            "orderkey": t["o_orderkey"],
+            "o_month": pc.add(
+                pc.multiply(t["year"].cast(pa.int64()), 100),
+                t["month"].cast(pa.int64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = equi_join(li, part, keys=["partkey"], how="inner")
+    j2 = equi_join(j1.select_columns(["orderkey", "rev", "is_promo"]),
+                   orders, keys=["orderkey"], how="inner").map_batches(
+        lambda t: pa.table({
+            "o_month": t["o_month"],
+            "rev": t["rev"],
+            "promo_rev": pc.multiply(t["rev"], t["is_promo"]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    agg = grouped_aggregate(
+        j2, ["o_month"],
+        {"promo_rev": ("sum", "promo_rev"), "total_rev": ("sum", "rev")},
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "o_month": t["o_month"],
+            "promo_rev": t["promo_rev"].cast(pa.int64()),
+            "total_rev": t["total_rev"].cast(pa.int64()),
+            "promo_share": pc.divide(
+                t["promo_rev"].cast(pa.float64()),
+                t["total_rev"].cast(pa.float64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["promo_revenue_share"] = q_promo_revenue_share
+ORACLE_SQL["promo_revenue_share"] = """
+    WITH j AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS o_month,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+             CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_month,
+           CAST(SUM(rev * is_promo) AS BIGINT) AS promo_rev,
+           CAST(SUM(rev) AS BIGINT) AS total_rev,
+           CAST(SUM(rev * is_promo) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS promo_share
+    FROM j GROUP BY 1
+"""
+
+
+def q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-flavor small-order audit: total revenue (and line count)
+    of lineitems whose quantity is under HALF the part's own average
+    quantity — the per-group-threshold filter pattern (threshold derived
+    from the group's aggregate, applied back without a second scan of the
+    fact table's source: per-part stats ride one map-side-combined
+    exchange and join back co-partitioned on partkey).  The comparison is
+    the exact integer cross-multiplication 2 * qty * n_part < sum_qty —
+    no float average ever exists."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import partial_count_sum
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "partkey": t["l_partkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    stats = partial_count_sum(li.select_columns(["partkey", "qty"]),
+                              ["partkey"], "qty",
+                              count_name="n_part", sum_name="sum_qty")
+    j = equi_join(li, stats, keys=["partkey"], how="inner").map_batches(
+        lambda t: t.filter(
+            pc.less(pc.multiply(pc.multiply(t["qty"], 2), t["n_part"]),
+                    t["sum_qty"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(t["cents"]).as_py() or 0], pa.int64()),
+        })
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    s = sum(int(r["s"]) for r in parts)
+    return pa.table({
+        "n_lines": pa.array([n], pa.int64()),
+        "revenue_cents": pa.array([s], pa.int64()),
+        "avg_yearly_proxy": pa.array([s / 7.0], pa.float64()),
+    })
+
+
+QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+ORACLE_SQL["small_quantity_revenue"] = """
+    WITH li AS (
+      SELECT l_partkey AS partkey,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    st AS (SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_part,
+                  CAST(SUM(qty) AS BIGINT) AS sum_qty
+           FROM li GROUP BY 1),
+    f AS (SELECT li.cents FROM li JOIN st USING (partkey)
+          WHERE 2 * li.qty * st.n_part < st.sum_qty)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents,
+           CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 7.0 AS avg_yearly_proxy
+    FROM f
+"""

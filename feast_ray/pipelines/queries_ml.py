@@ -5658,3 +5658,285 @@ ORACLE_SQL_ML["feature_auc_conversion"] = """
                      / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM s
 """
+
+
+def q_next_item_training_pairs(sf_dir: str):
+    """Sequence-model training-pair emission — for every event, the three
+    preceding event types WITHIN THE SAME 30-minute session as features and
+    the current type as the label (the (context, next-item) rows a
+    session-based recommender trains on).  One grouped exchange per user;
+    session ids + session-masked lags all inside the kernel (shifted
+    gathers, no second exchange for the composite (user, session) key)."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.windows import sessionize_ids, starts_to_row_gstart
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        types = t["event_type"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": t["user_id"].combine_chunks().slice(0, 0),
+                "session_id": pa.array([], pa.int64()),
+                "prev1": types.slice(0, 0),
+                "prev2": types.slice(0, 0),
+                "prev3": types.slice(0, 0),
+                "label_type": types.slice(0, 0),
+            })
+        n = t.num_rows
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        gstart = starts_to_row_gstart(starts)
+        ar = np.arange(n, dtype=np.int64)
+        cols = {"event_id": t["event_id"], "user_id": t["user_id"],
+                "session_id": pa.array(sess)}
+        for k in (1, 2, 3):
+            src = ar - k
+            # valid lag: stays inside the entity AND the same session
+            ok = (src >= gstart) & (ar - k >= 0)
+            ok &= np.where(ok, sess[np.maximum(src, 0)] == sess, False)
+            idx = pa.array(np.where(ok, src, -1), pa.int64())
+            # take with null for -1: mask via if_else on validity
+            gathered = pc.take(types, pa.array(np.maximum(src, 0), pa.int64()))
+            cols[f"prev{k}"] = pc.if_else(pa.array(ok), gathered,
+                                          pa.scalar(None, pa.string()))
+            del idx
+        cols["label_type"] = types
+        return pa.table(cols)
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["next_item_training_pairs"] = q_next_item_training_pairs
+ORACLE_SQL_ML["next_item_training_pairs"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev_ts)
+                                <= {1800 * 1_000_000}
+                           THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM e)
+    SELECT event_id, user_id, session_id,
+           LAG(event_type, 1) OVER w2 AS prev1,
+           LAG(event_type, 2) OVER w2 AS prev2,
+           LAG(event_type, 3) OVER w2 AS prev3,
+           event_type AS label_type
+    FROM s WINDOW w2 AS (PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id)
+"""
+
+
+def q_psi_weekly_type(sf_dir: str):
+    """Drift time series: weekly PSI of the value distribution vs the
+    corpus's FIRST week, per event_type — the monitoring dashboard's
+    trend line (psi_value_type gives one number; this says WHEN the drift
+    arrived).  Same equal-width global bands + Laplace smoothing; the
+    contingency is bounded by types x weeks x 10, the finalize never
+    scales with rows.  Week-0 rows pin the methodology (PSI vs itself = 0)."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "week": pc.divide(us, 604_800_000_000),
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def extrema(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([pc.min(t["cents"]).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(t["cents"]).as_py()], pa.int64())})
+
+    ex = dv.map_batches(extrema, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all()
+    mn = min(int(r["mn"]) for r in ex)
+    mx = max(int(r["mx"]) for r in ex)
+    span = mx - mn + 1
+
+    def band(t: pa.Table) -> pa.Table:
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "week": t["week"],
+            "band": pa.array(((c - mn) * 10) // span),
+        })
+
+    cnt = partial_count_sum(
+        dv.map_batches(band, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "week", "band"], count_name="n",
+    ).take_all()  # bounded: |types| x |weeks| x 10
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    w0 = int(cdf["week"].min())
+    types = sorted(cdf["event_type"].unique())
+    weeks = sorted(cdf["week"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, weeks, range(10)],
+        names=["event_type", "week", "band"]).to_frame(index=False)
+    dens = grid.merge(cdf, on=["event_type", "week", "band"], how="left").fillna(0)
+    dens["n"] = dens["n"].astype("int64")
+    tot = (dens.groupby(["event_type", "week"], as_index=False)["n"].sum()
+           .rename(columns={"n": "nt"}))
+    m = dens.merge(tot, on=["event_type", "week"])
+    base = (m[m["week"] == w0][["event_type", "band", "n", "nt"]]
+            .rename(columns={"n": "nb", "nt": "ntb"}))
+    m = m.merge(base, on=["event_type", "band"])
+    p_w = pa.array((m["n"].to_numpy() + 1.0) / (m["nt"].to_numpy() + 10.0))
+    p_b = pa.array((m["nb"].to_numpy() + 1.0) / (m["ntb"].to_numpy() + 10.0))
+    tm = pc.cast(
+        pc.round(pc.multiply(
+            pc.multiply(pc.subtract(p_w, p_b), pc.ln(pc.divide(p_w, p_b))),
+            1_000_000.0), round_mode="half_towards_infinity"),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    m["tm"] = tm
+    out = (m.groupby(["event_type", "week"], as_index=False)
+           .agg(n_week=("n", "sum"), tmsum=("tm", "sum")))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "week": pa.array(out["week"].to_numpy(), pa.int64()),
+        "n_week": pa.array(out["n_week"].to_numpy(), pa.int64()),
+        "psi": pc.divide(
+            pc.cast(pa.array(out["tmsum"].to_numpy()), pa.float64()),
+            1_000_000.0),
+    })
+
+
+QUERIES_ML["psi_weekly_type"] = q_psi_weekly_type
+ORACLE_SQL_ML["psi_weekly_type"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT MIN(c) AS mn, MAX(c) AS mx, MIN(week) AS w0 FROM e),
+    b AS (SELECT event_type, week, ((e.c - g.mn) * 10) // (g.mx - g.mn + 1)
+                   AS band
+          FROM e CROSS JOIN g),
+    cnt AS (SELECT event_type, week, band, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2, 3),
+    grid AS (SELECT tw.event_type, tw.week, r.range AS band
+             FROM (SELECT DISTINCT event_type, week FROM e) tw
+             CROSS JOIN range(10) r),
+    dens AS (SELECT grid.event_type, grid.week, grid.band,
+                    COALESCE(cnt.n, 0) AS n
+             FROM grid LEFT JOIN cnt
+               ON cnt.event_type = grid.event_type
+              AND cnt.week = grid.week AND cnt.band = grid.band),
+    tot AS (SELECT event_type, week, CAST(SUM(n) AS BIGINT) AS nt
+            FROM dens GROUP BY 1, 2),
+    base AS (SELECT d.event_type, d.band, d.n AS nb, t.nt AS ntb
+             FROM dens d JOIN tot t USING (event_type, week)
+             WHERE d.week = (SELECT w0 FROM g)),
+    term AS (SELECT d.event_type, d.week,
+                    CAST(ROUND(((d.n + 1.0) / (t.nt + 10.0)
+                                - (base.nb + 1.0) / (base.ntb + 10.0))
+                               * ln(((d.n + 1.0) / (t.nt + 10.0))
+                                    / ((base.nb + 1.0) / (base.ntb + 10.0)))
+                               * 1000000.0) AS BIGINT) AS tm
+             FROM dens d JOIN tot t USING (event_type, week)
+                         JOIN base ON base.event_type = d.event_type
+                                  AND base.band = d.band)
+    SELECT t.event_type, t.week, t.nt AS n_week,
+           CAST(s.tmsum AS DOUBLE) / 1000000.0 AS psi
+    FROM tot t JOIN (SELECT event_type, week,
+                            CAST(SUM(tm) AS BIGINT) AS tmsum
+                     FROM term GROUP BY 1, 2) s USING (event_type, week)
+"""
+
+
+_FP_MOD = 2_305_843_009_213_693_952  # 2^61: row hashes fold into BIGINT range
+
+
+def q_table_fingerprint_events(sf_dir: str):
+    """Order-invariant table fingerprint — the data-versioning checksum a
+    pipeline records beside each snapshot so replicas / re-runs can prove
+    byte-equivalence without sorting or diffing: each row serializes
+    canonically ('|'-joined columns, 'N' for null value), hashes via the
+    SQL-replayable Horner codepoint polynomial mod 2^61, and the SUM of row
+    hashes (mod 2^61) is partition-order independent by construction.
+    Fully vectorized: one binary_join concat + the shared codepoint-matrix
+    Horner loop per batch; per-block partial sums fold as Python ints."""
+    from feast_ray.stages.dedup import GRAM_BASE, _flat_codepoints
+
+    ds = _events(sf_dir,
+                 ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vals": pa.array([], pa.list_(pa.int64()))})
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        row = pc.binary_join_element_wise(
+            pc.cast(t["event_id"].combine_chunks(), pa.string()),
+            pc.cast(us, pa.string()),
+            pc.cast(t["user_id"].combine_chunks(), pa.string()),
+            t["event_type"].combine_chunks(),
+            pc.coalesce(pc.cast(cents, pa.string()), "N"),
+            "|",
+        )
+        data, offsets = _flat_codepoints(row)
+        lens = np.diff(offsets)
+        h = np.zeros(len(lens), dtype=np.uint64)
+        pos = offsets[:-1]
+        d = data.astype(np.uint64)
+        for j in range(int(lens.max()) if len(lens) else 0):
+            upd = lens > j
+            h[upd] = h[upd] * GRAM_BASE + d[(pos + j)[upd]]
+        hm = (h % np.uint64(_FP_MOD)).astype(np.int64)
+        # per-block exact partial: python-int fold upstream, n + sum
+        return pa.table({"vals": pa.array(
+            [[t.num_rows, int(hm.sum(dtype=object) % _FP_MOD)]],
+            pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = 0
+    fp = 0
+    for p in parts:
+        v = [int(x) for x in p["vals"]]
+        n += v[0]
+        fp = (fp + v[1]) % _FP_MOD
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "fingerprint": pa.array([fp], pa.int64()),
+    })
+
+
+QUERIES_ML["table_fingerprint_events"] = q_table_fingerprint_events
+ORACLE_SQL_ML["table_fingerprint_events"] = f"""
+    WITH r AS (
+      SELECT CAST(event_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR)
+             || '|' || CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+             || COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
+                         'N') AS s
+      FROM events),
+    h AS (
+      SELECT CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                            list_transform(str_split(s, ''),
+                                           c -> CAST(unicode(c) AS HUGEINT))),
+               (a, b) -> (a * 1000003 + b)
+                         % CAST(18446744073709551616 AS HUGEINT))
+                % {_FP_MOD} AS HUGEINT) AS hv
+      FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(hv) AS HUGEINT) % {_FP_MOD} AS BIGINT) AS fingerprint
+    FROM h
+"""
