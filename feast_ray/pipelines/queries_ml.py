@@ -5940,3 +5940,190 @@ ORACLE_SQL_ML["table_fingerprint_events"] = f"""
            CAST(CAST(SUM(hv) AS HUGEINT) % {_FP_MOD} AS BIGINT) AS fingerprint
     FROM h
 """
+
+
+def q_changepoint_value_user(sf_dir: str):
+    """Per-entity single change-point localization — binary segmentation's
+    first split: the time-ordered position k that maximizes the two-segment
+    fit score sl^2/nl + sr^2/nr of value cents (equivalently minimizes the
+    summed SSE), ties broken at the SMALLEST k — the drift localizer that
+    says WHERE each entity's behavior shifted.  One grouped exchange; the
+    kernel evaluates every split of every entity with two prefix-sum
+    gathers (no per-user Python loop); the score schedule (double division
+    of exact int64 prefix sums) is written identically in the SQL twin so
+    the argmax agrees bit-for-bit."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.grouped import starts_to_row_gstart
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": u_a.slice(0, 0),
+                "n_obs": pa.array([], pa.int64()),
+                "split_k": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        n = t.num_rows
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        gstart = starts_to_row_gstart(starts)
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        # per-group rebased prefix sums: pre[i] = sum of the group's rows
+        # up to and including i
+        cs = np.cumsum(c)
+        lead = np.zeros(n, dtype=np.int64)
+        lead[firsts] = np.concatenate(([0], cs[firsts[1:] - 1])) if len(firsts) else lead[firsts]
+        pre = cs - np.repeat(lead[firsts], sizes)
+        tot = pre[starts[1:] - 1]  # per-group totals
+        # candidate split after local position k (1..size-1): rows with
+        # local index >= 1 mark split k = local index
+        loc = np.arange(n, dtype=np.int64) - gstart
+        valid = loc >= 1
+        nl = loc.astype(np.float64)
+        nr = (sizes[gidx] - loc).astype(np.float64)
+        sl = pre - c  # prefix sum BEFORE this row = left segment sum
+        sr = tot[gidx] - sl
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = (sl.astype(np.float64) * sl.astype(np.float64) / nl
+                     + sr.astype(np.float64) * sr.astype(np.float64) / nr)
+        score[~valid] = -np.inf
+        # argmax per group with smallest-k tie: scan positions in order,
+        # keep strictly-greater updates (vectorized via lexsort)
+        order = np.lexsort((loc, -score, gidx))  # by group, score desc, k asc
+        best = order[np.searchsorted(gidx[order], np.arange(len(sizes)))]
+        multi = sizes >= 2
+        out_k = np.where(multi, loc[best], 0)
+        out_s = np.where(multi, score[best], np.nan)
+        return pa.table({
+            "user_id": pc.take(u_a, pa.array(firsts)),
+            "n_obs": pa.array(sizes.astype(np.int64)),
+            "split_k": pa.array(out_k.astype(np.int64)),
+            "score": pa.array(out_s, pa.float64(), from_pandas=True),
+        })
+
+    return grouped_map(dv, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["changepoint_value_user"] = q_changepoint_value_user
+ORACLE_SQL_ML["changepoint_value_user"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    p AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS k,
+             CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) - c AS BIGINT)
+               AS sl,
+             CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS st,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS nt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sc AS (
+      SELECT user_id, k, nt,
+             CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(k AS DOUBLE)
+             + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+               / CAST(nt - k AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                                           / CAST(k AS DOUBLE)
+                                         + CAST(st - sl AS DOUBLE)
+                                           * CAST(st - sl AS DOUBLE)
+                                           / CAST(nt - k AS DOUBLE) DESC,
+                                         k ASC) AS rn
+      FROM p WHERE k >= 1)
+    SELECT e2.user_id, e2.nt AS n_obs,
+           COALESCE(sc.k, 0) AS split_k, sc.score AS score
+    FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nt
+          FROM e GROUP BY 1) e2
+    LEFT JOIN sc ON sc.user_id = e2.user_id AND sc.rn = 1
+"""
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value curve — cumulative purchase revenue per
+    signup-week cohort by weeks-since-cohort age: the growth-accounting
+    matrix a marketing team reads LTV payback off.  Cohort assignment is
+    each user's FIRST event week (one grouped exchange); revenue cells are
+    one map-side-combined exchange over (cohort, age); the cumulative walk
+    runs over the bounded weeks x weeks matrix on the driver."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "week": pc.divide(us, 604_800_000_000),
+            "cents": pc.if_else(
+                pc.and_(pc.equal(t["event_type"], "purchase"),
+                        pc.is_valid(t["value"])),
+                pc.cast(pc.round(pc.multiply(pc.coalesce(t["value"], 0.0),
+                                             100.0)), pa.int64()),
+                pa.scalar(0, pa.int64())),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    first_w = grouped_aggregate(dv.select_columns(["user_id", "week"]),
+                                ["user_id"], {"cohort": ("min", "week")})
+    j = equi_join(dv, first_w, keys=["user_id"], how="inner").map_batches(
+        lambda t: pa.table({
+            "cohort": t["cohort"],
+            "age": pc.subtract(t["week"], t["cohort"]),
+            "cents": t["cents"],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cells = partial_count_sum(j, ["cohort", "age"], "cents",
+                              count_name="n_events", sum_name="rev")
+    import pandas as pd
+
+    cdf = pd.DataFrame(cells.take_all())  # bounded: weeks x weeks
+    cdf = cdf.sort_values(["cohort", "age"]).reset_index(drop=True)
+    cdf["cum_rev"] = cdf.groupby("cohort")["rev"].cumsum()
+    return pa.table({
+        "cohort": pa.array(cdf["cohort"].to_numpy(), pa.int64()),
+        "age": pa.array(cdf["age"].to_numpy(), pa.int64()),
+        "n_events": pa.array(cdf["n_events"].to_numpy(), pa.int64()),
+        "rev": pa.array(cdf["rev"].to_numpy(), pa.int64()),
+        "cum_rev": pa.array(cdf["cum_rev"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES_ML["cohort_ltv"] = q_cohort_ltv
+ORACLE_SQL_ML["cohort_ltv"] = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+             CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events),
+    f AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY 1),
+    c AS (SELECT f.cohort, e.week - f.cohort AS age,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(e.cents) AS BIGINT) AS rev
+          FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT cohort, age, n_events, rev,
+           CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev
+    FROM c
+"""
