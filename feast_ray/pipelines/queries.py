@@ -5500,3 +5500,90 @@ ORACLE_SQL["small_quantity_revenue"] = """
            CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 7.0 AS avg_yearly_proxy
     FROM f
 """
+
+
+def q_tukey_outliers_type(sf_dir: str):
+    """Tukey-fence outlier counts per event_type — the box-plot data-quality
+    screen (values beyond 1.5 IQR of the type's own quartiles).  Exact
+    discrete quartiles from the value-sorted exchange
+    (``stages.stats.grouped_quantile``), broadcast back as a tiny
+    per-type table; the fence test is the exact integer cross-multiplication
+    2c < 2*q1 - 3*iqr (no float fence ever exists)."""
+    import ray
+
+    from feast_ray.stages.stats import grouped_quantile, partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    q = grouped_quantile(
+        dv, ["event_type"], "cents",
+        {"q1": (0.25, "disc"), "q3": (0.75, "disc")},
+        count_name="n_values",
+    ).to_pandas()  # bounded: one row per type
+    fence = {
+        r["event_type"]: (int(r["q1"]), int(r["q3"]), int(r["n_values"]))
+        for _, r in q.iterrows()
+    }
+    f_ref = ray.put(fence)
+
+    def flag(t: pa.Table) -> pa.Table:
+        f = ray.get(f_ref)
+        d = t["event_type"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        q1 = np.array([f[v][0] for v in vocab], dtype=np.int64)
+        q3 = np.array([f[v][1] for v in vocab], dtype=np.int64)
+        iqr = q3 - q1
+        c2 = 2 * t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = (2 * q1 - 3 * iqr)[codes]
+        hi = (2 * q3 + 3 * iqr)[codes]
+        out = ((c2 < lo) | (c2 > hi)).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "is_out": pa.array(out)})
+
+    flagged = dv.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    cnt = partial_count_sum(flagged, ["event_type"], "is_out",
+                            count_name="n_values", sum_name="n_outliers")
+    return cnt.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_values": t["n_values"].cast(pa.int64()),
+            "q1_cents": pa.array(
+                [fence[v][0] for v in t["event_type"].to_pylist()], pa.int64()),
+            "q3_cents": pa.array(
+                [fence[v][1] for v in t["event_type"].to_pylist()], pa.int64()),
+            "n_outliers": t["n_outliers"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["tukey_outliers_type"] = q_tukey_outliers_type
+ORACLE_SQL["tukey_outliers_type"] = """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    q AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1,
+             CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3
+      FROM e GROUP BY 1)
+    SELECT e.event_type, q.n_values,
+           q.q1 AS q1_cents, q.q3 AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * e.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                           OR 2 * e.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN q USING (event_type)
+    GROUP BY 1, 2, 3, 4
+"""

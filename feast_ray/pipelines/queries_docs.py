@@ -3423,3 +3423,105 @@ ORACLE_SQL_DOCS["js_divergence_sources"] = """
            CAST(CAST(SUM(tm) AS BIGINT) AS DOUBLE) / 1000000.0 AS jsd
     FROM pair GROUP BY 1, 2, 3, 4
 """
+
+
+def q_token_burstiness_docs(sf_dir: str):
+    """Token burstiness (Church-Gale): within containing documents, the
+    variance-to-mean ratio of a token's per-doc count — separates CONTENT
+    words (bursty: absent mostly, heavy where present) from FUNCTION words
+    (evenly spread), the signal topical-keyword extractors use.  Each doc
+    lives in one batch, so (doc, token) counts are batch-exact; tokens
+    carry (df=1, count, count^2) partials through one token-keyed exchange;
+    top-20 by corpus count finalize on the driver as exact ints with one
+    float division: b = (ss*df - cnt^2) / (df*cnt)."""
+    from feast_ray.grouped import sorted_head
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.text import tokenize_batch
+
+    docs = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "ss": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        split = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), "[^a-z0-9]+")
+        counts = pc.fill_null(pc.list_value_length(split), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.combine_chunks().flatten() if isinstance(
+            split, pa.ChunkedArray) else split.flatten()
+        keep = pc.not_equal(flat, "")
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        row_of = row_of[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        if len(flat) == 0:
+            return empty
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per (doc, token-code) counts: one lexsort + run detection
+        order = np.lexsort((codes, row_of))
+        rr, cc = row_of[order], codes[order]
+        new = np.empty(len(rr), dtype=bool)
+        new[0] = True
+        new[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
+        runs = np.flatnonzero(new)
+        c_td = np.diff(np.concatenate((runs, [len(rr)]))).astype(np.int64)
+        tok_codes = cc[runs]
+        # combine per token within the batch
+        o2 = np.argsort(tok_codes, kind="stable")
+        tc, cv = tok_codes[o2], c_td[o2]
+        new2 = np.empty(len(tc), dtype=bool)
+        new2[0] = True
+        new2[1:] = tc[1:] != tc[:-1]
+        r2 = np.flatnonzero(new2)
+        df = np.diff(np.concatenate((r2, [len(tc)]))).astype(np.int64)
+        cnt = np.add.reduceat(cv, r2).astype(np.int64)
+        ss = np.add.reduceat(cv * cv, r2).astype(np.int64)
+        return pa.table({
+            "token": pc.take(d.dictionary, pa.array(tc[r2], pa.int64())),
+            "df": pa.array(df),
+            "cnt": pa.array(cnt),
+            "ss": pa.array(ss),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = sum_by(partials, ["token"], ["df", "cnt", "ss"])
+    top = sorted_head(agg, ["cnt", "token"], [True, True], 20).to_pandas()
+    b = [
+        float(int(r["ss"]) * int(r["df"]) - int(r["cnt"]) ** 2)
+        / float(int(r["df"]) * int(r["cnt"]))
+        for _, r in top.iterrows()
+    ]
+    return pa.table({
+        "token": pa.array(top["token"], pa.string()),
+        "df": pa.array(top["df"].to_numpy(), pa.int64()),
+        "cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+        "burstiness": pa.array(b, pa.float64()),
+    })
+
+
+QUERIES_DOCS["token_burstiness_docs"] = q_token_burstiness_docs
+ORACLE_SQL_DOCS["token_burstiness_docs"] = """
+    WITH toks AS (
+      SELECT d.doc_id, u.t AS token
+      FROM documents d,
+           unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) u(t)
+      WHERE u.t <> ''),
+    td AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+    agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+            FROM td GROUP BY 1),
+    top AS (SELECT * FROM agg ORDER BY cnt DESC, token LIMIT 20)
+    SELECT token, df, cnt,
+           CAST(ss * df - CAST(cnt AS HUGEINT) * cnt AS DOUBLE)
+             / CAST(CAST(df AS HUGEINT) * cnt AS DOUBLE) AS burstiness
+    FROM top
+"""
