@@ -5587,3 +5587,43 @@ ORACLE_SQL["tukey_outliers_type"] = """
     FROM e JOIN q USING (event_type)
     GROUP BY 1, 2, 3, 4
 """
+
+
+def q_order_status_mix(sf_dir: str):
+    """Order status mix by priority — counts plus the share-of-priority
+    float (the operational fill-rate dashboard over the orders dimension
+    columns).  One map-side-combined exchange over the bounded
+    (priority x status) grid; shares divide exact int64 counts."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderpriority", "o_orderstatus"])
+    cnt = partial_count_sum(ds, ["o_orderpriority", "o_orderstatus"],
+                            count_name="n_orders").take_all()
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt)
+    tot = cdf.groupby("o_orderpriority")["n_orders"].transform("sum")
+    return pa.table({
+        "o_orderpriority": pa.array(cdf["o_orderpriority"], pa.string()),
+        "o_orderstatus": pa.array(cdf["o_orderstatus"], pa.string()),
+        "n_orders": pa.array(cdf["n_orders"].to_numpy(), pa.int64()),
+        "share_of_priority": pc.divide(
+            pc.cast(pa.array(cdf["n_orders"].to_numpy()), pa.float64()),
+            pc.cast(pa.array(tot.to_numpy()), pa.float64())),
+    })
+
+
+QUERIES["order_status_mix"] = q_order_status_mix
+ORACLE_SQL["order_status_mix"] = """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT o_orderpriority, CAST(SUM(n_orders) AS BIGINT) AS nt
+          FROM c GROUP BY 1)
+    SELECT c.o_orderpriority, c.o_orderstatus, c.n_orders,
+           CAST(c.n_orders AS DOUBLE) / CAST(t.nt AS DOUBLE)
+             AS share_of_priority
+    FROM c JOIN t USING (o_orderpriority)
+"""

@@ -3525,3 +3525,74 @@ ORACLE_SQL_DOCS["token_burstiness_docs"] = """
              / CAST(CAST(df AS HUGEINT) * cnt AS DOUBLE) AS burstiness
     FROM top
 """
+
+
+def q_byte_weighted_len_docs(sf_dir: str):
+    """Byte-weighted corpus length percentiles — 'half the corpus BYTES
+    live in docs shorter than X' (the p50/p90 by bytes vs by docs gap is
+    the long-tail evidence that drives chunking and packing budgets).
+    Length counts ride one map-side-combined exchange bounded by the
+    distinct-length domain (<= max doc length regardless of corpus size);
+    the cumulative pick runs on the driver over that bounded table.
+    quantile_disc semantics on both axes: smallest length whose cumulative
+    count/bytes reaches ceil(q * total)."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    docs = _docs(sf_dir, columns=("n_chars",))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"len": t["n_chars"].combine_chunks().cast(pa.int64())})
+
+    cnt = partial_count_sum(
+        docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda t: t.append_column(
+            "b", t["len"]), batch_format="pyarrow", zero_copy_batch=True),
+        ["len"], "b", count_name="n_docs", sum_name="bytes_",
+    ).take_all()  # bounded by the distinct-length domain
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt).sort_values("len").reset_index(drop=True)
+    nd = int(cdf["n_docs"].sum())
+    nb = int(cdf["bytes_"].sum())
+    cum_d = cdf["n_docs"].cumsum().to_numpy()
+    cum_b = cdf["bytes_"].cumsum().to_numpy()
+    lens = cdf["len"].to_numpy()
+
+    def pick(cum, total, q):
+        import math
+        need = math.ceil(q * total)
+        return int(lens[int(np.searchsorted(cum, need))])
+
+    return pa.table({
+        "n_docs": pa.array([nd], pa.int64()),
+        "total_bytes": pa.array([nb], pa.int64()),
+        "p50_by_docs": pa.array([pick(cum_d, nd, 0.5)], pa.int64()),
+        "p50_by_bytes": pa.array([pick(cum_b, nb, 0.5)], pa.int64()),
+        "p90_by_docs": pa.array([pick(cum_d, nd, 0.9)], pa.int64()),
+        "p90_by_bytes": pa.array([pick(cum_b, nb, 0.9)], pa.int64()),
+    })
+
+
+QUERIES_DOCS["byte_weighted_len_docs"] = q_byte_weighted_len_docs
+ORACLE_SQL_DOCS["byte_weighted_len_docs"] = """
+    WITH l AS (SELECT CAST(n_chars AS BIGINT) AS len FROM documents),
+    g AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len) AS BIGINT) AS bytes_
+          FROM l GROUP BY 1),
+    c AS (SELECT len,
+                 SUM(n_docs) OVER (ORDER BY len) AS cd,
+                 SUM(bytes_) OVER (ORDER BY len) AS cb
+          FROM g),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nd,
+                 CAST(SUM(bytes_) AS BIGINT) AS nb FROM g)
+    SELECT t.nd AS n_docs, t.nb AS total_bytes,
+           (SELECT MIN(len) FROM c WHERE cd >= CEIL(0.5 * t.nd))
+             AS p50_by_docs,
+           (SELECT MIN(len) FROM c WHERE cb >= CEIL(0.5 * t.nb))
+             AS p50_by_bytes,
+           (SELECT MIN(len) FROM c WHERE cd >= CEIL(0.9 * t.nd))
+             AS p90_by_docs,
+           (SELECT MIN(len) FROM c WHERE cb >= CEIL(0.9 * t.nb))
+             AS p90_by_bytes
+    FROM t
+"""

@@ -6127,3 +6127,110 @@ ORACLE_SQL_ML["cohort_ltv"] = """
              AS cum_rev
     FROM c
 """
+
+
+def q_spearman_value_time_user(sf_dir: str):
+    """Per-user Spearman rank correlation between value and arrival order —
+    the outlier-robust monotone-trend detector (is this user's spend
+    drifting up?), where the OLS slope (`trend_value_user`) is
+    outlier-dominated.  One grouped exchange; tie-averaged value ranks
+    (doubled to stay integer) come from one in-kernel lexsort; the Pearson
+    moments over (2*rank_value, 2*position) are exact int64 with the
+    engine's fixed sqrt schedule.  Value-domain note: per-user moments
+    bound n_user < ~50k for int64 rank products; the documented hot-entity
+    path (salting) applies beyond that."""
+    from feast_ray.grouped import grouped_map, starts_to_row_gstart
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": u_a.slice(0, 0),
+                "n_obs": pa.array([], pa.int64()),
+                "spearman": pa.array([], pa.float64()),
+            })
+        n = t.num_rows
+        gstart = starts_to_row_gstart(starts)
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        # tie-averaged value rank x2 = 2*min_rank + tiecount - 1 (1-based)
+        order = np.lexsort((c, gidx))
+        cg, cs_ = gidx[order], c[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (cg[1:] != cg[:-1]) | (cs_[1:] != cs_[:-1])
+        run_id = np.cumsum(new) - 1
+        run_start = np.flatnonzero(new)
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        pos_sorted = np.arange(n, dtype=np.int64) - gstart[order]
+        rx2_sorted = (2 * (pos_sorted[run_start] + 1) + run_len - 1)[run_id]
+        rx2 = np.empty(n, dtype=np.int64)
+        rx2[order] = rx2_sorted
+        ry2 = 2 * (np.arange(n, dtype=np.int64) - gstart + 1)
+        sx = np.add.reduceat(rx2, firsts)
+        sy = np.add.reduceat(ry2, firsts)
+        sxx = np.add.reduceat(rx2 * rx2, firsts)
+        syy = np.add.reduceat(ry2 * ry2, firsts)
+        sxy = np.add.reduceat(rx2 * ry2, firsts)
+        nn = sizes.astype(np.int64)
+        num = nn * sxy - sx * sy
+        va = nn * sxx - sx * sx
+        vb = nn * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = num.astype(np.float64) / (
+                np.sqrt(va.astype(np.float64)) * np.sqrt(vb.astype(np.float64)))
+        rho = np.where((va > 0) & (vb > 0), rho, np.nan)
+        return pa.table({
+            "user_id": pc.take(u_a, pa.array(firsts)),
+            "n_obs": pa.array(nn),
+            "spearman": pa.array(rho, pa.float64(), from_pandas=True),
+        })
+
+    return grouped_map(dv, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["spearman_value_time_user"] = q_spearman_value_time_user
+ORACLE_SQL_ML["spearman_value_time_user"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id,
+             CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY c)
+                  + COUNT(*) OVER (PARTITION BY user_id, c) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                  AS BIGINT) AS ry
+      FROM e),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      FROM r GROUP BY 1)
+    SELECT user_id, n AS n_obs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS spearman
+    FROM m
+"""
