@@ -3596,3 +3596,28 @@ ORACLE_SQL_DOCS["byte_weighted_len_docs"] = """
              AS p90_by_bytes
     FROM t
 """
+
+
+def q_wav_spectral_docs(sf_dir: str):
+    """REAL spectral audio features (numpy rfft, no audio library): each
+    doc carries a deterministic sine-tone WAV (`attach_sine_wav_payloads`
+    — tone 200 + (doc_id % 16)*200 Hz); the actor-pool stage decodes the
+    PCM and emits dominant frequency, spectral centroid and RMS.  No SQL
+    twin (DuckDB has no FFT) — rows-only for the driver; the planted-tone
+    recovery (dominant bin == the synthesized frequency to bin resolution)
+    and an exact numpy-recompute parity are pinned in
+    tests/test_wave28_ops.py."""
+    from feast_ray.stages.multimodal import (add_audio_spectral,
+                                             attach_sine_wav_payloads)
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        attach_sine_wav_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_audio_spectral(ds, id_cols=("doc_id",), mode="decode",
+                             concurrency=2, batch_size=64)
+    return out.select_columns(
+        ["doc_id", "n_samples", "dominant_hz", "centroid_hz", "rms"])
+
+
+QUERIES_DOCS["wav_spectral_docs"] = q_wav_spectral_docs
+# no ORACLE_SQL entry: FFT is not SQL-expressible; rows-only by design

