@@ -3621,3 +3621,156 @@ def q_wav_spectral_docs(sf_dir: str):
 
 QUERIES_DOCS["wav_spectral_docs"] = q_wav_spectral_docs
 # no ORACLE_SQL entry: FFT is not SQL-expressible; rows-only by design
+
+
+def q_bmp_gradient_docs(sf_dir: str):
+    """REAL image-gradient features over decoded BMP pixels
+    (`stages.multimodal.ImageGradientExtractor`): exact |dx| / |dy|
+    grayscale finite-difference sums + edge density per image — the
+    blur / flat-region screen, computed on the true decoded pixel grid
+    (the decoder undid BGR order, row padding and bottom-up layout).  The
+    DuckDB twin re-derives every pixel from the payload generator's closed
+    form and takes the same differences — a hash-exact oracle over a real
+    binary decode path."""
+    from feast_ray.stages.multimodal import (add_image_gradients,
+                                             attach_bmp_payloads)
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        attach_bmp_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_image_gradients(ds, id_cols=("doc_id",), concurrency=2,
+                              batch_size=64)
+    return out.select_columns(
+        ["doc_id", "width", "height", "sum_abs_dx", "sum_abs_dy",
+         "edge_density"])
+
+
+QUERIES_DOCS["bmp_gradient_docs"] = q_bmp_gradient_docs
+ORACLE_SQL_DOCS["bmp_gradient_docs"] = """
+    WITH dims AS (
+      SELECT doc_id, CAST(doc_id % 37 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 23 + 1 AS BIGINT) AS h,
+             CAST(doc_id % 256 AS BIGINT) AS m
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, u.p AS p,
+             ((m + u.p * 3) % 256) + ((m + u.p * 3 + 1) % 256)
+               + ((m + u.p * 3 + 2) % 256) AS gray
+      FROM dims, unnest(generate_series(0, w * h - 1)) AS u(p)),
+    dx AS (
+      SELECT a.doc_id, CAST(SUM(ABS(b.gray - a.gray)) AS BIGINT) AS s
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE (a.p % a.w) < a.w - 1
+      GROUP BY 1),
+    dy AS (
+      SELECT a.doc_id, CAST(SUM(ABS(b.gray - a.gray)) AS BIGINT) AS s
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.p = a.p + a.w
+      WHERE (a.p // a.w) < a.h - 1
+      GROUP BY 1)
+    SELECT d.doc_id, d.w AS width, d.h AS height,
+           COALESCE(dx.s, 0) AS sum_abs_dx,
+           COALESCE(dy.s, 0) AS sum_abs_dy,
+           CASE WHEN d.h * (d.w - 1) + (d.h - 1) * d.w > 0
+                THEN CAST(COALESCE(dx.s, 0) + COALESCE(dy.s, 0) AS DOUBLE)
+                     / CAST(d.h * (d.w - 1) + (d.h - 1) * d.w AS DOUBLE)
+                ELSE 0.0 END AS edge_density
+    FROM dims d
+    LEFT JOIN dx ON dx.doc_id = d.doc_id
+    LEFT JOIN dy ON dy.doc_id = d.doc_id
+"""
+
+
+def q_lognormal_fit_sources(sf_dir: str):
+    """Per-source log-normal fit of document length — (mu, sigma) of
+    ln(n_chars), the two numbers that summarize a web corpus's length
+    distribution (length is classically log-normal; the fit drives
+    chunk-size and packing-budget choices per ingest feed).  Micro-nat
+    fixed-point ln terms; per-block (source, n, s, q) partials fold as
+    exact Python ints on the driver (bounded by sources x blocks); mu and
+    sigma run one fixed float schedule mirrored in the SQL twin."""
+    docs = _docs(sf_dir, columns=("source", "n_chars"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_chars"], 0))
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ln = pc.ln(t["n_chars"].combine_chunks().cast(pa.float64()))
+        tm = pc.cast(pc.round(pc.multiply(ln, 1_000_000.0),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        src = t["source"].combine_chunks()
+        d = src.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs, ts = codes[order], tm[order]
+        new = np.empty(len(cs), dtype=bool)
+        new[0] = True
+        new[1:] = cs[1:] != cs[:-1]
+        runs = np.flatnonzero(new)
+        n_g = np.diff(np.concatenate((runs, [len(cs)]))).astype(np.int64)
+        s_g = np.add.reduceat(ts, runs).astype(np.int64)
+        q_g = np.add.reduceat(ts * ts, runs).astype(np.int64)
+        return pa.table({
+            "source": pc.take(d.dictionary, pa.array(cs[runs], pa.int64())),
+            "n": pa.array(n_g), "s": pa.array(s_g), "q": pa.array(q_g),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict = {}
+    for r in parts:  # exact Python-int fold, bounded by sources
+        k = r["source"]
+        n0, s0, q0 = agg.get(k, (0, 0, 0))
+        agg[k] = (n0 + int(r["n"]), s0 + int(r["s"]), q0 + int(r["q"]))
+    rows = sorted(agg.items())
+    mus, sigmas = [], []
+    import math
+
+    for _, (n0, s0, q0) in rows:
+        mu = (float(s0) / 1_000_000.0) / float(n0)
+        var = (float(q0) / 1_000_000_000_000.0) / float(n0) - mu * mu
+        mus.append(mu)
+        sigmas.append(math.sqrt(var) if var > 0 else 0.0)
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1][0] for r in rows], pa.int64()),
+        "mu_ln": pa.array(mus, pa.float64()),
+        "sigma_ln": pa.array(sigmas, pa.float64()),
+    })
+
+
+QUERIES_DOCS["lognormal_fit_sources"] = q_lognormal_fit_sources
+ORACLE_SQL_DOCS["lognormal_fit_sources"] = """
+    WITH t AS (
+      SELECT source,
+             CAST(ROUND(ln(CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS tm
+      FROM documents WHERE n_chars > 0),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tm) AS BIGINT) AS s,
+             CAST(SUM(CAST(tm AS HUGEINT) * tm) AS HUGEINT) AS q
+      FROM t GROUP BY 1)
+    SELECT source, n AS n_docs,
+           (CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mu_ln,
+           CASE WHEN (CAST(q AS DOUBLE) / 1000000000000.0) / CAST(n AS DOUBLE)
+                     - ((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+                       * ((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+                     > 0
+                THEN sqrt((CAST(q AS DOUBLE) / 1000000000000.0)
+                            / CAST(n AS DOUBLE)
+                          - ((CAST(s AS DOUBLE) / 1000000.0)
+                             / CAST(n AS DOUBLE))
+                            * ((CAST(s AS DOUBLE) / 1000000.0)
+                               / CAST(n AS DOUBLE)))
+                ELSE 0.0 END AS sigma_ln
+    FROM m
+"""

@@ -6234,3 +6234,58 @@ ORACLE_SQL_ML["spearman_value_time_user"] = """
            END AS spearman
     FROM m
 """
+
+
+def q_harmonic_mean_value_user(sf_dir: str):
+    """Per-user harmonic mean of positive value cents — the right average
+    for RATES (price per unit, latency throughput): dominated by the
+    smallest values where the arithmetic mean is dominated by the largest.
+    Fixed-point nano reciprocals (ROUND(1e9 / c)) ride the map-side-
+    combined exchange as exact int64; the finalize is one division —
+    mirrored bit-for-bit in SQL."""
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t = pa.table({"user_id": t["user_id"], "c": c})
+        t = t.filter(pc.greater(t["c"], 0))
+        r = pc.cast(pc.round(pc.divide(1_000_000_000.0,
+                                       t["c"].cast(pa.float64())),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"user_id": t["user_id"], "r": r})
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_count_sum(dv, ["user_id"], "r",
+                            count_name="n", sum_name="sr")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "n": t["n"].cast(pa.int64()),
+            "harmonic_mean_cents": pc.divide(
+                t["n"].cast(pa.float64()),
+                pc.divide(t["sr"].cast(pa.float64()), 1_000_000_000.0)),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES_ML["harmonic_mean_value_user"] = q_harmonic_mean_value_user
+ORACLE_SQL_ML["harmonic_mean_value_user"] = """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id,
+             CAST(ROUND(1000000000.0 / CAST(c AS DOUBLE)) AS BIGINT) AS rv
+      FROM e WHERE c > 0),
+    m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rv) AS BIGINT) AS sr
+          FROM r GROUP BY 1)
+    SELECT user_id, n,
+           CAST(n AS DOUBLE) / (CAST(sr AS DOUBLE) / 1000000000.0)
+             AS harmonic_mean_cents
+    FROM m
+"""

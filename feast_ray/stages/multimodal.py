@@ -822,3 +822,68 @@ def add_audio_spectral(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+class ImageGradientExtractor:
+    """Actor-pool image-gradient stage: decoded RGB -> grayscale
+    (channel sum) -> exact integer sums of |dx| / |dy| finite differences
+    and the edge-density ratio — the blur / flat-region / synthetic-image
+    screen a multimodal curation pipeline filters on.  Works on the REAL
+    decoded pixel grid (the BMP decoder has already undone BGR order, row
+    padding and bottom-up layout), so the integer sums are
+    SQL-re-derivable from the payload generator's closed form."""
+
+    def __init__(self, *, payload_col: str = "payload",
+                 id_cols: Sequence[str] = ("doc_id",)):
+        self.payload_col = payload_col
+        self.id_cols = list(id_cols)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        data, offsets = _flat_binary(tbl[self.payload_col])
+        lens = np.diff(offsets)
+        n = len(lens)
+        out = tbl.select(self.id_cols)
+        w_ = np.zeros(n, dtype=np.int64)
+        h_ = np.zeros(n, dtype=np.int64)
+        sdx = np.zeros(n, dtype=np.int64)
+        sdy = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            if lens[i] == 0:
+                continue
+            w, h, px = decode_bmp(data[offsets[i] : offsets[i + 1]].tobytes())
+            w_[i], h_[i] = w, h
+            gray = px.astype(np.int64).sum(axis=2)  # (h, w) in 0..765
+            if w > 1:
+                sdx[i] = int(np.abs(np.diff(gray, axis=1)).sum())
+            if h > 1:
+                sdy[i] = int(np.abs(np.diff(gray, axis=0)).sum())
+        empty = lens == 0
+        n_terms = h_ * np.maximum(w_ - 1, 0) + np.maximum(h_ - 1, 0) * w_
+        dens = np.divide((sdx + sdy).astype(np.float64),
+                         np.maximum(n_terms, 1).astype(np.float64))
+        dens = np.where(n_terms > 0, dens, 0.0)
+        out = out.append_column("width", pa.array(w_, mask=empty))
+        out = out.append_column("height", pa.array(h_, mask=empty))
+        out = out.append_column("sum_abs_dx", pa.array(sdx, mask=empty))
+        out = out.append_column("sum_abs_dy", pa.array(sdy, mask=empty))
+        return out.append_column("edge_density", pa.array(dens, mask=empty))
+
+
+def add_image_gradients(
+    ds,
+    *,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("doc_id",),
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: Optional[int] = 64,
+    num_cpus: float = 1.0,
+):
+    """Decode + gradient-featurize image payloads on an actor pool."""
+    return ds.map_batches(
+        ImageGradientExtractor,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_cols": id_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
