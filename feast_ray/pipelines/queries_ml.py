@@ -6289,3 +6289,298 @@ ORACLE_SQL_ML["harmonic_mean_value_user"] = """
              AS harmonic_mean_cents
     FROM m
 """
+
+
+def q_fisher_ratio_embeddings(sf_dir: str):
+    """Per-dimension Fisher discriminant ratio of the labeled embeddings —
+    between-class variance over mean within-class variance: the
+    supervised embedding diagnostic that says WHICH dimensions actually
+    separate the classes (feature selection for probes, projection
+    pruning).  Per-(label, dim) exact micro moments ride one bounded
+    exchange (labels x dims rows); the Fisher schedule runs once on the
+    driver, mirrored verbatim in the SQL twin."""
+    from feast_ray.sources.parquet import read_pq
+    from feast_ray.stages.stats import sum_by
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().cast(pa.float64())
+        m = pc.cast(pc.round(pc.multiply(flat, 1_000_000.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        d = len(m) // t.num_rows
+        x = m.reshape(t.num_rows, d)
+        lab = t["label"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        ls, xs = lab[order], x[order]
+        new = np.empty(len(ls), dtype=bool)
+        new[0] = True
+        new[1:] = ls[1:] != ls[:-1]
+        runs = np.flatnonzero(new)
+        n_g = np.diff(np.concatenate((runs, [len(ls)]))).astype(np.int64)
+        rows = {"label": [], "dim": [], "n": [], "s": [], "q": []}
+        s_g = np.add.reduceat(xs, runs, axis=0)
+        q_g = np.add.reduceat(xs * xs, runs, axis=0)
+        for gi, r0 in enumerate(runs):
+            for dd in range(d):
+                rows["label"].append(int(ls[r0]))
+                rows["dim"].append(dd)
+                rows["n"].append(int(n_g[gi]))
+                rows["s"].append(int(s_g[gi, dd]))
+                rows["q"].append(int(q_g[gi, dd]))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    cells = sum_by(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "dim"], ["n", "s", "q"],
+    ).take_all()  # bounded: labels x dims
+    import pandas as pd
+
+    cdf = pd.DataFrame(cells).sort_values(["dim", "label"])
+    out_rows = []
+    for dim, g in cdf.groupby("dim"):
+        n_t = int(g["n"].sum())
+        s_t = int(g["s"].sum())
+        mu = (float(s_t) / 1_000_000.0) / float(n_t)
+        wb = 0
+        ww = 0
+        for _, r in g.iterrows():  # micro-fixed-point terms: order-free sums
+            nk, sk, qk = int(r["n"]), int(r["s"]), int(r["q"])
+            mk = (float(sk) / 1_000_000.0) / float(nk)
+            t_wb = float(nk) * (mk - mu) * (mk - mu) * 1_000_000_000.0
+            t_ww = (float(qk) / 1_000_000_000_000.0
+                    - (float(sk) / 1_000_000.0) * (float(sk) / 1_000_000.0)
+                      / float(nk)) * 1_000_000_000.0
+            wb += int(pc.round(pa.scalar(t_wb),
+                               round_mode="half_towards_infinity").as_py())
+            ww += int(pc.round(pa.scalar(t_ww),
+                               round_mode="half_towards_infinity").as_py())
+        fisher = ((float(wb) / 1_000_000_000.0 / float(n_t))
+                  / (float(ww) / 1_000_000_000.0 / float(n_t))
+                  if ww > 0 else None)
+        out_rows.append((int(dim), n_t, fisher))
+    return pa.table({
+        "dim": pa.array([r[0] for r in out_rows], pa.int64()),
+        "n": pa.array([r[1] for r in out_rows], pa.int64()),
+        "fisher_ratio": pa.array([r[2] for r in out_rows], pa.float64()),
+    })
+
+
+QUERIES_ML["fisher_ratio_embeddings"] = q_fisher_ratio_embeddings
+ORACLE_SQL_ML["fisher_ratio_embeddings"] = """
+    WITH x AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+      FROM embeddings),
+    c AS (
+      SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(micro) AS BIGINT) AS s,
+             CAST(SUM(CAST(micro AS HUGEINT) * micro) AS HUGEINT) AS q
+      FROM x GROUP BY 1, 2),
+    t AS (SELECT dim, CAST(SUM(n) AS BIGINT) AS nt,
+                 CAST(SUM(s) AS BIGINT) AS st
+          FROM c GROUP BY 1),
+    parts AS (
+      SELECT c.dim, t.nt,
+             CAST(SUM(CAST(ROUND(CAST(c.n AS DOUBLE)
+                 * ((CAST(c.s AS DOUBLE) / 1000000.0) / CAST(c.n AS DOUBLE)
+                    - (CAST(t.st AS DOUBLE) / 1000000.0) / CAST(t.nt AS DOUBLE))
+                 * ((CAST(c.s AS DOUBLE) / 1000000.0) / CAST(c.n AS DOUBLE)
+                    - (CAST(t.st AS DOUBLE) / 1000000.0) / CAST(t.nt AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT)
+               AS wb,
+             CAST(SUM(CAST(ROUND((CAST(c.q AS DOUBLE) / 1000000000000.0
+                 - (CAST(c.s AS DOUBLE) / 1000000.0)
+                   * (CAST(c.s AS DOUBLE) / 1000000.0) / CAST(c.n AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT)
+               AS ww
+      FROM c JOIN t USING (dim) GROUP BY c.dim, t.nt)
+    SELECT dim, nt AS n,
+           CASE WHEN ww > 0
+                THEN (CAST(wb AS DOUBLE) / 1000000000.0 / CAST(nt AS DOUBLE))
+                     / (CAST(ww AS DOUBLE) / 1000000000.0 / CAST(nt AS DOUBLE))
+           END AS fisher_ratio
+    FROM parts
+"""
+
+
+def q_conversion_by_entry_type(sf_dir: str):
+    """Session conversion rate by ENTRY event type — 'sessions that start
+    with X convert at rate Y', the landing-page-effect table.  Sessionize
+    (30-min gap) + per-session (entry type, contains-purchase) flags fused
+    in ONE grouped kernel; rates divide exact int64 counts over the
+    bounded entry-type domain."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        types = t["event_type"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "entry_type": types.slice(0, 0),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+            })
+        n = t.num_rows
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (gidx[1:] != gidx[:-1]) | (sess[1:] != sess[:-1])
+        s_first = np.flatnonzero(new_s)
+        sid_of_row = np.cumsum(new_s) - 1
+        is_p = pc.equal(types, "purchase").to_numpy(zero_copy_only=False)
+        conv = np.zeros(len(s_first), dtype=np.int64)
+        np.maximum.at(conv, sid_of_row, is_p.astype(np.int64))
+        entry = pc.take(types, pa.array(s_first))
+        # combine per entry type within the kernel (bounded domain)
+        d = entry.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        cv = conv[order]
+        new2 = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            new2[0] = True
+            new2[1:] = cs[1:] != cs[:-1]
+        runs = np.flatnonzero(new2) if len(cs) else np.array([], np.int64)
+        ns = np.diff(np.concatenate((runs, [len(cs)]))).astype(np.int64)
+        nc = (np.add.reduceat(cv, runs).astype(np.int64)
+              if len(runs) else np.array([], np.int64))
+        return pa.table({
+            "entry_type": pc.take(d.dictionary, pa.array(cs[runs], pa.int64()))
+            if len(runs) else types.slice(0, 0),
+            "n_sessions": pa.array(ns),
+            "n_converted": pa.array(nc),
+        })
+
+    per_bucket = grouped_map(ds, ["user_id"], kernel,
+                             sort_keys=["ts", "event_id"])
+    agg = sum_by(per_bucket, ["entry_type"], ["n_sessions", "n_converted"])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "entry_type": t["entry_type"],
+            "n_sessions": t["n_sessions"].cast(pa.int64()),
+            "n_converted": t["n_converted"].cast(pa.int64()),
+            "conversion_rate": pc.divide(
+                t["n_converted"].cast(pa.float64()),
+                t["n_sessions"].cast(pa.float64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES_ML["conversion_by_entry_type"] = q_conversion_by_entry_type
+ORACLE_SQL_ML["conversion_by_entry_type"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev_ts)
+                                <= {1800 * 1_000_000}
+                           THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM e),
+    per AS (
+      SELECT user_id, sid,
+             FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM s GROUP BY 1, 2)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS conversion_rate
+    FROM per GROUP BY 1
+"""
+
+
+def q_revenue_concentration_deciles(sf_dir: str):
+    """Revenue concentration by user decile — the Lorenz table ('the top
+    10% of users drive Z% of revenue') that drives whale-segmentation and
+    sampling-bias decisions.  Per-user exact revenue from one grouped
+    exchange; decile via the engine's distributed order index + NTILE;
+    decile sums + share-of-total divide exact int64s."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.stats import global_order_index, partial_count_sum
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(pc.coalesce(t["value"], 0.0), 100.0)),
+                pa.int64()),
+        })
+
+    per_user = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], {"rev": ("sum", "cents")},
+    )
+    tiled = global_order_index(per_user, "rev", tiebreak="user_id",
+                               pos_name="grank", ntile=10,
+                               ntile_name="decile")
+    cells = partial_count_sum(
+        tiled.select_columns(["decile", "rev"]).map_batches(
+            lambda t: t, batch_format="pyarrow", zero_copy_batch=True),
+        ["decile"], "rev", count_name="n_users", sum_name="rev",
+    ).take_all()  # bounded: 10 rows
+    import pandas as pd
+
+    cdf = pd.DataFrame(cells).sort_values("decile").reset_index(drop=True)
+    tot = int(cdf["rev"].sum())
+    return pa.table({
+        "decile": pa.array(cdf["decile"].to_numpy(), pa.int64()),
+        "n_users": pa.array(cdf["n_users"].to_numpy(), pa.int64()),
+        "revenue_cents": pa.array(cdf["rev"].to_numpy(), pa.int64()),
+        "share": pc.divide(
+            pc.cast(pa.array(cdf["rev"].to_numpy()), pa.float64()),
+            float(tot)),
+    })
+
+
+QUERIES_ML["revenue_concentration_deciles"] = q_revenue_concentration_deciles
+ORACLE_SQL_ML["revenue_concentration_deciles"] = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CAST(ROUND(COALESCE(value, 0) * 100)
+                                    AS BIGINT)), 0) AS BIGINT) AS rev
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT rev, CAST(NTILE(10) OVER (ORDER BY rev, user_id) AS BIGINT)
+               AS decile
+      FROM u),
+    c AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(rev) AS BIGINT) AS revenue_cents
+          FROM d GROUP BY 1)
+    SELECT decile, n_users, revenue_cents,
+           CAST(revenue_cents AS DOUBLE)
+             / CAST((SELECT SUM(revenue_cents) FROM c) AS DOUBLE) AS share
+    FROM c
+"""
