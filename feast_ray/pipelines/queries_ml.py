@@ -6584,3 +6584,197 @@ ORACLE_SQL_ML["revenue_concentration_deciles"] = """
              / CAST((SELECT SUM(revenue_cents) FROM c) AS DOUBLE) AS share
     FROM c
 """
+
+
+def q_hard_negatives_embeddings(sf_dir: str):
+    """Hard-negative mining for metric learning — for each anchor (the
+    first 50 vec_ids), the most-cosine-similar vector with a DIFFERENT
+    label: the pairs that actually move a contrastive loss (random
+    negatives are trivially easy).  Anchors broadcast once via ray.put;
+    every batch scores its vectors against all anchors in one matmul and
+    emits at most one candidate per anchor (per-batch argmax under the
+    label mask); the driver folds blocks x 50 candidate rows.  Cosines
+    round to 6dp (the established `brute_force_topk` parity contract),
+    ties break to the smallest negative id."""
+    import ray
+
+    from feast_ray.sources.parquet import read_pq
+    from feast_ray.stages.similarity import _embedding_matrix, cosine_scores
+
+    N_ANCHORS = 50
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding", "label"])
+    head = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], N_ANCHORS)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    head.sort(key=lambda r: int(r["vec_id"]))
+    amat = np.array([r["embedding"] for r in head], dtype=np.float64)
+    aids = np.array([int(r["vec_id"]) for r in head], dtype=np.int64)
+    alab = np.array([int(r["label"]) for r in head], dtype=np.int64)
+    anorm = amat / np.linalg.norm(amat, axis=1, keepdims=True)
+    a_ref = ray.put((aids, alab, anorm))
+
+    def cands(t: pa.Table) -> pa.Table:
+        ids_a, lab_a, an = ray.get(a_ref)
+        empty = pa.table({
+            "anchor_id": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["label"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mat = _embedding_matrix(t["embedding"])
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+        sims = np.round(mn @ an.T, 6)  # (rows, anchors), parity-rounded
+        diff = lab[:, None] != lab_a[None, :]
+        sims = np.where(diff, sims, -np.inf)
+        # per-anchor best in this batch; ties -> smallest vec_id (ids may
+        # be unsorted within a batch, so lexsort per column)
+        order = np.lexsort((ids,))
+        sims_o, ids_o = sims[order], ids[order]
+        best = np.argmax(sims_o, axis=0)  # first max = smallest id
+        bsim = sims_o[best, np.arange(len(ids_a))]
+        ok = np.isfinite(bsim)
+        if not ok.any():
+            return empty
+        return pa.table({
+            "anchor_id": pa.array(ids_a[ok]),
+            "neg_id": pa.array(ids_o[best[ok]]),
+            "cos_sim": pa.array(bsim[ok]),
+        })
+
+    parts = ds.map_batches(cands, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    best: dict = {}
+    for r in parts:  # blocks x anchors rows — bounded driver fold
+        k = int(r["anchor_id"])
+        cand = (-float(r["cos_sim"]), int(r["neg_id"]))
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    rows = sorted(best.items())
+    return pa.table({
+        "anchor_id": pa.array([k for k, _ in rows], pa.int64()),
+        "neg_id": pa.array([v[1] for _, v in rows], pa.int64()),
+        "cos_sim": pa.array([-v[0] for _, v in rows], pa.float64()),
+    })
+
+
+QUERIES_ML["hard_negatives_embeddings"] = q_hard_negatives_embeddings
+ORACLE_SQL_ML["hard_negatives_embeddings"] = """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS alab,
+             embedding::DOUBLE[] AS ae
+      FROM embeddings WHERE vec_id < 50),
+    s AS (
+      SELECT a.anchor_id,
+             e.vec_id AS neg_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], a.ae), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY ROUND(list_cosine_similarity(
+                          e.embedding::DOUBLE[], a.ae), 6) DESC,
+                        e.vec_id) AS rn
+      FROM a JOIN embeddings e ON e.label <> a.alab)
+    SELECT anchor_id, neg_id, cos_sim FROM s WHERE rn = 1
+"""
+
+
+def q_hard_positives_embeddings(sf_dir: str):
+    """Hard-POSITIVE mining — for each anchor (first 50 vec_ids), the
+    LEAST-cosine-similar vector sharing its label (excluding itself): the
+    other half of a triplet-loss batch (easy positives teach nothing).
+    Same broadcast-anchor matmul shape as `hard_negatives_embeddings`,
+    argmin under the same-label mask, 6dp parity rounding, ties to the
+    smallest positive id."""
+    import ray
+
+    from feast_ray.sources.parquet import read_pq
+    from feast_ray.stages.similarity import _embedding_matrix
+
+    N_ANCHORS = 50
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding", "label"])
+    head = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], N_ANCHORS)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    head.sort(key=lambda r: int(r["vec_id"]))
+    amat = np.array([r["embedding"] for r in head], dtype=np.float64)
+    aids = np.array([int(r["vec_id"]) for r in head], dtype=np.int64)
+    alab = np.array([int(r["label"]) for r in head], dtype=np.int64)
+    anorm = amat / np.linalg.norm(amat, axis=1, keepdims=True)
+    a_ref = ray.put((aids, alab, anorm))
+
+    def cands(t: pa.Table) -> pa.Table:
+        ids_a, lab_a, an = ray.get(a_ref)
+        empty = pa.table({
+            "anchor_id": pa.array([], pa.int64()),
+            "pos_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["label"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mat = _embedding_matrix(t["embedding"])
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+        sims = np.round(mn @ an.T, 6)
+        same = (lab[:, None] == lab_a[None, :]) & (ids[:, None] != ids_a[None, :])
+        sims = np.where(same, sims, np.inf)
+        order = np.lexsort((ids,))
+        sims_o, ids_o = sims[order], ids[order]
+        best = np.argmin(sims_o, axis=0)  # first min = smallest id on ties
+        bsim = sims_o[best, np.arange(len(ids_a))]
+        ok = np.isfinite(bsim)
+        if not ok.any():
+            return empty
+        return pa.table({
+            "anchor_id": pa.array(ids_a[ok]),
+            "pos_id": pa.array(ids_o[best[ok]]),
+            "cos_sim": pa.array(bsim[ok]),
+        })
+
+    parts = ds.map_batches(cands, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    best: dict = {}
+    for r in parts:
+        k = int(r["anchor_id"])
+        cand = (float(r["cos_sim"]), int(r["pos_id"]))
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    rows = sorted(best.items())
+    return pa.table({
+        "anchor_id": pa.array([k for k, _ in rows], pa.int64()),
+        "pos_id": pa.array([v[1] for _, v in rows], pa.int64()),
+        "cos_sim": pa.array([v[0] for _, v in rows], pa.float64()),
+    })
+
+
+QUERIES_ML["hard_positives_embeddings"] = q_hard_positives_embeddings
+ORACLE_SQL_ML["hard_positives_embeddings"] = """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS alab,
+             embedding::DOUBLE[] AS ae
+      FROM embeddings WHERE vec_id < 50),
+    s AS (
+      SELECT a.anchor_id,
+             e.vec_id AS pos_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], a.ae), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY ROUND(list_cosine_similarity(
+                          e.embedding::DOUBLE[], a.ae), 6) ASC,
+                        e.vec_id) AS rn
+      FROM a JOIN embeddings e
+        ON e.label = a.alab AND e.vec_id <> a.anchor_id)
+    SELECT anchor_id, pos_id, cos_sim FROM s WHERE rn = 1
+"""
