@@ -6778,3 +6778,165 @@ ORACLE_SQL_ML["hard_positives_embeddings"] = """
         ON e.label = a.alab AND e.vec_id <> a.anchor_id)
     SELECT anchor_id, pos_id, cos_sim FROM s WHERE rn = 1
 """
+
+
+def q_bowley_moors_type(sf_dir: str):
+    """Robust shape diagnostics per event_type — Bowley (quartile) skewness
+    and Moors (octile) kurtosis: the moment-free skew/kurtosis that exact
+    integer order statistics CAN deliver at any scale (3rd/4th power sums
+    overflow int64 and lose exactness in doubles; octiles don't).  One
+    value-sorted exchange serves all seven octiles; both shape scores are
+    single float divisions of exact int64 quantile gaps."""
+    from feast_ray.stages.stats import grouped_quantile
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    q = grouped_quantile(
+        dv, ["event_type"], "cents",
+        {f"e{i}": (i / 8.0, "disc") for i in range(1, 8)},
+        count_name="n_values",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        e = {i: t[f"e{i}"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False) for i in range(1, 8)}
+        iqr = e[6] - e[2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bowley = np.where(
+                iqr > 0,
+                (e[6] + e[2] - 2 * e[4]).astype(np.float64)
+                / iqr.astype(np.float64), np.nan)
+            moors = np.where(
+                iqr > 0,
+                ((e[7] - e[5]) + (e[3] - e[1])).astype(np.float64)
+                / iqr.astype(np.float64), np.nan)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_values": t["n_values"].combine_chunks().cast(pa.int64()),
+            "q1_cents": pa.array(e[2]),
+            "median_cents": pa.array(e[4]),
+            "q3_cents": pa.array(e[6]),
+            "bowley_skew": pa.array(bowley, pa.float64(), from_pandas=True),
+            "moors_kurtosis": pa.array(moors, pa.float64(), from_pandas=True),
+        })
+
+    return q.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_ML["bowley_moors_type"] = q_bowley_moors_type
+ORACLE_SQL_ML["bowley_moors_type"] = """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    q AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(quantile_disc(c, 0.125) AS BIGINT) AS e1,
+             CAST(quantile_disc(c, 0.25) AS BIGINT) AS e2,
+             CAST(quantile_disc(c, 0.375) AS BIGINT) AS e3,
+             CAST(quantile_disc(c, 0.5) AS BIGINT) AS e4,
+             CAST(quantile_disc(c, 0.625) AS BIGINT) AS e5,
+             CAST(quantile_disc(c, 0.75) AS BIGINT) AS e6,
+             CAST(quantile_disc(c, 0.875) AS BIGINT) AS e7
+      FROM e GROUP BY 1)
+    SELECT event_type, n_values,
+           e2 AS q1_cents, e4 AS median_cents, e6 AS q3_cents,
+           CASE WHEN e6 - e2 > 0
+                THEN CAST(e6 + e2 - 2 * e4 AS DOUBLE)
+                     / CAST(e6 - e2 AS DOUBLE) END AS bowley_skew,
+           CASE WHEN e6 - e2 > 0
+                THEN CAST((e7 - e5) + (e3 - e1) AS DOUBLE)
+                     / CAST(e6 - e2 AS DOUBLE) END AS moors_kurtosis
+    FROM q
+"""
+
+
+def q_type_trigrams_session(sf_dir: str):
+    """Top-20 event-type TRIGRAMS within sessions — the behavioral 3-gram
+    patterns (view>click>purchase) that sequence miners and funnel
+    designers read; `type_transitions` gives the 2-gram matrix, this goes
+    one order deeper with the same one-exchange shape (session ids + two
+    session-masked shifted gathers fused in the kernel)."""
+    from feast_ray.grouped import grouped_map, sorted_head
+    from feast_ray.grouped import starts_to_row_gstart
+    from feast_ray.stages.stats import sum_by
+    from feast_ray.stages.windows import sessionize_ids
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        types = t["event_type"].combine_chunks()
+        empty = pa.table({
+            "t1": types.slice(0, 0), "t2": types.slice(0, 0),
+            "t3": types.slice(0, 0), "n": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        n = t.num_rows
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sess = sessionize_ids(ts, starts, SESSION_GAP_US)
+        gstart = starts_to_row_gstart(starts)
+        ar = np.arange(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        m2 = ar - 2 >= gstart
+        ok[m2] = (sess[ar[m2] - 2] == sess[m2]) if m2.any() else False
+        if not ok.any():
+            return empty
+        i3 = np.flatnonzero(ok)
+        enc = types.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = enc.dictionary
+        vocab = len(d)
+        tri = (codes[i3 - 2] * vocab + codes[i3 - 1]) * vocab + codes[i3]
+        uniq, cnt = np.unique(tri, return_counts=True)
+        c3 = uniq % vocab
+        c2 = (uniq // vocab) % vocab
+        c1 = uniq // (vocab * vocab)
+        return pa.table({
+            "t1": pc.take(d, pa.array(c1, pa.int64())),
+            "t2": pc.take(d, pa.array(c2, pa.int64())),
+            "t3": pc.take(d, pa.array(c3, pa.int64())),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    per_bucket = grouped_map(ds, ["user_id"], kernel,
+                             sort_keys=["ts", "event_id"])
+    agg = sum_by(per_bucket, ["t1", "t2", "t3"], ["n"])
+    return sorted_head(agg, ["n", "t1", "t2", "t3"],
+                       [True, True, True, True], 20)
+
+
+QUERIES_ML["type_trigrams_session"] = q_type_trigrams_session
+ORACLE_SQL_ML["type_trigrams_session"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev_ts)
+                                <= {1800 * 1_000_000}
+                           THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM e),
+    tri AS (
+      SELECT LAG(event_type, 2) OVER w2 AS t1,
+             LAG(event_type, 1) OVER w2 AS t2,
+             event_type AS t3
+      FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE t1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+"""
