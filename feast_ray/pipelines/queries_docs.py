@@ -3774,3 +3774,67 @@ ORACLE_SQL_DOCS["lognormal_fit_sources"] = """
                 ELSE 0.0 END AS sigma_ln
     FROM m
 """
+
+
+def q_sentence_stats_docs(sf_dir: str):
+    """Per-document sentence statistics — sentence count and exact mean
+    sentence length in characters (the readability axis `word_stats_docs`
+    doesn't cover: long-sentence legalese vs choppy SEO spam).  Sentences
+    split on [.!?]+ runs via one vectorized Arrow regex; empty fragments
+    (leading/trailing/double punctuation) drop on both sides; stateless
+    map, zero shuffles."""
+    docs = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        split = pc.split_pattern_regex(txt, r"[.!?]+")
+        flat = split.flatten()
+        # strip an EXPLICIT char set — DuckDB trim(s, chars) parity
+        trimmed = pc.utf8_trim(flat, " \t\n\r")
+        lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        counts = pc.fill_null(pc.list_value_length(split), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        row_of = row_of[keep]
+        lens = lens[keep].astype(np.int64)
+        n_sent = np.bincount(row_of, minlength=t.num_rows).astype(np.int64)
+        tot_len = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(tot_len, row_of, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_len = np.where(
+                n_sent > 0,
+                tot_len.astype(np.float64) / n_sent.astype(np.float64),
+                np.nan)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_sentences": pa.array(n_sent),
+            "sum_sentence_chars": pa.array(tot_len),
+            "mean_sentence_chars": pa.array(mean_len, pa.float64(),
+                                            from_pandas=True),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES_DOCS["sentence_stats_docs"] = q_sentence_stats_docs
+ORACLE_SQL_DOCS["sentence_stats_docs"] = """
+    WITH s AS (
+      SELECT d.doc_id,
+             length(trim(u.frag, ' ' || chr(9) || chr(10) || chr(13))) AS ln
+      FROM documents d,
+           unnest(regexp_split_to_array(d.text, '[.!?]+')) u(frag)
+      WHERE length(trim(u.frag, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             CAST(SUM(ln) AS BIGINT) AS sum_sentence_chars
+      FROM s GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(agg.n_sentences, 0) AS n_sentences,
+           COALESCE(agg.sum_sentence_chars, 0) AS sum_sentence_chars,
+           CASE WHEN agg.n_sentences > 0
+                THEN CAST(agg.sum_sentence_chars AS DOUBLE)
+                     / CAST(agg.n_sentences AS DOUBLE)
+           END AS mean_sentence_chars
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""

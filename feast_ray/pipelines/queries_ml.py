@@ -6940,3 +6940,100 @@ ORACLE_SQL_ML["type_trigrams_session"] = f"""
     ORDER BY n DESC, t1, t2, t3
     LIMIT 20
 """
+
+
+def q_conversion_latency_quantiles(sf_dir: str):
+    """Signup-to-purchase conversion latency percentiles — p50/p90 of
+    (first purchase after first signup) across converting users: the
+    funnel-speed summary growth teams pin next to the conversion rate.
+    Per-user first-signup / first-following-purchase fold in ONE grouped
+    kernel (two searchsorted-free gathers over the sorted group); exact
+    global disc quantiles of the integer-microsecond latencies via the
+    distributed order index — two rows leave the cluster."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"user_id": u_a.slice(0, 0),
+                             "latency_us": pa.array([], pa.int64())})
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = t["event_type"].combine_chunks()
+        is_s = pc.equal(types, "signup").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(types, "purchase").to_numpy(zero_copy_only=False)
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        out_u, out_l = [], []
+        # first signup per group: min position among signup rows
+        pos = np.arange(t.num_rows, dtype=np.int64)
+        s_pos = np.where(is_s, pos, np.iinfo(np.int64).max)
+        first_s = np.full(len(sizes), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_s, gidx, s_pos)
+        # first purchase strictly after the signup position (rows sorted by
+        # ts within group, so position order == time order)
+        p_pos = np.where(is_p, pos, np.iinfo(np.int64).max)
+        # strictly LATER IN TIME than the first signup (a purchase at the
+        # same timestamp does not count — matches the SQL p_us > s_us)
+        has_s = first_s < np.iinfo(np.int64).max
+        ts_s_row = ts[np.minimum(first_s[gidx], t.num_rows - 1)]
+        p_after = np.where(
+            is_p & has_s[gidx] & (ts > ts_s_row), p_pos,
+            np.iinfo(np.int64).max)
+        first_p = np.full(len(sizes), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_p, gidx, p_after)
+        ok = (first_s < np.iinfo(np.int64).max) & (
+            first_p < np.iinfo(np.int64).max)
+        gi = np.flatnonzero(ok)
+        return pa.table({
+            "user_id": pc.take(u_a, pa.array(firsts[gi])),
+            "latency_us": pa.array(ts[first_p[gi]] - ts[first_s[gi]]),
+        })
+
+    lat = grouped_map(ds, ["user_id"], kernel,
+                      sort_keys=["ts", "event_id"]).materialize()
+    ranked = global_order_index(lat, "latency_us", tiebreak="user_id",
+                                pos_name="grank").materialize()
+    n = ranked.count()
+    if n == 0:
+        return pa.table({"n_converted": pa.array([0], pa.int64()),
+                         "p50_us": pa.array([None], pa.int64()),
+                         "p90_us": pa.array([None], pa.int64())})
+    tgt = {q: (int(q * 100) * n + 99) // 100 - 1 for q in (0.5, 0.9)}
+    tv = np.array(sorted(set(tgt.values())), dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(g, tv)))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    by_rank = {int(r["grank"]): int(r["latency_us"]) for r in rows}
+    return pa.table({
+        "n_converted": pa.array([n], pa.int64()),
+        "p50_us": pa.array([by_rank[tgt[0.5]]], pa.int64()),
+        "p90_us": pa.array([by_rank[tgt[0.9]]], pa.int64()),
+    })
+
+
+QUERIES_ML["conversion_latency_quantiles"] = q_conversion_latency_quantiles
+ORACLE_SQL_ML["conversion_latency_quantiles"] = """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+      GROUP BY 1),
+    l AS (
+      SELECT s.user_id, p.p_us - s.s_us AS latency_us
+      FROM s JOIN p USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(latency_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(latency_us, 0.9) AS BIGINT) AS p90_us
+    FROM l
+"""
