@@ -3838,3 +3838,76 @@ ORACLE_SQL_DOCS["sentence_stats_docs"] = """
            END AS mean_sentence_chars
     FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+
+def q_novelty_fraction_docs(sf_dir: str):
+    """Forward-novelty fraction per document — the share of a doc's
+    distinct 5-gram shingles never seen in any LOWER doc_id (doc_id as
+    ingest order): the curriculum / freshness signal that separates
+    contributing documents from rehashes, and the streaming view of
+    duplication that `dup_shingles_docs` measures symmetrically.  One
+    shingle-keyed exchange (per-gram min doc_id + per-(gram, doc) dedup
+    fused in the kernel), one doc-keyed count exchange."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.decontam import shingle_table
+    from feast_ray.stages.stats import partial_count_sum
+
+    sh = shingle_table(_docs(sf_dir), w=5)
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "novel": pa.array([], pa.int64())})
+        ids = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        gmin = np.minimum.reduceat(ids, starts[:-1])
+        order = np.lexsort((ids, gidx))
+        gg, dd = gidx[order], ids[order]
+        new = np.empty(len(gg), dtype=bool)
+        new[0] = True
+        new[1:] = (gg[1:] != gg[:-1]) | (dd[1:] != dd[:-1])
+        docs_ = dd[new]
+        novel = (docs_ == gmin[gg[new]]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(docs_),
+                         "novel": pa.array(novel)})
+
+    flags = grouped_map(sh, ["shingle"], kernel)
+    agg = partial_count_sum(flags, ["doc_id"], "novel",
+                            count_name="n_shingles", sum_name="n_novel")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": t["n_shingles"].cast(pa.int64()),
+            "n_novel": t["n_novel"].cast(pa.int64()),
+            "novelty": pc.divide(t["n_novel"].cast(pa.float64()),
+                                 t["n_shingles"].cast(pa.float64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES_DOCS["novelty_fraction_docs"] = q_novelty_fraction_docs
+ORACLE_SQL_DOCS["novelty_fraction_docs"] = """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(l) - 3),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                         l[i+3] || ' ' || l[i+4])) AS s
+      FROM lt WHERE len(l) >= 5),
+    mn AS (SELECT s, MIN(doc_id) AS md FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE sh.doc_id = mn.md) AS BIGINT)
+             AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE sh.doc_id = mn.md) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN mn ON mn.s = sh.s
+    GROUP BY sh.doc_id
+"""
