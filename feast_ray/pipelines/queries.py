@@ -5627,3 +5627,73 @@ ORACLE_SQL["order_status_mix"] = """
              AS share_of_priority
     FROM c JOIN t USING (o_orderpriority)
 """
+
+
+def q_trailing_purchases_at_click(sf_dir: str):
+    """THE feature-store staple: at every click, the same user's purchase
+    count and exact cents sum over the trailing 7 days [t-7d, t) — the
+    backward cross-table windowed aggregate ("activity in the last week
+    as-of each spine row").  Runs as ``stages.asof.range_agg_forward``
+    under TIME NEGATION (the same trick `asof_join_forward` uses): the
+    forward half-open window (t', t'+W] in negated time is exactly
+    [t-W, t) in real time — includes t-7d, excludes the click instant
+    itself, so the feature can never see same-instant data.  One grouped
+    exchange, no pair fan-out."""
+    from feast_ray.stages.asof import range_agg_forward
+
+    W = 7 * 86_400_000_000
+
+    def neg(col_ts, t):
+        us = t[col_ts].combine_chunks().cast(pa.int64())
+        return pc.multiply(us, -1)
+
+    clicks = _typed_events(sf_dir, "click", ["user_id", "event_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": neg("ts", t),
+            "real_ts": t["ts"].combine_chunks().cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    purchases = _typed_events(sf_dir, "purchase", ["user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "ts": neg("ts", t),
+            "cents": pc.cast(pc.round(pc.multiply(pc.coalesce(t["value"], 0.0),
+                                                  100.0)), pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = range_agg_forward(
+        clicks, purchases, key="user_id", window_us=W,
+        val_col="cents", count_name="n_purch_7d", sum_name="sum_cents_7d",
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "n_purch_7d": t["n_purch_7d"].cast(pa.int64()),
+            "sum_cents_7d": t["sum_cents_7d"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["trailing_purchases_at_click"] = q_trailing_purchases_at_click
+ORACLE_SQL["trailing_purchases_at_click"] = """
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pt,
+             CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+           CAST(COUNT(p.pt) AS BIGINT) AS n_purch_7d,
+           CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS sum_cents_7d
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.pt >= c.us - 604800000000 AND p.pt < c.us
+    GROUP BY 1, 2
+"""
