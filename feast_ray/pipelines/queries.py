@@ -4919,6 +4919,7 @@ CORE_QUERIES = [
     # J1/J2/J4/M1/M4/M6: point-in-time as-of joins (+ the leakage audit)
     "asof_click_value", "historical_multiview", "asof_click_broadcast",
     "asof_created_tiebreak", "asof_composite_key", "leakage_audit",
+    "trailing_purchases_at_click",
     # A1-A4: windows / lag-lead / sessionize
     "rolling_events", "lag_lead_events", "sessionize_events",
     "rolling_time_minmax", "hopping_window_events", "expanding_events",
