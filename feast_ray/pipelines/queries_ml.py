@@ -7037,3 +7037,47 @@ ORACLE_SQL_ML["conversion_latency_quantiles"] = """
            CAST(quantile_disc(latency_us, 0.9) AS BIGINT) AS p90_us
     FROM l
 """
+
+
+def q_weekly_value_bands_type(sf_dir: str):
+    """Weekly p10/p50/p90 value bands per event_type — the percentile
+    ribbon a monitoring dashboard draws to catch tail drift that means
+    and PSI-on-means both miss.  Exact discrete quantiles off ONE
+    value-sorted exchange keyed (type, week); no driver materialization
+    beyond the bounded band table."""
+    from feast_ray.stages.stats import grouped_quantile
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "week": pc.divide(us, 604_800_000_000),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantile(
+        dv, ["event_type", "week"], "cents",
+        {"p10_cents": (0.1, "disc"), "p50_cents": (0.5, "disc"),
+         "p90_cents": (0.9, "disc")},
+        count_name="n_values",
+    )
+
+
+QUERIES_ML["weekly_value_bands_type"] = q_weekly_value_bands_type
+ORACLE_SQL_ML["weekly_value_bands_type"] = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, week,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(quantile_disc(c, 0.1) AS BIGINT) AS p10_cents,
+           CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents
+    FROM e GROUP BY 1, 2
+"""
