@@ -7081,3 +7081,188 @@ ORACLE_SQL_ML["weekly_value_bands_type"] = """
            CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents
     FROM e GROUP BY 1, 2
 """
+
+
+def q_weekly_user_overlap(sf_dir: str):
+    """Week-over-week active-user overlap — Jaccard between consecutive
+    weeks' active-user sets: the churn/stability pulse (DAU/WAU says how
+    many; this says whether they're the SAME people).  Distinct (user,
+    week) pairs come from one map-side-combined exchange; the week-pair
+    intersection folds over a second exchange keyed by user with
+    consecutive-week run detection in the kernel — the bounded week x week
+    table never scales with users."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import partial_count_sum, sum_by
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "week": pc.divide(us, 604_800_000_000),
+        })
+
+    dw = partial_count_sum(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "week"], count_name="_n",
+    )  # distinct (user, week)
+
+    def pairs(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"week_a": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64())})
+        w = t["week"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        order = np.lexsort((w, gidx))
+        gg, ww = gidx[order], w[order]
+        # consecutive weeks WITHIN a user = one intersection member
+        hit = (gg[1:] == gg[:-1]) & (ww[1:] == ww[:-1] + 1)
+        wa = ww[:-1][hit]
+        if len(wa) == 0:
+            return pa.table({"week_a": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(wa, return_counts=True)
+        return pa.table({"week_a": pa.array(uniq),
+                         "inter": pa.array(cnt.astype(np.int64))})
+
+    inter = sum_by(
+        grouped_map(dw.select_columns(["user_id", "week"]), ["user_id"],
+                    pairs, sort_keys=["week"]),
+        ["week_a"], ["inter"],
+    ).take_all()  # bounded: weeks
+    per_week = partial_count_sum(
+        dw.select_columns(["week"]), ["week"], count_name="n_users",
+    ).take_all()
+    import pandas as pd
+
+    pw = {int(r["week"]): int(r["n_users"]) for r in per_week}
+    iv = {int(r["week_a"]): int(r["inter"]) for r in inter}
+    weeks = sorted(pw)
+    rows = []
+    for wa in weeks[:-1]:
+        wb = wa + 1
+        if wb not in pw:
+            continue
+        i = iv.get(wa, 0)
+        union = pw[wa] + pw[wb] - i
+        rows.append((wa, wb, pw[wa], pw[wb], i,
+                     float(i) / float(union) if union else None))
+    return pa.table({
+        "week_a": pa.array([r[0] for r in rows], pa.int64()),
+        "week_b": pa.array([r[1] for r in rows], pa.int64()),
+        "n_users_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_users_b": pa.array([r[3] for r in rows], pa.int64()),
+        "inter": pa.array([r[4] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+QUERIES_ML["weekly_user_overlap"] = q_weekly_user_overlap
+ORACLE_SQL_ML["weekly_user_overlap"] = """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events),
+    pw AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    iv AS (
+      SELECT a.week AS week_a, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM d a JOIN d b
+        ON b.user_id = a.user_id AND b.week = a.week + 1
+      GROUP BY 1)
+    SELECT pa_.week AS week_a, pb.week AS week_b,
+           pa_.n AS n_users_a, pb.n AS n_users_b,
+           COALESCE(iv.inter, 0) AS inter,
+           CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+             / CAST(pa_.n + pb.n - COALESCE(iv.inter, 0) AS DOUBLE)
+             AS jaccard
+    FROM pw pa_ JOIN pw pb ON pb.week = pa_.week + 1
+    LEFT JOIN iv ON iv.week_a = pa_.week
+"""
+
+
+def q_value_share_top1pct(sf_dir: str):
+    """Share of total value cents held by the top-1% events per type —
+    the whale-concentration number that decides whether mean-based
+    features are even meaningful.  Exact disc p99 threshold per type off
+    the value-sorted exchange; the conditional sum is one broadcast map
+    (c >= thr, exact ints); share is one division."""
+    import ray
+
+    from feast_ray.stages.stats import grouped_quantile, partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    q = grouped_quantile(dv, ["event_type"], "cents",
+                         {"p99": (0.99, "disc")}).to_pandas()
+    thr = {r["event_type"]: int(r["p99"]) for _, r in q.iterrows()}
+    t_ref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        th = ray.get(t_ref)
+        d = t["event_type"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lut = np.array([th[v] for v in d.dictionary.to_pylist()],
+                       dtype=np.int64)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        top = c >= lut[codes]
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": t["cents"],
+            "top_cents": pa.array(np.where(top, c, 0).astype(np.int64)),
+            "is_top": pa.array(top.astype(np.int64)),
+        })
+
+    agg = partial_count_sum(
+        dv.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], "cents", count_name="n_values", sum_name="total")
+    agg2 = partial_count_sum(
+        dv.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], "top_cents", count_name="_n", sum_name="top_total")
+    a = agg.to_pandas().set_index("event_type")
+    b = agg2.to_pandas().set_index("event_type")
+    types = sorted(a.index)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_values": pa.array([int(a.loc[t, "n_values"]) for t in types],
+                             pa.int64()),
+        "p99_cents": pa.array([thr[t] for t in types], pa.int64()),
+        "top_cents": pa.array([int(b.loc[t, "top_total"]) for t in types],
+                              pa.int64()),
+        "total_cents": pa.array([int(a.loc[t, "total"]) for t in types],
+                                pa.int64()),
+        "top_share": pa.array(
+            [float(int(b.loc[t, "top_total"])) / float(int(a.loc[t, "total"]))
+             for t in types], pa.float64()),
+    })
+
+
+QUERIES_ML["value_share_top1pct"] = q_value_share_top1pct
+ORACLE_SQL_ML["value_share_top1pct"] = """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    q AS (SELECT event_type, CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99
+          FROM e GROUP BY 1)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           q.p99 AS p99_cents,
+           CAST(SUM(CASE WHEN e.c >= q.p99 THEN e.c ELSE 0 END) AS BIGINT)
+             AS top_cents,
+           CAST(SUM(e.c) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN e.c >= q.p99 THEN e.c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(e.c) AS DOUBLE) AS top_share
+    FROM e JOIN q USING (event_type)
+    GROUP BY 1, 3
+"""
