@@ -7266,3 +7266,165 @@ ORACLE_SQL_ML["value_share_top1pct"] = """
     FROM e JOIN q USING (event_type)
     GROUP BY 1, 3
 """
+
+
+def q_hill_tail_index_type(sf_dir: str):
+    """Hill tail-index estimator per event_type — alpha-hat over the
+    values above the type's own exact p90 threshold: the heavy-tail
+    diagnostic that says whether means/variances of a value column are
+    even finite-sample-stable (alpha <= 2 means variance-infinite tail
+    behavior; feature pipelines should winsorize or log those columns).
+    Threshold from the value-sorted exchange; tail terms are micro-nat
+    ROUND(half-away) ln(x/thr) fixed point summed exactly; alpha is one
+    final division mirrored in SQL."""
+    import ray
+
+    from feast_ray.stages.stats import grouped_quantile, partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t = pa.table({"event_type": t["event_type"], "cents": c})
+        return t.filter(pc.greater(t["cents"], 0))
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    q = grouped_quantile(dv, ["event_type"], "cents",
+                         {"p90": (0.9, "disc")}).to_pandas()
+    thr = {r["event_type"]: int(r["p90"]) for _, r in q.iterrows()}
+    t_ref = ray.put(thr)
+
+    def terms(t: pa.Table) -> pa.Table:
+        th = ray.get(t_ref)
+        d = t["event_type"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lut = np.array([th[v] for v in d.dictionary.to_pylist()],
+                       dtype=np.int64)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        tail = c > lut[codes]  # strictly above the threshold
+        if not tail.any():
+            return pa.table({"event_type": d.dictionary.slice(0, 0),
+                             "tm": pa.array([], pa.int64())})
+        ratio = c[tail].astype(np.float64) / lut[codes][tail].astype(np.float64)
+        tm = pc.cast(pc.round(pc.multiply(pc.ln(pa.array(ratio)),
+                                          1_000_000.0),
+                              round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({
+            "event_type": pc.take(t["event_type"].combine_chunks(),
+                                  pa.array(np.flatnonzero(tail), pa.int64())),
+            "tm": tm,
+        })
+
+    agg = partial_count_sum(
+        dv.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], "tm", count_name="n_tail", sum_name="s_tm",
+    ).to_pandas().set_index("event_type")
+    types = sorted(agg.index)
+    alphas = []
+    for ty in types:
+        n, s = int(agg.loc[ty, "n_tail"]), int(agg.loc[ty, "s_tm"])
+        mean_ln = (float(s) / 1_000_000.0) / float(n)
+        alphas.append(1.0 / mean_ln if mean_ln > 0 else None)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_tail": pa.array([int(agg.loc[t, "n_tail"]) for t in types],
+                           pa.int64()),
+        "p90_cents": pa.array([thr[t] for t in types], pa.int64()),
+        "hill_alpha": pa.array(alphas, pa.float64()),
+    })
+
+
+QUERIES_ML["hill_tail_index_type"] = q_hill_tail_index_type
+ORACLE_SQL_ML["hill_tail_index_type"] = """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+        AND CAST(ROUND(value * 100) AS BIGINT) > 0),
+    q AS (SELECT event_type, CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90
+          FROM e GROUP BY 1),
+    t AS (
+      SELECT e.event_type,
+             CAST(ROUND(ln(CAST(e.c AS DOUBLE) / CAST(q.p90 AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS tm
+      FROM e JOIN q USING (event_type)
+      WHERE e.c > q.p90),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tail,
+                 CAST(SUM(tm) AS BIGINT) AS s
+          FROM t GROUP BY 1)
+    SELECT m.event_type, m.n_tail, q.p90 AS p90_cents,
+           CASE WHEN (CAST(m.s AS DOUBLE) / 1000000.0) / CAST(m.n_tail AS DOUBLE)
+                     > 0
+                THEN 1.0 / ((CAST(m.s AS DOUBLE) / 1000000.0)
+                            / CAST(m.n_tail AS DOUBLE))
+           END AS hill_alpha
+    FROM m JOIN q USING (event_type)
+"""
+
+
+def q_markov_stationary_types(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain — the
+    long-run behavioral mix implied by the transition matrix (where the
+    funnel settles if behavior never changes; compare against today's
+    empirical mix to see momentum).  Transition counts fold distributed
+    over the bounded type x type grid; 100 power-iteration steps run on
+    the driver over that tiny row-stochastic matrix.  An ITERATIVE
+    algorithm — no SQL twin (rows-only for the driver); the eigenvector
+    is pinned against numpy.linalg.eig in tests/test_wave39_ops.py."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import sum_by
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        types = t["event_type"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"t1": types.slice(0, 0), "t2": types.slice(0, 0),
+                             "n": pa.array([], pa.int64())})
+        from feast_ray.grouped import starts_to_row_gstart
+
+        gstart = starts_to_row_gstart(starts)
+        ar = np.arange(t.num_rows, dtype=np.int64)
+        ok = ar - 1 >= gstart
+        i2 = np.flatnonzero(ok)
+        enc = types.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = len(enc.dictionary)
+        pair = codes[i2 - 1] * vocab + codes[i2]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "t1": pc.take(enc.dictionary, pa.array(uniq // vocab, pa.int64())),
+            "t2": pc.take(enc.dictionary, pa.array(uniq % vocab, pa.int64())),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    trans = sum_by(
+        grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"]),
+        ["t1", "t2"], ["n"],
+    ).take_all()  # bounded: types^2
+    import pandas as pd
+
+    tdf = pd.DataFrame(trans)
+    types = sorted(set(tdf["t1"]) | set(tdf["t2"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    M = np.zeros((k, k), dtype=np.float64)
+    for _, r in tdf.iterrows():
+        M[idx[r["t1"]], idx[r["t2"]]] = float(r["n"])
+    rows = M.sum(axis=1)
+    P = M / np.where(rows > 0, rows, 1.0)[:, None]
+    # absorbing-safe: rows with no outgoing mass restart uniformly
+    P[rows == 0] = 1.0 / k
+    pi = np.full(k, 1.0 / k)
+    for _ in range(100):
+        pi = pi @ P
+        pi = pi / pi.sum()
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_p": pa.array(pi, pa.float64()),
+    })
+
+
+QUERIES_ML["markov_stationary_types"] = q_markov_stationary_types
+# no ORACLE_SQL entry: iterative power method — rows-only; numpy-eig pinned
