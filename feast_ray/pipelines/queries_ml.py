@@ -7428,3 +7428,38 @@ def q_markov_stationary_types(sf_dir: str):
 
 QUERIES_ML["markov_stationary_types"] = q_markov_stationary_types
 # no ORACLE_SQL entry: iterative power method — rows-only; numpy-eig pinned
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type, audited
+    in-row against the exact count — the sketch-vs-truth calibration a
+    pipeline runs before trusting HLL on columns too hot for exact
+    distinct.  Sketch: `stages.sketch.approx_distinct` (p=12, fixed-size
+    register blobs through one exchange; ~1.6% relative error); exact:
+    one distinct-pair exchange.  No SQL twin (the register max-merge is
+    not SQL-expressible here) — rows-only for the driver; the estimate is
+    deterministic and pinned by a pure-python HLL twin in
+    tests/test_wave40_ops.py plus the stage's error-bound tests."""
+    from feast_ray.stages.sketch import approx_distinct
+    from feast_ray.stages.stats import partial_count_sum
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    est = approx_distinct(ds, "event_type", "user_id", p=12).to_pandas()
+    pairs = partial_count_sum(ds, ["event_type", "user_id"],
+                              count_name="_n")
+    exact = partial_count_sum(pairs.select_columns(["event_type"]),
+                              ["event_type"], count_name="n_exact").to_pandas()
+    m = est.merge(exact, on="event_type").sort_values("event_type")
+    rel = (m["approx_distinct"].to_numpy()
+           - m["n_exact"].to_numpy()) / m["n_exact"].to_numpy()
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "n_exact": pa.array(m["n_exact"].to_numpy(), pa.int64()),
+        "hll_estimate": pa.array(m["approx_distinct"].to_numpy(),
+                                 pa.float64()),
+        "rel_error": pa.array(rel, pa.float64()),
+    })
+
+
+QUERIES_ML["approx_distinct_users"] = q_approx_distinct_users
+# no ORACLE_SQL entry: HLL register merge — rows-only; python-HLL pinned
