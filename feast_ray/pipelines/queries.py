@@ -5698,3 +5698,96 @@ ORACLE_SQL["trailing_purchases_at_click"] = """
      AND p.pt >= c.us - 604800000000 AND p.pt < c.us
     GROUP BY 1, 2
 """
+
+
+def q_brand_quantity_revenue(sf_dir: str):
+    """TPC-H Q19-flavor disjunctive-predicate revenue: lineitem x part
+    where (brand, quantity-band) matches any of three OR'd arm predicates
+    — the composite-filter join every BI layer generates.  The part side
+    reduces to (partkey, brand-arm) at the read; the arm test evaluates
+    vectorized post-join; one global int64 fold."""
+    from feast_ray.stages.join import equi_join
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table({
+            "partkey": t["l_partkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                            pa.int64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    part = read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: pa.table({
+            "partkey": t["p_partkey"],
+            "arm": pc.case_when(
+                pc.make_struct(
+                    pc.equal(t["p_brand"], "Brand#1"),
+                    pc.equal(t["p_brand"], "Brand#2"),
+                    pc.equal(t["p_brand"], "Brand#3"),
+                ),
+                pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64()),
+                pa.scalar(3, pa.int64()), pa.scalar(0, pa.int64()),
+            ),
+        }).filter(pc.field("arm") > 0),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    def arm_filter(t: pa.Table) -> pa.Table:
+        a1 = pc.and_(pc.equal(t["arm"], 1),
+                     pc.and_(pc.greater_equal(t["qty"], 1),
+                             pc.less_equal(t["qty"], 11)))
+        a2 = pc.and_(pc.equal(t["arm"], 2),
+                     pc.and_(pc.greater_equal(t["qty"], 10),
+                             pc.less_equal(t["qty"], 20)))
+        a3 = pc.and_(pc.equal(t["arm"], 3),
+                     pc.and_(pc.greater_equal(t["qty"], 20),
+                             pc.less_equal(t["qty"], 30)))
+        return t.filter(pc.or_(pc.or_(a1, a2), a3))
+
+    j = equi_join(li, part, keys=["partkey"], how="inner").map_batches(
+        arm_filter, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(t["rev"]).as_py() or 0], pa.int64()),
+        })
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    s = sum(int(r["s"]) for r in parts)
+    return pa.table({
+        "n_lines": pa.array([n], pa.int64()),
+        "revenue_units": pa.array([s], pa.int64()),
+    })
+
+
+QUERIES["brand_quantity_revenue"] = q_brand_quantity_revenue
+ORACLE_SQL["brand_quantity_revenue"] = """
+    WITH j AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty, p_brand,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_units
+    FROM j
+    WHERE (p_brand = 'Brand#1' AND qty BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND qty BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND qty BETWEEN 20 AND 30)
+"""

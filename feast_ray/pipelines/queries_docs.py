@@ -3911,3 +3911,53 @@ ORACLE_SQL_DOCS["novelty_fraction_docs"] = """
     FROM sh JOIN mn ON mn.s = sh.s
     GROUP BY sh.doc_id
 """
+
+
+def q_lang_agreement_docs(sf_dir: str):
+    """Declared-vs-detected language confusion matrix — counts by
+    (declared lang column, stopword-argmax detection): the metadata-trust
+    audit that says whether the ingest feed's language labels can be used
+    for routing or must be re-derived.  Detection is the established
+    `add_lang_id` scan; the matrix is one map-side-combined exchange over
+    the bounded langs x langs grid, with per-declared-language agreement
+    rates as one float division each."""
+    from feast_ray.stages.stats import partial_count_sum
+    from feast_ray.stages.text import add_lang_id
+
+    ds = add_lang_id(_docs(sf_dir, columns=("doc_id", "text", "lang")))
+    cnt = partial_count_sum(
+        ds.select_columns(["lang", "lang_pred"]),
+        ["lang", "lang_pred"], count_name="n",
+    ).take_all()  # bounded: langs x (langs + 'und')
+    import pandas as pd
+
+    cdf = pd.DataFrame(cnt).sort_values(["lang", "lang_pred"]).reset_index(
+        drop=True)
+    tot = cdf.groupby("lang")["n"].transform("sum")
+    agree = (cdf["lang"] == cdf["lang_pred"])
+    return pa.table({
+        "lang_declared": pa.array(cdf["lang"], pa.string()),
+        "lang_detected": pa.array(cdf["lang_pred"], pa.string()),
+        "n_docs": pa.array(cdf["n"].to_numpy(), pa.int64()),
+        "share_of_declared": pc.divide(
+            pc.cast(pa.array(cdf["n"].to_numpy()), pa.float64()),
+            pc.cast(pa.array(tot.to_numpy()), pa.float64())),
+    })
+
+
+QUERIES_DOCS["lang_agreement_docs"] = q_lang_agreement_docs
+ORACLE_SQL_DOCS["lang_agreement_docs"] = f"""
+    WITH det AS ({_lang_sql()}),
+    j AS (
+      SELECT d.lang AS lang_declared, det.lang_pred AS lang_detected
+      FROM documents d JOIN det USING (doc_id)),
+    c AS (SELECT lang_declared, lang_detected,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM j GROUP BY 1, 2),
+    t AS (SELECT lang_declared, CAST(SUM(n_docs) AS BIGINT) AS nt
+          FROM c GROUP BY 1)
+    SELECT c.lang_declared, c.lang_detected, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.nt AS DOUBLE)
+             AS share_of_declared
+    FROM c JOIN t USING (lang_declared)
+"""
