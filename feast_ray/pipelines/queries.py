@@ -5791,3 +5791,94 @@ ORACLE_SQL["brand_quantity_revenue"] = """
        OR (p_brand = 'Brand#2' AND qty BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#3' AND qty BETWEEN 20 AND 30)
 """
+
+
+def q_revenue_by_region(sf_dir: str):
+    """Revenue rolled up to the REGION level — the star schema's top hop
+    (lineitem x orders x customer x nation x region): completes table
+    coverage over all five dimension tables.  Tiny dims broadcast via the
+    co-partitioned hops' small sides; exact integer revenue; one grouped
+    aggregate of five rows."""
+    from feast_ray.grouped import grouped_aggregate
+    from feast_ray.stages.join import equi_join
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "rev": pc.multiply(
+                pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                            pa.int64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "custkey": t["o_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust = read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table({"custkey": t["c_custkey"],
+                            "nationkey": t["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    nation = read_pq(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda t: pa.table({"nationkey": t["n_nationkey"].cast(pa.int64()),
+                            "regionkey": t["n_regionkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    region = read_pq(
+        f"{sf_dir}/region.parquet"
+    ).map_batches(
+        lambda t: pa.table({
+            "regionkey": t[t.schema.names[0]].cast(pa.int64()),
+            "r_name": t[t.schema.names[1]],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j1 = equi_join(li, orders, keys=["orderkey"], how="inner")
+    j2 = equi_join(j1.select_columns(["custkey", "rev"]), cust,
+                   keys=["custkey"], how="inner")
+    j3 = equi_join(j2.select_columns(["nationkey", "rev"]), nation,
+                   keys=["nationkey"], how="inner")
+    j4 = equi_join(j3.select_columns(["regionkey", "rev"]), region,
+                   keys=["regionkey"], how="inner")
+    return grouped_aggregate(
+        j4.select_columns(["r_name", "rev"]), ["r_name"],
+        {"n_items": ("count", None), "revenue_units": ("sum", "rev")},
+    ).map_batches(
+        lambda t: pa.table({
+            "r_name": t["r_name"],
+            "n_items": t["n_items"].cast(pa.int64()),
+            "revenue_units": t["revenue_units"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["revenue_by_region"] = q_revenue_by_region
+ORACLE_SQL["revenue_by_region"] = """
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+"""

@@ -7463,3 +7463,102 @@ def q_approx_distinct_users(sf_dir: str):
 
 QUERIES_ML["approx_distinct_users"] = q_approx_distinct_users
 # no ORACLE_SQL entry: HLL register merge — rows-only; python-HLL pinned
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    """Embedding L2-norm distribution audit — n, mean, p50/p99 norms: the
+    five numbers that catch an unnormalized or collapsing encoder before
+    cosine math silently degrades.  Norms never sort as floats: the disc
+    quantiles run over the EXACT int64 micro sum-of-squares via the
+    distributed order index (norm is a monotone transform of ssq, so
+    quantile(norm) = sqrt(quantile(ssq)) exactly); the mean folds
+    micro-quantized per-row norms through exact int64 sums."""
+    from feast_ray.sources.parquet import read_pq
+    from feast_ray.stages.stats import global_order_index
+
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().cast(pa.float64())
+        m = pc.cast(pc.round(pc.multiply(flat, 1_000_000.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        d = len(m) // t.num_rows
+        x = m.reshape(t.num_rows, d)
+        ssq = np.einsum("ij,ij->i", x, x)  # micro^2 units, exact int64
+        norm = np.sqrt(ssq.astype(np.float64)) / 1_000_000.0
+        nm = pc.cast(pc.round(pc.multiply(pa.array(norm), 1_000_000.0),
+                              round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"vec_id": t["vec_id"], "ssq": pa.array(ssq),
+                         "norm_micro": nm})
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(t["norm_micro"]).as_py() or 0], pa.int64()),
+        })
+
+    mom = dv.map_batches(moments, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in mom)
+    s = sum(int(r["s"]) for r in mom)
+    ranked = global_order_index(dv.select_columns(["ssq", "vec_id"]),
+                                "ssq", tiebreak="vec_id",
+                                pos_name="grank").materialize()
+    tgt = {q: (int(q * 100) * n + 99) // 100 - 1 for q in (0.5, 0.99)}
+    tv = np.array(sorted(set(tgt.values())), dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(g, tv)))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    by_rank = {int(r["grank"]): int(r["ssq"]) for r in rows}
+    import math
+
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean_norm": pa.array([(s / 1_000_000.0) / n], pa.float64()),
+        "p50_norm": pa.array([math.sqrt(by_rank[tgt[0.5]]) / 1_000_000.0],
+                             pa.float64()),
+        "p99_norm": pa.array([math.sqrt(by_rank[tgt[0.99]]) / 1_000_000.0],
+                             pa.float64()),
+    })
+
+
+QUERIES_ML["embedding_norm_stats"] = q_embedding_norm_stats
+ORACLE_SQL_ML["embedding_norm_stats"] = """
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+      FROM embeddings),
+    v AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(micro AS HUGEINT) * micro) AS HUGEINT) AS ssq
+      FROM x GROUP BY 1),
+    nm AS (
+      SELECT vec_id, ssq,
+             CAST(ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0 * 1000000.0)
+                  AS BIGINT) AS norm_micro
+      FROM v),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(norm_micro) AS BIGINT) AS s,
+                 CAST(quantile_disc(ssq, 0.5) AS HUGEINT) AS q50,
+                 CAST(quantile_disc(ssq, 0.99) AS HUGEINT) AS q99
+          FROM nm)
+    SELECT n,
+           (CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mean_norm,
+           sqrt(CAST(q50 AS DOUBLE)) / 1000000.0 AS p50_norm,
+           sqrt(CAST(q99 AS DOUBLE)) / 1000000.0 AS p99_norm
+    FROM g
+"""
