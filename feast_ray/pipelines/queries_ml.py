@@ -7562,3 +7562,95 @@ ORACLE_SQL_ML["embedding_norm_stats"] = """
            sqrt(CAST(q99 AS DOUBLE)) / 1000000.0 AS p99_norm
     FROM g
 """
+
+
+def q_churn_label_users(sf_dir: str):
+    """Churn-label generation — the OTHER supervised endpoint next to
+    `label_purchase_7d`: split time at the stream's median timestamp
+    (exact disc selection), and for every user active BEFORE the cutoff
+    emit churned = (no event in (cutoff, cutoff+14d]), plus their
+    pre-cutoff activity count and recency as the features a churn model
+    consumes.  Per-user conditional aggregates fuse in ONE grouped
+    kernel; the cutoff comes from the thin ranked pass."""
+    from feast_ray.grouped import grouped_map
+    from feast_ray.stages.stats import global_order_index
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def thin(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({"ts_us": us, "rid": t["event_id"]})
+
+    ranked = global_order_index(
+        ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True),
+        "ts_us", tiebreak="rid", pos_name="grank",
+    ).materialize()
+    n = ranked.count()
+    med_rank = (n + 1) // 2 - 1
+
+    def pick(t: pa.Table) -> pa.Table:
+        g = t["grank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(g == med_rank)).select(["ts_us"])
+
+    cutoff = int(
+        ranked.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()[0]["ts_us"]
+    )
+    W = 14 * 86_400_000_000
+
+    def kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        u_a = t["user_id"].combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": u_a.slice(0, 0),
+                "n_before": pa.array([], pa.int64()),
+                "recency_us": pa.array([], pa.int64()),
+                "churned": pa.array([], pa.int64()),
+            })
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sizes = np.diff(starts)
+        gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        firsts = starts[:-1]
+        before = ts <= cutoff
+        in_win = (ts > cutoff) & (ts <= cutoff + W)
+        n_before = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(n_before, gidx, before.astype(np.int64))
+        # last pre-cutoff ts per user (rows sorted by ts: max = last)
+        last_b = np.full(len(sizes), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last_b, gidx, np.where(before, ts,
+                                             np.iinfo(np.int64).min))
+        act_win = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(act_win, gidx, in_win.astype(np.int64))
+        ok = n_before > 0
+        gi = np.flatnonzero(ok)
+        return pa.table({
+            "user_id": pc.take(u_a, pa.array(firsts[gi])),
+            "n_before": pa.array(n_before[gi]),
+            "recency_us": pa.array(cutoff - last_b[gi]),
+            "churned": pa.array((act_win[gi] == 0).astype(np.int64)),
+        })
+
+    return grouped_map(ds, ["user_id"], kernel, sort_keys=["ts", "event_id"])
+
+
+QUERIES_ML["churn_label_users"] = q_churn_label_users
+ORACLE_SQL_ML["churn_label_users"] = """
+    WITH g AS (
+      SELECT quantile_disc(epoch_us(ts), 0.5) AS cutoff FROM events),
+    b AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_b
+      FROM events CROSS JOIN g
+      WHERE epoch_us(ts) <= g.cutoff GROUP BY 1),
+    w AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_win
+      FROM events CROSS JOIN g
+      WHERE epoch_us(ts) > g.cutoff
+        AND epoch_us(ts) <= g.cutoff + 1209600000000
+      GROUP BY 1)
+    SELECT b.user_id, b.n_before,
+           (SELECT cutoff FROM g) - b.last_b AS recency_us,
+           CAST(CASE WHEN COALESCE(w.n_win, 0) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS churned
+    FROM b LEFT JOIN w USING (user_id)
+"""
