@@ -5882,3 +5882,58 @@ ORACLE_SQL["revenue_by_region"] = """
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY 1
 """
+
+
+def q_supplier_count_by_brand_size(sf_dir: str):
+    """TPC-H Q16-flavor supplier diversity: distinct suppliers OBSERVED
+    shipping each (brand, size-band) — sourcing-risk view of the catalog
+    (a band served by one supplier is a single point of failure).  There
+    is no partsupp table in this schema, so the observed lineitem
+    (partkey, suppkey) pairs stand in; distinct triples collapse on one
+    map-side-combined exchange, the per-band count on a second tiny one."""
+    from feast_ray.stages.join import equi_join
+    from feast_ray.stages.stats import partial_count_sum
+
+    li = read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table({"partkey": t["l_partkey"],
+                            "suppkey": t["l_suppkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    part = read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: pa.table({
+            "partkey": t["p_partkey"],
+            "p_brand": t["p_brand"],
+            "size_band": pc.cast(
+                pc.divide(t["p_size"].cast(pa.int64()), 10), pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = equi_join(li, part, keys=["partkey"], how="inner")
+    triples = partial_count_sum(
+        j.select_columns(["p_brand", "size_band", "suppkey"]),
+        ["p_brand", "size_band", "suppkey"], count_name="_n",
+    )
+    return partial_count_sum(
+        triples.select_columns(["p_brand", "size_band"]),
+        ["p_brand", "size_band"], count_name="n_suppliers",
+    ).map_batches(
+        lambda t: pa.table({
+            "p_brand": t["p_brand"],
+            "size_band": t["size_band"],
+            "n_suppliers": t["n_suppliers"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUERIES["supplier_count_by_brand_size"] = q_supplier_count_by_brand_size
+ORACLE_SQL["supplier_count_by_brand_size"] = """
+    SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_band,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+"""
