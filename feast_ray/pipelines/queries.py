@@ -5937,3 +5937,67 @@ ORACLE_SQL["supplier_count_by_brand_size"] = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2
 """
+
+
+def q_merge_upsert_events(sf_dir: str):
+    """CDC latest-wins merge — the upsert ingest step (S4 completed): a
+    'correction feed' (every 10th event re-emitted 1h later with value
+    +1, via deterministic derivation so the oracle can re-build it)
+    unions with the base snapshot and ONE latest-per-entity pass keyed by
+    event_id keeps the newest version of every row.  The exact shape of
+    a warehouse MERGE / compaction of an append log into current state."""
+    from feast_ray.stages.latest import latest_per_entity
+
+    base = _events(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                            "value"])
+
+    def corrections(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = eid % 10 == 0
+        sub = t.filter(pa.array(keep))
+        us = sub["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "event_id": sub["event_id"],
+            "ts": pc.add(us, 3_600_000_000).cast(pa.timestamp("us")),
+            "user_id": sub["user_id"],
+            "event_type": sub["event_type"],
+            "value": pc.add(pc.coalesce(sub["value"], 0.0), 1.0),
+        })
+
+    corr = base.map_batches(corrections, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    merged = base.union(corr)
+    out = latest_per_entity(merged, keys="event_id", ts_col="ts")
+
+    def final(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": us,
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.coalesce(t["value"], -1.0), 100.0)), pa.int64()),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["merge_upsert_events"] = q_merge_upsert_events
+ORACLE_SQL["merge_upsert_events"] = """
+    WITH corr AS (
+      SELECT event_id, epoch_us(ts) + 3600000000 AS us, user_id, event_type,
+             COALESCE(value, 0) + 1.0 AS value
+      FROM events WHERE event_id % 10 = 0),
+    uni AS (
+      SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+      FROM events
+      UNION ALL SELECT * FROM corr),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY us DESC) AS rn
+      FROM uni)
+    SELECT event_id, us AS ts_us, user_id, event_type,
+           CAST(ROUND(COALESCE(value, -1.0) * 100) AS BIGINT) AS cents
+    FROM r WHERE rn = 1
+"""
