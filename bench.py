@@ -72,9 +72,28 @@ def _quiet_ray_data_noise() -> None:
         logging.getLogger(name).setLevel(logging.ERROR)
 
 
+def wait_clean_window(max_tries: int = 8, cooldown_s: float = 15.0) -> tuple[float, int]:
+    """Gate timed runs on host health: re-probe until the single-core sweep
+    reads below BENCH_PROBE_GATE seconds (default 1.0) or tries run out.
+    Returns (last probe reading, tries used).  This host intermittently
+    enters contention windows 30-100x slower than baseline (BASELINE.md);
+    round 4's committed sidecar was recorded in one (probe 6.0 s) and
+    inflated several timings — this gate keeps such numbers out of
+    committed artifacts.  Set BENCH_PROBE_GATE=inf to disable."""
+    gate = float(os.environ.get("BENCH_PROBE_GATE", "1.0"))
+    p = _host_probe_s()
+    tries = 1
+    while p > gate and tries < max_tries:
+        time.sleep(cooldown_s)
+        p = _host_probe_s()
+        tries += 1
+    return p, tries
+
+
 def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = False) -> dict:
     import ray
 
+    probe0, probe_tries = wait_clean_window()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -163,6 +182,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
         "turns_per_sec": round(metrics["turns_per_sec"], 1),
         "backfill_partitions": metrics["partitions_written"],
         "host_probe_s": _host_probe_s(),
+        "host_probe_pre_s": probe0,
+        "probe_gate_tries": probe_tries,
     }
 
 

@@ -54,24 +54,36 @@ SinkFn = Callable[[int, pa.Table], dict]  # (bucket_id, table) -> metrics dict
 _H = "__h"  # per-row uint64 key hash (as int64 bits), carried through the exchange
 
 
-def _split_by_bucket(tbl: pa.Table, keys: Sequence[str], num_buckets: int) -> list[pa.Table]:
-    """One argsort by bucket id, then zero-copy slices.
+def _split_by_bucket(
+    tbl: pa.Table,
+    keys: Sequence[str],
+    num_buckets: int,
+    lo: int = 0,
+    hi: Optional[int] = None,
+) -> list[pa.Table]:
+    """One argsort by bucket id, then zero-copy slices for buckets
+    ``[lo, hi)`` (default: all).
 
     The full key hash rides along as ``__h`` so reducers can sort and find
     group boundaries NUMERICALLY (no string comparisons); slices are NOT
     compacted here — Ray's Arrow serializer truncates sliced tables to
     their logical rows on put, so per-slice ``combine_chunks`` was a pure
     extra copy (verified: 100 slice puts of a 400 MB parent fit a 2 GB
-    store)."""
+    store).  When a sub-range is requested (the sharded-exchange path),
+    only the in-range rows are materialized by the ``take``."""
+    if hi is None:
+        hi = num_buckets
     if tbl.num_rows == 0:
-        return [tbl.append_column(_H, pa.array([], pa.int64()))] * num_buckets
+        return [tbl.append_column(_H, pa.array([], pa.int64()))] * (hi - lo)
     hu = hash_columns(tbl, keys)
     h = (hu % np.uint64(num_buckets)).astype(np.int64)
     order = np.argsort(h, kind="stable")
     hs = h[order]
-    t = tbl.append_column(_H, pa.array(hu.view(np.int64))).take(pa.array(order))
-    bounds = np.searchsorted(hs, np.arange(num_buckets + 1))
-    return [t.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(num_buckets)]
+    bounds = np.searchsorted(hs, np.arange(lo, hi + 1))
+    sel = order[bounds[0] : bounds[-1]]
+    t = tbl.append_column(_H, pa.array(hu.view(np.int64))).take(pa.array(sel))
+    bounds = bounds - bounds[0]
+    return [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(hi - lo)]
 
 
 def _sort_and_group(
@@ -188,6 +200,7 @@ def exchange_grouped(
     skip_buckets: Optional[set[int]] = None,
     map_fn_takes_paths: bool = False,
     pack_cols: Optional[Sequence[str]] = None,
+    shard_rounds: int = 1,
 ) -> list:
     """Run the fused exchange over parquet files; returns per-bucket results
     (``sink_fn`` metrics dicts if given, else reduced Arrow tables).
@@ -195,7 +208,21 @@ def exchange_grouped(
     ``pack_cols``: columns shipped through the shuffle as one
     zstd-compressed IPC blob per slice instead of raw Arrow buffers (see
     ``_pack_slice``) — for big compressible payloads (text) whose raw bytes
-    would saturate the transport."""
+    would saturate the transport.
+
+    ``shard_rounds``: the 100-TB object-count valve.  The exchange's live
+    object count is O(M x B); with R rounds the bucket space [0, B) is cut
+    into R contiguous key-hash ranges processed SEQUENTIALLY — each round
+    maps the input emitting only its range's buckets and reduces them to
+    completion before the next round starts, so the live count is bounded
+    at O(M x B/R) regardless of B.  The trade is R passes over the input
+    (reads + ``map_fn`` re-run; out-of-range rows are dropped before any
+    ``take`` materializes them), the classic multi-round shuffle trade —
+    IO is re-paid to keep shuffle metadata/object state bounded.  ``map_fn``
+    side effects (e.g. sidecar writes) must therefore be idempotent when
+    R > 1.  Results are returned in bucket order, identical to R=1 (parity
+    pinned by ``tests/test_exchange_sort.py``).  Resume composes: the
+    per-bucket manifests make a crash mid-round skip completed buckets."""
     import ray
 
     keys = list(keys)
@@ -203,20 +230,23 @@ def exchange_grouped(
     skip = skip_buckets or set()
 
     @ray.remote
-    def map_task(paths: list[str], B: int):
+    def map_task(paths: list[str], B: int, lo: int, hi: int):
         import pyarrow.parquet as pq
 
         tbls = [pq.read_table(p, columns=list(columns) if columns else None) for p in paths]
         tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
         if map_fn is not None:
             tbl = map_fn(tbl, paths) if map_fn_takes_paths else map_fn(tbl)
-        parts = _split_by_bucket(tbl, keys, B)
+        parts = _split_by_bucket(tbl, keys, B, lo, hi)
         if pack_cols:
             parts = [_pack_slice(p, pack_cols) for p in parts]
         return parts
 
     @ray.remote
     def reduce_task(b: int, *parts: pa.Table):
+        # num_returns=1 (one-bucket shard round) ships the map's 1-element
+        # list as a single object — unwrap it
+        parts = [p[0] if isinstance(p, list) else p for p in parts]
         if pack_cols:
             parts = [_unpack_slice(p) for p in parts]
         parts = [p for p in parts if p.num_rows > 0]
@@ -232,14 +262,27 @@ def exchange_grouped(
 
     if num_buckets < 2:
         raise ValueError("num_buckets must be >= 2")
+    if not 1 <= shard_rounds <= num_buckets:
+        raise ValueError("shard_rounds must be in [1, num_buckets]")
     chunks = [
         list(input_files[i : i + files_per_task])
         for i in range(0, len(input_files), files_per_task)
     ]
-    splits = [map_task.options(num_returns=num_buckets).remote(c, num_buckets) for c in chunks]
-    out_refs = [
-        reduce_task.remote(b, *[s[b] for s in splits])
-        for b in range(num_buckets)
-        if b not in skip
-    ]
-    return ray.get(out_refs)
+    results: list = []
+    edges = np.linspace(0, num_buckets, shard_rounds + 1).astype(int)
+    for r in range(shard_rounds):
+        lo, hi = int(edges[r]), int(edges[r + 1])
+        wanted = [b for b in range(lo, hi) if b not in skip]
+        if not wanted:
+            continue
+        n_ret = hi - lo
+        splits = [
+            map_task.options(num_returns=n_ret).remote(c, num_buckets, lo, hi)
+            for c in chunks
+        ]
+        if n_ret == 1:  # num_returns=1 yields the bare ref, not a list
+            splits = [[s] for s in splits]
+        out_refs = [reduce_task.remote(b, *[s[b - lo] for s in splits]) for b in wanted]
+        del splits  # drop slice refs so the store can free them as reducers finish
+        results.extend(ray.get(out_refs))  # per-round barrier bounds live objects
+    return results

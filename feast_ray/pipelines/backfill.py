@@ -190,11 +190,17 @@ def backfill_transcripts(
     text_layout: Optional[str] = None,
     files_per_task: int = 1,
     skip_buckets: Optional[set] = None,
+    shard_rounds: int = 1,
 ) -> dict:
     """Materialize the full per-turn feature table to partitioned Parquet
     with lineage manifests; resumable.  Returns aggregate metrics.
     ``skip_buckets`` adds caller-managed pruning (e.g. the incremental
-    watermark path) on top of manifest-based resume.
+    watermark path) on top of manifest-based resume.  ``shard_rounds``
+    (see ``exchange_grouped``) caps live shuffle objects at
+    O(map_tasks x num_buckets / shard_rounds) by running the exchange as
+    that many sequential key-hash-range passes — the knob for 100-TB runs
+    where M x B refs would otherwise strain the object directory; sidecar
+    text writes are content-addressed so the re-passes skip them.
 
     Runs on the fused raw-task exchange (``feast_ray.exchange``) — measured
     3-5x faster than the Dataset groupby path for this shuffle-dominated
@@ -308,6 +314,7 @@ def backfill_transcripts(
         # one zstd IPC blob per slice — trades cheap CPU for the shared
         # memory-bus bytes that wall the wide path's 8->32 scaling
         pack_cols=["text", "tool"] if text_layout == "packed" else None,
+        shard_rounds=shard_rounds,
     )
     wall = time.perf_counter() - t0
     rows = sum(r["rows"] for r in results)

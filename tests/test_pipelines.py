@@ -463,3 +463,40 @@ def test_curate_then_export_end_to_end(ray_session, tmp_path):
         f"SELECT doc_id FROM read_json_auto('{out}/shard-*.jsonl') ORDER BY doc_id"
     ).fetchdf()
     assert list(back["doc_id"]) == kept_ids
+
+
+def test_backfill_shard_rounds_parity(ray_session, fixture_dir, transcripts_tbl, tmp_path):
+    """shard_rounds (the 100-TB object-count valve, exchange.py) must be a
+    pure execution-shape knob: R sequential key-range passes produce
+    byte-identical feature partitions to the single-pass exchange, including
+    at the num_returns==1 edge (shard_rounds == num_buckets) and composed
+    with the sidecar text layout (whose content-addressed writes the
+    re-passes must skip, not duplicate)."""
+    inp = os.path.join(fixture_dir, "transcripts.parquet")
+
+    def read_sorted(d):
+        return (
+            pq.read_table(d)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    ref = str(tmp_path / "r1")
+    backfill_transcripts(inp, ref, num_buckets=8, resume=False, shard_rounds=1)
+    want = read_sorted(ref)
+    for rounds in (3, 8):  # uneven split + one-bucket-per-round edge
+        out = str(tmp_path / f"r{rounds}")
+        m = backfill_transcripts(inp, out, num_buckets=8, resume=False, shard_rounds=rounds)
+        assert m["rows"] == transcripts_tbl.num_rows
+        pd.testing.assert_frame_equal(read_sorted(out), want, check_like=True)
+
+    # sidecar layout: text files written once, not once per round
+    sc = str(tmp_path / "sc")
+    backfill_transcripts(
+        inp, sc, num_buckets=8, resume=False, shard_rounds=4, text_layout="sidecar"
+    )
+    text_files = [f for f in os.listdir(os.path.join(sc, "text")) if f.endswith(".parquet")]
+    assert len(text_files) == 1  # one input chunk -> one content-addressed sidecar
+    side = pq.read_table(os.path.join(sc, "text")).to_pandas()
+    assert len(side) == transcripts_tbl.num_rows
