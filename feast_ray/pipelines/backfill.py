@@ -400,11 +400,15 @@ def backfill_incremental(
     roll_time_s: int = 600,
     num_buckets: Optional[int] = None,
     carry_text: bool = True,
+    text_layout: Optional[str] = None,
     files_per_task: int = 1,
     allowed_lateness_s: int = 0,
 ) -> dict:
     """Incremental flagship backfill: recompute only the hash buckets that
     contain conversations with NEW turns since the stored watermark.
+    ``text_layout`` passes through to ``backfill_transcripts`` (overrides
+    the legacy ``carry_text`` flag; part of the watermark config, so a
+    layout change forces the full recompute it requires).
 
     The reference's increment unit is a per-feature-view end-time watermark
     (upstream ``feature_store.py::materialize_incremental`` via
@@ -435,6 +439,8 @@ def backfill_incremental(
 
     files = _resolve_files(input_path)
     b = num_buckets or default_num_buckets()
+    if text_layout is None:
+        text_layout = "carried" if carry_text else "none"
     wm = _load_watermark(out_dir)
 
     # Anything that determines WHICH bucket a conversation lands in or WHAT
@@ -447,7 +453,7 @@ def backfill_incremental(
         "roll_turns": roll_turns,
         "roll_time_s": roll_time_s,
         "num_buckets": b,
-        "carry_text": carry_text,
+        "text_layout": text_layout,
         "hash_backend": hash_backend_id(),
         "kernel_version": 2,
     }
@@ -505,7 +511,7 @@ def backfill_incremental(
         roll_time_s=roll_time_s,
         num_buckets=b,
         resume=False,  # skipping is driven by the watermark, not manifests
-        carry_text=carry_text,
+        text_layout=text_layout,
         files_per_task=files_per_task,
         skip_buckets=skip or set(),
     )

@@ -500,3 +500,98 @@ def test_backfill_shard_rounds_parity(ray_session, fixture_dir, transcripts_tbl,
     assert len(text_files) == 1  # one input chunk -> one content-addressed sidecar
     side = pq.read_table(os.path.join(sc, "text")).to_pandas()
     assert len(side) == transcripts_tbl.num_rows
+
+
+def test_transcript_lifecycle_end_to_end(ray_session, tmp_path):
+    """The north-star surfaces chained on one output (VERDICT r4 ask #8):
+    sidecar backfill -> PIT multi-view retrieval over the materialized
+    features -> leakage audit (zero temporal leaks) -> incremental backfill
+    of a late batch -> GDPR erase -> fsck -> and the chained invariant: a
+    further incremental run after erase is a clean no-op (manifests stay
+    resumable, erased conversations stay erased)."""
+    import glob as _glob
+
+    from feast_ray.fixtures import gen_transcripts
+    from feast_ray.pipelines.backfill import backfill_incremental
+    from feast_ray.pipelines.erase import erase_entities, fsck_output
+    from feast_ray.pipelines.historical import get_historical_features
+    from feast_ray.specs import FeatureView, ParquetSource
+    from feast_ray.stages.asof import asof_join
+
+    tbl = gen_transcripts(n_convs=60, mean_turns=12, seed=77, n_hot=2, hot_turns=80)
+    ts = tbl["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cut = np.quantile(ts, 0.85)
+    early, late = tbl.filter(pa.array(ts <= cut)), tbl.filter(pa.array(ts > cut))
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(early, src / "batch-000.parquet")
+
+    out = str(tmp_path / "bf")
+    kw = dict(num_buckets=8, session_gap_s=1800, roll_turns=5, roll_time_s=600)
+    r1 = backfill_incremental(str(src), out, text_layout="sidecar", **kw)
+    assert r1["rows"] == early.num_rows
+
+    # ---- PIT multi-view retrieval over the materialized feature partitions
+    part_files = sorted(_glob.glob(os.path.join(out, "part=*", "data.parquet")))
+    spine = (
+        early.to_pandas()
+        .groupby("conv_id", as_index=False)
+        .agg(ts=("ts", "max"))
+        .head(40)
+    )
+    view_roll = FeatureView(
+        name="roll", join_keys=("conv_id",),
+        source=ParquetSource(path=part_files, timestamp_field="ts"),
+        features=("msg_len_r5_count", "session_id"),
+    )
+    view_turn = FeatureView(
+        name="turn", join_keys=("conv_id",),
+        source=ParquetSource(path=part_files, timestamp_field="ts"),
+        features=("msg_len",),
+    )
+    hist = get_historical_features(
+        spine, [view_roll, view_turn], full_feature_names=True, num_buckets=4
+    ).to_pandas()
+    assert len(hist) == len(spine)
+    assert {"roll__msg_len_r5_count", "turn__msg_len"} <= set(hist.columns)
+    # spine ts == max feature ts per conv, so every row must match
+    assert hist["roll__msg_len_r5_count"].notna().all()
+
+    # ---- leakage audit: matched feature ts never exceeds the spine ts
+    from feast_ray.sources.parquet import read_pq, spine_from
+
+    leak = asof_join(
+        spine_from(spine), read_pq(part_files), key="conv_id",
+        feature_cols=["msg_len"], matched_ts_name="feat_ts", num_buckets=4,
+    ).to_pandas()
+    assert (leak["feat_ts"] <= leak["ts"]).all()
+
+    # ---- late batch -> incremental recompute of affected buckets only
+    pq.write_table(late, src / "batch-001.parquet")
+    r2 = backfill_incremental(str(src), out, text_layout="sidecar", **kw)
+    assert 0 < r2["new_buckets"] <= 8
+    total = pq.ParquetDataset(
+        sorted(_glob.glob(os.path.join(out, "part=*", "data.parquet")))
+    ).read()
+    assert total.num_rows == tbl.num_rows
+
+    # ---- GDPR erase of three conversations, then fsck
+    convs = sorted(set(tbl["conv_id"].to_pylist()))
+    victims = convs[:3]
+    res = erase_entities(out, victims)
+    assert res["rows_removed"] > 0
+    audit = fsck_output(out)
+    assert audit["issues"] == []
+    assert audit["rows_total"] == tbl.num_rows - res["rows_removed"] // 2
+
+    # ---- chained invariant: incremental after erase is a no-op (no
+    # resurrection of erased rows, manifests still resumable)
+    r3 = backfill_incremental(str(src), out, text_layout="sidecar", **kw)
+    assert r3["new_turns"] == 0 and r3["partitions_written"] == 0
+    final = pq.ParquetDataset(
+        sorted(_glob.glob(os.path.join(out, "part=*", "data.parquet")))
+    ).read().to_pandas()
+    assert not final["conv_id"].isin(victims).any()
+    side = pq.read_table(os.path.join(out, "text")).to_pandas()
+    assert not side["conv_id"].isin(victims).any()
+    assert fsck_output(out)["issues"] == []
