@@ -4931,8 +4931,9 @@ CORE_QUERIES = [
     "events_union", "streaming_window_features", "odfv_value_diff",
     # J5 + skew-aware shuffle join
     "semi_join_customers", "anti_join_customers", "join_skew_aware",
-    # O2/O4 + text battery
+    # O2/O4 + text battery + the round-5 real video decode
     "topk_events_per_user", "sample_events", "text_stats_docs",
+    "avi_decode_docs",
     # LLM dedup/similarity family heads
     "dedup_minhash_docs", "neardup_jaccard_docs", "simhash_pairs_docs",
     "neardup_embedding_pairs", "dedup_cluster_docs", "knn_topk",

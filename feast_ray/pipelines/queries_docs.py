@@ -3961,3 +3961,59 @@ ORACLE_SQL_DOCS["lang_agreement_docs"] = f"""
              AS share_of_declared
     FROM c JOIN t USING (lang_declared)
 """
+
+
+def q_avi_decode_docs(sf_dir: str):
+    """REAL video decode (no video library): each doc gets a deterministic
+    uncompressed-DIB AVI — a genuine RIFF tree (hdrl/strl/movi/idx1) with
+    bottom-up padded BGR frames — with n_frames = doc_id%4+2 frames of
+    width doc_id%11+1 x height doc_id%7+1 at fps 10+doc_id%5, where frame
+    f's logical top-down RGB byte k is (doc_id*13 + f*97 + k*5)%256.  The
+    actor-pool decoder walks the nested RIFF chunks, recovers fps from
+    strh dwRate/dwScale and dims from strf, decodes every sampled frame
+    (stride 2, max 5) and emits exact per-frame pixel moments.  The DuckDB
+    twin re-derives every sampled pixel with generate_series — identical
+    integer-sum moment arithmetic, bit-equal doubles."""
+    from feast_ray.stages.multimodal import add_video_frame_features, attach_avi_payloads
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        attach_avi_payloads, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = add_video_frame_features(
+        ds, id_cols=("doc_id",), stride=2, max_frames=5, mode="avi",
+        concurrency=4, batch_size=32,
+    )
+    return out.select_columns(
+        ["doc_id", "frame_idx", "n_frames", "fps", "width", "height",
+         "frame_mean", "frame_std"]
+    )
+
+
+QUERIES_DOCS["avi_decode_docs"] = q_avi_decode_docs
+ORACLE_SQL_DOCS["avi_decode_docs"] = """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 11 + 1 AS w, doc_id % 7 + 1 AS h,
+             doc_id % 4 + 2 AS nf, 10 + doc_id % 5 AS fps
+      FROM documents),
+    samp AS (
+      SELECT doc_id, w, h, nf, fps, CAST((u.i - 1) * 2 AS BIGINT) AS frame_idx
+      FROM dims,
+           unnest(generate_series(1, CAST(LEAST((nf + 1) // 2, 5) AS INTEGER))) AS u(i)),
+    px AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 13 + frame_idx * 97 + u.k * 5) % 256 AS b
+      FROM samp, unnest(generate_series(0, w * h * 3 - 1)) AS u(k)),
+    s AS (
+      SELECT doc_id, frame_idx, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(b) AS DOUBLE) AS sb, CAST(sum(b * b) AS DOUBLE) AS sq
+      FROM px GROUP BY doc_id, frame_idx)
+    SELECT d.doc_id, s.frame_idx,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.fps AS INTEGER) AS fps,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           s.sb / s.n AS frame_mean,
+           SQRT(GREATEST(s.sq / s.n - (s.sb / s.n) * (s.sb / s.n), 0.0))
+             AS frame_std
+    FROM dims d JOIN s USING (doc_id)
+"""

@@ -13,9 +13,11 @@ modes:
 - ``mode="decode"``: REAL dependency-free decoders — uncompressed 24-bit
   BMP (padded rows, bottom-up or top-down, BGR) and binary PPM (P6) for
   images (:func:`decode_bmp` / :func:`decode_ppm`), RIFF/WAVE 16-bit PCM
-  for audio (:func:`decode_wav`).  Container format is dispatched on magic
-  bytes; header parse is struct-level, pixel/sample math is numpy over the
-  raw buffer (no image/audio library needed).
+  for audio (:func:`decode_wav`), and uncompressed-DIB RIFF/AVI for video
+  (:func:`decode_avi` — full hdrl/strl/movi chunk-tree walk).  Container
+  format is dispatched on magic bytes; header parse is struct-level,
+  pixel/sample math is numpy over the raw buffer (no media library
+  needed).
 - ``mode="pil"`` / ``mode="librosa"``: use the library when installed;
   when absent they FALL BACK to the built-in ``decode`` path (which covers
   the formats this engine's synthetic fixtures emit) instead of raising.
@@ -882,6 +884,267 @@ def add_image_gradients(
     return ds.map_batches(
         ImageGradientExtractor,
         fn_constructor_kwargs={"payload_col": payload_col, "id_cols": id_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video-container decode (dependency-free): minimal uncompressed-DIB
+# AVI — a genuine RIFF('AVI ') file with hdrl/strl headers, '00db' frame
+# chunks and an idx1 index, written and parsed byte-for-byte to spec.
+# Closes the last decode stub: the pyav guard remains the integration
+# point for compressed codecs; this path needs no library at all.
+# ---------------------------------------------------------------------------
+
+
+def _dib_to_rgb(w: int, h_raw: int, raw: bytes | np.ndarray) -> np.ndarray:
+    """Decode one 24-bit DIB pixel block (padded rows, BGR, bottom-up when
+    ``h_raw`` > 0) to a top-down RGB uint8 array of shape (|h|, w, 3) —
+    the layout shared by BMP pixel data and AVI '00db' frames."""
+    h = abs(h_raw)
+    stride = (3 * w + 3) & ~3
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * stride).reshape(h, stride)
+    px = rows[:, : 3 * w].reshape(h, w, 3)
+    if h_raw > 0:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()
+
+
+def encode_avi(frames: np.ndarray, *, fps: int = 10) -> bytes:
+    """Minimal spec-correct AVI from RGB uint8 frames of shape (n, h, w, 3):
+    RIFF('AVI '){ LIST hdrl [avih + LIST strl [strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER]], LIST movi ['00db' x n], idx1 } with uncompressed
+    bottom-up BGR DIB frames (rows padded to 4 bytes).  fps is carried
+    exactly as strh dwRate/dwScale = fps/1."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    stride = (3 * w + 3) & ~3
+    frame_sz = stride * h
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(form: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", form + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_sz * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, frame_sz, 0, frame_sz,  # dwScale=1, dwRate=fps
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_frames = []
+    idx = []
+    off = 4  # idx1 offsets are relative to the start of the 'movi' form tag
+    for i in range(n):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = frames[i, ::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+        data = rows.tobytes()
+        movi_frames.append(chunk(b"00db", data))
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(data)))  # AVIIF_KEYFRAME
+        off += 8 + len(data) + (len(data) & 1)
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_walk(buf: bytes, pos: int, end: int):
+    """Yield (fcc, data_off, size) for each chunk in ``buf[pos:end]``,
+    honouring RIFF even-byte chunk padding."""
+    while pos + 8 <= end:
+        fcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(buf: bytes) -> tuple[int, np.ndarray]:
+    """(fps, RGB uint8 frames (n, h, w, 3) top-down) from an uncompressed
+    24-bit DIB AVI.  Walks the nested RIFF chunk tree for real: hdrl ->
+    strh (exact fps = dwRate // dwScale) + strf (BITMAPINFOHEADER dims),
+    then every '00db'/'00dc' frame chunk inside LIST movi."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h_raw = 0
+    fps = 0
+    frame_spans: list[tuple[int, int]] = []
+    for fcc, off, size in _riff_walk(buf, 12, len(buf)):
+        if fcc != b"LIST":
+            continue
+        form = buf[off : off + 4]
+        if form == b"hdrl":
+            for f2, o2, s2 in _riff_walk(buf, off + 4, off + size):
+                if f2 == b"LIST" and buf[o2 : o2 + 4] == b"strl":
+                    for f3, o3, s3 in _riff_walk(buf, o2 + 4, o2 + s2):
+                        if f3 == b"strh":
+                            ftype, _h, _f, _p, _l, _i, scale, rate = struct.unpack_from(
+                                "<4s4sIHHIII", buf, o3
+                            )
+                            if ftype == b"vids" and scale:
+                                fps = rate // scale
+                        elif f3 == b"strf":
+                            _sz, w, h_raw, _pl, bpp, comp = struct.unpack_from(
+                                "<IiiHHI", buf, o3
+                            )
+                            if bpp != 24 or comp != 0:
+                                raise ValueError(
+                                    f"unsupported AVI frame format (bpp={bpp}, compression={comp})"
+                                )
+        elif form == b"movi":
+            for f2, o2, s2 in _riff_walk(buf, off + 4, off + size):
+                if f2 in (b"00db", b"00dc"):
+                    frame_spans.append((o2, s2))
+    if w == 0:
+        raise ValueError("AVI missing strf header")
+    h = abs(h_raw)
+    stride = (3 * w + 3) & ~3
+    frames = np.empty((len(frame_spans), h, w, 3), dtype=np.uint8)
+    for i, (o, s) in enumerate(frame_spans):
+        if s < stride * h:
+            raise ValueError(f"frame {i} truncated ({s} < {stride * h} bytes)")
+        frames[i] = _dib_to_rgb(w, h_raw, buf[o : o + stride * h])
+    return fps, frames
+
+
+def attach_avi_payloads(
+    tbl: pa.Table, *, id_col: str = "doc_id", out_col: str = "payload"
+) -> pa.Table:
+    """Deterministic REAL AVI payloads derived from an int id column:
+    n_frames = id % 4 + 2, width = id % 11 + 1, height = id % 7 + 1,
+    fps = 10 + id % 5, and frame f's logical top-down RGB byte at linear
+    index k is ``(id*13 + f*97 + k*5) % 256`` — a closed form a SQL oracle
+    re-derives with generate_series.  The encoder writes the true on-disk
+    AVI layout (RIFF tree, bottom-up padded BGR DIB frames), so the decoder
+    must undo all of it to recover the per-frame moments."""
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    payloads = []
+    for v in ids:
+        nf = int(v % 4 + 2)
+        w = int(v % 11 + 1)
+        h = int(v % 7 + 1)
+        f = np.arange(nf, dtype=np.int64)[:, None]
+        k = np.arange(h * w * 3, dtype=np.int64)[None, :]
+        px = ((int(v) * 13 + f * 97 + k * 5) % 256).astype(np.uint8).reshape(nf, h, w, 3)
+        payloads.append(encode_avi(px, fps=int(10 + v % 5)))
+    out = tbl.append_column(out_col, pa.array(payloads, type=pa.binary()))
+    out = out.append_column("media_type", pa.array(["video/x-msvideo"] * tbl.num_rows))
+    return out.append_column("n_bytes", pc.binary_length(out[out_col]).cast(pa.int64()))
+
+
+class VideoFrameExtractor:
+    """Actor-pool REAL video decode stage: AVI container -> sampled frames
+    -> per-frame pixel moments (one row OUT per sampled frame).
+
+    ``mode="avi"`` (default) uses the dependency-free DIB-AVI decoder;
+    ``mode="pyav"`` remains the marked integration point for compressed
+    codecs and raises unless the library is installed.  Every ``stride``-th
+    frame is decoded up to ``max_frames`` per clip; moments use exact
+    integer sums so a SQL oracle is bit-identical (no epsilon).
+    """
+
+    def __init__(
+        self,
+        *,
+        payload_col: str = "payload",
+        id_cols: Sequence[str] = ("doc_id",),
+        stride: int = 2,
+        max_frames: int = 5,
+        mode: str = "avi",
+    ):
+        self.payload_col = payload_col
+        self.id_cols = list(id_cols)
+        self.stride = int(stride)
+        self.max_frames = int(max_frames)
+        if mode == "pyav":
+            try:
+                import av  # noqa: F401  (absent in this container)
+            except ImportError as e:  # pragma: no cover - marked stub
+                raise NotImplementedError(
+                    "pyav decode requested but the library is not installed; "
+                    "use mode='avi' (built-in DIB-AVI decoder) or add the "
+                    "dependency at deploy time"
+                ) from e
+        elif mode != "avi":
+            raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        data, offsets = _flat_binary(tbl[self.payload_col])
+        n = tbl.num_rows
+        ids_tbl = tbl.select(self.id_cols)
+        rows_of: list[int] = []
+        fi: list[int] = []
+        nf: list[int] = []
+        fpss: list[int] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        means: list[float] = []
+        stds: list[float] = []
+        for i in range(n):
+            buf = data[offsets[i] : offsets[i + 1]].tobytes()
+            if not buf:
+                continue
+            fps, frames = decode_avi(buf)
+            total = frames.shape[0]
+            for j in range(0, total, self.stride):
+                if j // self.stride >= self.max_frames:
+                    break
+                pf = frames[j].astype(np.float64).ravel()
+                nn = float(pf.size)
+                m = pf.sum() / nn
+                rows_of.append(i)
+                fi.append(j)
+                nf.append(total)
+                fpss.append(fps)
+                ws.append(frames.shape[2])
+                hs.append(frames.shape[1])
+                means.append(m)
+                stds.append(float(np.sqrt(max((pf * pf).sum() / nn - m * m, 0.0))))
+        out = ids_tbl.take(pa.array(rows_of, type=pa.int64()))
+        out = out.append_column("frame_idx", pa.array(fi, type=pa.int64()))
+        out = out.append_column("n_frames", pa.array(nf, type=pa.int64()))
+        out = out.append_column("fps", pa.array(fpss, type=pa.int32()))
+        out = out.append_column("width", pa.array(ws, type=pa.int32()))
+        out = out.append_column("height", pa.array(hs, type=pa.int32()))
+        out = out.append_column("frame_mean", pa.array(means, type=pa.float64()))
+        return out.append_column("frame_std", pa.array(stds, type=pa.float64()))
+
+
+def add_video_frame_features(
+    ds,
+    *,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("doc_id",),
+    stride: int = 2,
+    max_frames: int = 5,
+    mode: str = "avi",
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: Optional[int] = 32,
+    num_cpus: float = 1.0,
+):
+    """Decode video containers and emit per-sampled-frame pixel moments on
+    an actor pool (small batches — multi-frame blobs dominate memory)."""
+    return ds.map_batches(
+        VideoFrameExtractor,
+        fn_constructor_kwargs={
+            "payload_col": payload_col,
+            "id_cols": id_cols,
+            "stride": stride,
+            "max_frames": max_frames,
+            "mode": mode,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
