@@ -131,6 +131,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
     carry_text = os.environ.get("BENCH_CARRY_TEXT", "1") == "1"
     # BENCH_TEXT_LAYOUT=carried|none|sidecar overrides the carry flag
     text_layout = os.environ.get("BENCH_TEXT_LAYOUT") or None
+    # BENCH_MAP_SORT=1: sort slices map-side, radix-merge reduce-side
+    map_side_sort = os.environ.get("BENCH_MAP_SORT", "0") == "1"
     metrics = None
     for rep in range(2):  # rep 0 warms; rep 1 is the steady-state measurement
         out_dir = f"/tmp/feast_ray_bench/out_cpu{num_cpus}_r{rep}"
@@ -139,6 +141,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_turns: int, backfill_only: bool = Fa
         metrics = backfill_transcripts(
             tr_path, out_dir, num_buckets=n_buckets, resume=False,
             carry_text=carry_text, text_layout=text_layout,
+            map_side_sort=map_side_sort,
         )
 
     qtimes = {}

@@ -54,12 +54,16 @@ SinkFn = Callable[[int, pa.Table], dict]  # (bucket_id, table) -> metrics dict
 _H = "__h"  # per-row uint64 key hash (as int64 bits), carried through the exchange
 
 
+_PRESORT_KEY = b"__slices_presorted"
+
+
 def _split_by_bucket(
     tbl: pa.Table,
     keys: Sequence[str],
     num_buckets: int,
     lo: int = 0,
     hi: Optional[int] = None,
+    sort_cols: Sequence[str] = (),
 ) -> list[pa.Table]:
     """One argsort by bucket id, then zero-copy slices for buckets
     ``[lo, hi)`` (default: all).
@@ -70,20 +74,111 @@ def _split_by_bucket(
     their logical rows on put, so per-slice ``combine_chunks`` was a pure
     extra copy (verified: 100 slice puts of a 400 MB parent fit a 2 GB
     store).  When a sub-range is requested (the sharded-exchange path),
-    only the in-range rows are materialized by the ``take``."""
+    only the in-range rows are materialized by the ``take``.
+
+    ``sort_cols`` (the map-side-sort path): additionally order each slice
+    by ``(__h, *sort_cols)`` in the SAME single lexsort — the sort work of
+    the exchange then happens in the (many, read-overlapped) map tasks and
+    each reducer only k-way merges presorted runs (see
+    ``_merge_sorted_parts``).  Slices are marked via schema metadata;
+    non-numeric sort columns silently degrade to the bucket-only sort."""
     if hi is None:
         hi = num_buckets
     if tbl.num_rows == 0:
         return [tbl.append_column(_H, pa.array([], pa.int64()))] * (hi - lo)
     hu = hash_columns(tbl, keys)
     h = (hu % np.uint64(num_buckets)).astype(np.int64)
-    order = np.argsort(h, kind="stable")
+    presorted = False
+    arrays = _numeric_sort_arrays(tbl, list(reversed(sort_cols))) if sort_cols else None
+    if arrays is not None:
+        # lexsort: later keys are more significant -> (bucket, __h, *sort)
+        order = np.lexsort(tuple(arrays) + (hu.view(np.int64), h))
+        presorted = True
+    else:
+        order = np.argsort(h, kind="stable")
     hs = h[order]
     bounds = np.searchsorted(hs, np.arange(lo, hi + 1))
     sel = order[bounds[0] : bounds[-1]]
     t = tbl.append_column(_H, pa.array(hu.view(np.int64))).take(pa.array(sel))
+    if presorted:
+        meta = dict(t.schema.metadata or {})
+        meta[_PRESORT_KEY] = b"1"
+        t = t.replace_schema_metadata(meta)
     bounds = bounds - bounds[0]
     return [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(hi - lo)]
+
+
+def _merge_sorted_parts(
+    parts: Sequence[pa.Table], keys: Sequence[str], order_cols: Sequence[str]
+) -> Optional[tuple[pa.Table, np.ndarray]]:
+    """K-way merge of map slices each presorted by ``(__h, *sort_cols)``.
+
+    One stable radix argsort on the int64 hash (linear, single pass over
+    one array) replaces the reduce-side multi-key lexsort; equal-hash runs
+    whose rows came from MORE THAN ONE part are then re-ordered by the sort
+    columns with a lexsort restricted to just those rows (a conversation
+    usually lives in few input files, so this touches a small fraction).
+    Returns None — caller falls back to the concat+sort path — on hash
+    collision (verified exactly as in ``_sort_and_group``) or non-numeric
+    sort columns."""
+    import pyarrow.compute as pc
+
+    tbl = pa.concat_tables(parts)
+    n = tbl.num_rows
+    sort_cols = [c for c in order_cols if c not in keys]
+    h = tbl[_H].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")  # radix; part-internal order kept
+    hs = h[order]
+    chg = hs[1:] != hs[:-1]
+    if len(parts) > 1 and sort_cols:
+        sizes = np.array([p.num_rows for p in parts], dtype=np.int64)
+        part_id = np.repeat(np.arange(len(parts), dtype=np.int64), sizes)
+        pid_s = part_id[order]
+        run_id = np.concatenate(([0], np.cumsum(chg)))
+        mix_pair = (~chg) & (pid_s[1:] != pid_s[:-1])
+        if mix_pair.any():
+            mixed_runs = np.unique(run_id[1:][mix_pair])
+            idx = np.flatnonzero(np.isin(run_id, mixed_runs))
+            arrays = _numeric_sort_arrays(tbl, list(reversed(sort_cols)))
+            if arrays is None:
+                return None
+            sub = tuple(a[order[idx]] for a in arrays)
+            o2 = np.lexsort(sub + (run_id[idx],))
+            order[idx] = order[idx][o2]  # within-run permutation: hs unchanged
+    t = tbl.drop_columns([_H]).take(pa.array(order))
+    same_h = ~chg
+    if same_h.any():
+        for k in keys:
+            col = t[k].combine_chunks()
+            ne = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+            if (same_h & pc.fill_null(ne, True).to_numpy(zero_copy_only=False)).any():
+                return None  # 64-bit hash collision: exact fallback
+    if t.schema.metadata and _PRESORT_KEY in t.schema.metadata:
+        meta = dict(t.schema.metadata)
+        meta.pop(_PRESORT_KEY)
+        t = t.replace_schema_metadata(meta or None)
+    starts = np.concatenate(([0], np.flatnonzero(chg) + 1, [n])).astype(np.int64)
+    return t, starts
+
+
+def _numeric_sort_arrays(tbl: pa.Table, cols: Sequence[str]) -> Optional[list[np.ndarray]]:
+    """numpy arrays for ``cols`` in column order, or None if any column is
+    non-numeric (callers then fall back to the Arrow comparator sort).
+    Timestamps are cast to int64 microseconds; ns values with sub-us
+    components raise on the safe cast and likewise return None."""
+    arrays: list[np.ndarray] = []
+    for c in cols:
+        col = tbl[c].combine_chunks()
+        try:
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us", tz=col.type.tz)).cast(pa.int64())
+            a = col.to_numpy(zero_copy_only=False)
+        except pa.ArrowInvalid:
+            return None
+        if not np.issubdtype(a.dtype, np.number):
+            return None
+        arrays.append(a)
+    return arrays
 
 
 def _sort_and_group(
@@ -105,24 +200,8 @@ def _sort_and_group(
     sort_cols = [c for c in order_cols if c not in keys]
     if _H in tbl.column_names and n > 0:
         h = tbl[_H].combine_chunks().to_numpy(zero_copy_only=False)
-        arrays = []
-        ok = True
-        for c in reversed(sort_cols):  # lexsort: last key is primary
-            col = tbl[c].combine_chunks()
-            try:
-                if pa.types.is_timestamp(col.type):
-                    # ns values with sub-us components raise on the safe
-                    # cast; the comparator fallback keeps full precision
-                    col = col.cast(pa.timestamp("us", tz=col.type.tz)).cast(pa.int64())
-                a = col.to_numpy(zero_copy_only=False)
-            except pa.ArrowInvalid:
-                ok = False
-                break
-            if not np.issubdtype(a.dtype, np.number):
-                ok = False
-                break
-            arrays.append(a)
-        if ok:
+        arrays = _numeric_sort_arrays(tbl, list(reversed(sort_cols)))
+        if arrays is not None:
             order = np.lexsort(tuple(arrays) + (h,))
             hs = h[order]
             t = tbl.drop_columns([_H]).take(pa.array(order))
@@ -201,6 +280,7 @@ def exchange_grouped(
     map_fn_takes_paths: bool = False,
     pack_cols: Optional[Sequence[str]] = None,
     shard_rounds: int = 1,
+    map_side_sort: bool = False,
 ) -> list:
     """Run the fused exchange over parquet files; returns per-bucket results
     (``sink_fn`` metrics dicts if given, else reduced Arrow tables).
@@ -215,7 +295,14 @@ def exchange_grouped(
     into R contiguous key-hash ranges processed SEQUENTIALLY — each round
     maps the input emitting only its range's buckets and reduces them to
     completion before the next round starts, so the live count is bounded
-    at O(M x B/R) regardless of B.  The trade is R passes over the input
+    at O(M x B/R) regardless of B.  ``map_side_sort``: each map task fully
+    sorts its slices by ``(__h, *sort_keys)`` inside the one bucket-split
+    lexsort, and reducers replace the concat+lexsort with a linear radix
+    merge (``_merge_sorted_parts``) — shifts the sort work off the
+    post-barrier reduce side into the read-overlapped map phase.  Falls
+    back transparently (per slice / per bucket) for non-numeric sort
+    columns or hash collisions; results are identical either way (parity
+    pinned by ``tests/test_exchange_sort.py``).  The trade is R passes over the input
     (reads + ``map_fn`` re-run; out-of-range rows are dropped before any
     ``take`` materializes them), the classic multi-round shuffle trade —
     IO is re-paid to keep shuffle metadata/object state bounded.  ``map_fn``
@@ -237,7 +324,8 @@ def exchange_grouped(
         tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
         if map_fn is not None:
             tbl = map_fn(tbl, paths) if map_fn_takes_paths else map_fn(tbl)
-        parts = _split_by_bucket(tbl, keys, B, lo, hi)
+        sc = [c for c in order_cols if c not in keys] if map_side_sort else ()
+        parts = _split_by_bucket(tbl, keys, B, lo, hi, sort_cols=sc)
         if pack_cols:
             parts = [_pack_slice(p, pack_cols) for p in parts]
         return parts
@@ -253,8 +341,15 @@ def exchange_grouped(
         if not parts:
             out = None
         else:
-            tbl = pa.concat_tables(parts)
-            t, starts = _sort_and_group(tbl, keys, order_cols)
+            merged = None
+            if all(
+                (p.schema.metadata or {}).get(_PRESORT_KEY) == b"1" for p in parts
+            ):
+                merged = _merge_sorted_parts(parts, keys, order_cols)
+            if merged is None:
+                t, starts = _sort_and_group(pa.concat_tables(parts), keys, order_cols)
+            else:
+                t, starts = merged
             out = reduce_kernel(t, starts)
         if sink_fn is not None:
             return sink_fn(b, out)

@@ -191,6 +191,7 @@ def backfill_transcripts(
     files_per_task: int = 1,
     skip_buckets: Optional[set] = None,
     shard_rounds: int = 1,
+    map_side_sort: bool = False,
 ) -> dict:
     """Materialize the full per-turn feature table to partitioned Parquet
     with lineage manifests; resumable.  Returns aggregate metrics.
@@ -315,6 +316,7 @@ def backfill_transcripts(
         # memory-bus bytes that wall the wide path's 8->32 scaling
         pack_cols=["text", "tool"] if text_layout == "packed" else None,
         shard_rounds=shard_rounds,
+        map_side_sort=map_side_sort,
     )
     wall = time.perf_counter() - t0
     rows = sum(r["rows"] for r in results)
