@@ -1271,7 +1271,8 @@ def q_heavy_tokens_docs(sf_dir: str):
         toks, batch_format="pyarrow", zero_copy_batch=True
     )
     # summary_k sized so the n/(k+1) guarantee holds through sf0.1 (~0.6M
-    # tokens -> err 18 < 60); at larger corpora scale k with n/threshold
+    # tokens -> err 18 < 60); beyond that heavy_hitters resizes k from the
+    # measured n and redoes pass 1 (verified by tools/gate_10x.py)
     return heavy_hitters(tok_ds, "token", HH_THRESHOLD, summary_k=32768)
 
 

@@ -135,8 +135,10 @@ def heavy_hitters(
     summed weights underestimate true counts by at most n/(k+1).  The
     exchange therefore carries <= k rows per batch instead of every
     distinct value.  Candidates = summed weight >= threshold - n/(k+1) —
-    a PROVEN superset of the true heavy hitters (raises if the guarantee
-    ``threshold > n/(k+1)`` fails; raise ``summary_k`` or the threshold).
+    a PROVEN superset of the true heavy hitters.  If the data outgrows the
+    summary (``threshold <= n/(k+1)``), pass 1 is redone once with k
+    resized from the measured n (targeting err <= threshold/2) — the
+    operator self-heals at any scale instead of raising.
 
     Pass 2 (exact recount): the candidate set (small by construction:
     <= n/(threshold - n/(k+1)) values) is broadcast via ``ray.put``; each
@@ -152,45 +154,58 @@ def heavy_hitters(
         raise ValueError("threshold must be >= 1")
     k = int(summary_k)
 
-    def mg_partial(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        empty = pa.table(
-            {
-                "value": pa.array([], t.schema.field(col).type),
-                "w": pa.array([], pa.int64()),
-                "n_part": pa.array([], pa.int64()),
-            }
-        )
-        if n == 0:
-            return empty
-        arr = t[col].combine_chunks().drop_null()
-        if len(arr) == 0:
-            return empty
-        vc = pc.value_counts(arr)
-        vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
-        if len(cnts) > k:
-            trunc = np.partition(cnts, len(cnts) - (k + 1))[len(cnts) - (k + 1)]
-        else:
-            trunc = 0
-        w = cnts - trunc
-        keep = w > 0
-        vals = vals.filter(pa.array(keep))
-        w = w[keep]
-        n_part = np.zeros(len(w), dtype=np.int64)
-        n_part[0] = len(arr)  # batch token total rides the first summary row
-        return pa.table(
-            {"value": vals, "w": pa.array(w.astype(np.int64)), "n_part": pa.array(n_part)}
-        )
+    def make_mg_partial(k: int):
+        def mg_partial(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            empty = pa.table(
+                {
+                    "value": pa.array([], t.schema.field(col).type),
+                    "w": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+            if n == 0:
+                return empty
+            arr = t[col].combine_chunks().drop_null()
+            if len(arr) == 0:
+                return empty
+            vc = pc.value_counts(arr)
+            vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+            if len(cnts) > k:
+                trunc = np.partition(cnts, len(cnts) - (k + 1))[len(cnts) - (k + 1)]
+            else:
+                trunc = 0
+            w = cnts - trunc
+            keep = w > 0
+            vals = vals.filter(pa.array(keep))
+            w = w[keep]
+            n_part = np.zeros(len(w), dtype=np.int64)
+            n_part[0] = len(arr)  # batch token total rides the first summary row
+            return pa.table(
+                {"value": vals, "w": pa.array(w.astype(np.int64)), "n_part": pa.array(n_part)}
+            )
 
-    partials = ds.map_batches(
-        mg_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    total_n = int(partials.sum("n_part") or 0)
-    err = total_n // (k + 1)
-    if threshold <= err:
+        return mg_partial
+
+    # Pass-1 guarantee is checkable only once total n is known; if the data
+    # has outgrown summary_k (threshold <= n/(k+1)), the scale-safe move is
+    # to resize k from the measured n and redo pass 1 — not to raise.  The
+    # resized k targets err <= threshold/2, so one retry always restores the
+    # guarantee; the second iteration of the loop exists only as a seatbelt
+    # (total_n is deterministic across retries).
+    for _attempt in range(3):
+        partials = ds.map_batches(
+            make_mg_partial(k), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        total_n = int(partials.sum("n_part") or 0)
+        err = total_n // (k + 1)
+        if threshold > err:
+            break
+        k = max(2 * k, 2 * total_n // threshold + 1)
+    else:
         raise ValueError(
-            f"heavy_hitters guarantee violated: threshold={threshold} <= "
-            f"n/(k+1)={err}; raise summary_k (or the threshold)"
+            f"heavy_hitters guarantee violated after resize: threshold="
+            f"{threshold} <= n/(k+1)={err} at k={k}"
         )
 
     def sum_kernel(t: pa.Table, starts: np.ndarray) -> pa.Table:

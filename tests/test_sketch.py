@@ -73,6 +73,16 @@ def test_heavy_hitters_exact_with_truncation(ray_session):
     assert list(map(tuple, out[["value", "cnt"]].itertuples(index=False))) == want
     assert len(want) > 0
 
-    # guarantee check: threshold below n/(k+1) must raise, not miss items
-    with pytest.raises(ValueError, match="guarantee"):
-        heavy_hitters(ds, "x", 2, summary_k=8).materialize()
+    # self-heal check: a summary_k far too small for the threshold
+    # (threshold <= n/(k+1)) must trigger the pass-1 resize-and-redo and
+    # still return EXACT results — never raise, never miss items
+    T2 = 40
+    out2 = (
+        heavy_hitters(ds, "x", T2, summary_k=8)
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    want2 = sorted((v, c) for v, c in Counter(vals).items() if c >= T2)
+    assert list(map(tuple, out2[["value", "cnt"]].itertuples(index=False))) == want2
+    assert len(want2) > len(want)
